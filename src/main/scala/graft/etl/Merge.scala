@@ -1,0 +1,75 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental-merge kernel — SURVEY.md §2 rows D1–D3, U1, J1 and §3 E3.
+  *
+  * The reference's headline capability is resume-safe incremental ingestion
+  * (`README.md:14-15`): re-runs skip already-scraped keys
+  * (`fighters_scraper.py:165,178-179`) and every sink write is
+  * concat-existing-first + drop_duplicates-keep-first
+  * (`fighters_scraper.py:188-207`) — i.e. old rows always win, new keys
+  * insert, existing keys never update.
+  *
+  * pandas' keep-first is row-order-defined; Spark's `dropDuplicates` is NOT
+  * order-stable under shuffle (SURVEY §7.5). The faithful distributed
+  * translation is the anti-join formulation in [[firstWinsMerge]]:
+  * `existing ∪ (incoming ⟕anti existing)` — exactly Delta's
+  * `MERGE WHEN NOT MATCHED THEN INSERT`, deterministic on any cluster.
+  *
+  * Scale notes (100 TB): the anti-join shuffles both sides on the key unless
+  * one side is broadcast-able. For the scrape-resume pattern the incoming
+  * batch is small vs the sink, so Spark broadcasts the INCOMING side of the
+  * left_anti automatically under AQE; when the sink table is the small side
+  * (first runs) pass `broadcastExisting = true`. On a real lake the sink
+  * would be bucketed by the key so this join is shuffle-free.
+  */
+object Merge {
+
+  /** J1 — incremental skip: rows of `frontier` whose key is NOT in
+    * `existing` (`fighters_scraper.py:178-179` as a set-membership test). */
+  def incrementalSkip(frontier: DataFrame, existing: DataFrame, key: String,
+                      broadcastExisting: Boolean = false): DataFrame = {
+    val keys = existing.select(key).distinct()
+    frontier.join(if (broadcastExisting) broadcast(keys) else keys,
+                  Seq(key), "left_anti")
+  }
+
+  /** U1 — union-by-name with missing-column tolerance, the
+    * `pd.concat(ignore_index=True)` alignment (`fighters_scraper.py:200-203`). */
+  def unionByNameTolerant(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b, allowMissingColumns = true)
+
+  /** D3 exact semantics — first-wins keyed merge: every key in `existing`
+    * keeps its existing row; keys only in `incoming` are inserted
+    * (`fighters_scraper.py:190-191`: existing is concat'd FIRST, then
+    * `drop_duplicates(subset=[key])` keeps the first = old row). */
+  def firstWinsMerge(existing: DataFrame, incoming: DataFrame,
+                     key: String): DataFrame =
+    unionByNameTolerant(
+      existing,
+      incrementalSkip(incoming, existing, key))
+
+  /** D3 within one batch, made deterministic: keep, per key, the row that is
+    * first under an EXPLICIT total order (the reference's implicit
+    * encounter order has no distributed meaning — SURVEY §2 D2/D3). */
+  def dedupKeepFirst(df: DataFrame, key: Seq[String],
+                     order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** S7 — idempotent append-dedup sink write: merge then overwrite, the
+    * Parquet analog of the reference's full-file rewrite
+    * (`fighters_scraper.py:197-207`). At scale this would be a Delta MERGE;
+    * with plain Parquet, overwrite-after-firstWinsMerge is the idempotent
+    * equivalent (re-running adds nothing — E3's core invariant). */
+  def mergeWrite(existing: DataFrame, incoming: DataFrame, key: String,
+                 path: String): Unit =
+    firstWinsMerge(existing, incoming, key)
+      .write.mode("overwrite").parquet(path)
+}

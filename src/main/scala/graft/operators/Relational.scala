@@ -1,0 +1,266 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.etl.{Extract, Merge}
+
+/** Core relational surface — the reference's dataflow semantics (SURVEY.md
+  * §2: S5/S7, F1–F2, D1–D3, U1, J1, A1–A3) recast as declarative Spark
+  * queries over the harness star schema, plus the latent FK joins the
+  * reference's README "Next Steps" implies (SURVEY §2 J2).
+  *
+  * Determinism contract with the DuckDB oracle: money doubles are converted
+  * per-row to integer cents with `floor(x*100 + 0.5)` — identical IEEE
+  * arithmetic in both engines, then exact integer aggregation, so results
+  * are bit-equal regardless of accumulation order (no float-sum ordering
+  * hazard — SURVEY §7.5). Timestamps are cast to DATE at the output edge.
+  * Every query ends with a total ORDER BY.
+  *
+  * Scale notes: dimension joins are `broadcast()`; fact-fact joins shuffle
+  * on the join key (bucketing would remove that on a real lake); all
+  * aggregates are partial (map-side combine) because they're plain
+  * `groupBy().agg(sum/count/min/max)`.
+  */
+object Relational {
+
+  /** Per-row exact integer scaling: floor(x*scale + 0.5) as BIGINT. */
+  private def asCents(c: org.apache.spark.sql.Column, scale: Long = 100L) =
+    floor(c * scale.toDouble + lit(0.5)).cast("long")
+
+  // ── q01: pricing summary (TPC-H Q1 shape; A3/A4 aggregation surface) ────
+  def pricingSummary(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(asCents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(asCents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("sum_disc_cents"),
+        sum(asCents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * (lit(1.0) + col("l_tax")), 10000L)).as("sum_charge_m"),
+        sum(asCents(col("l_discount"), 10000L)).as("sum_disc_bp"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+      |  CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+      |  CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_m,
+      |  CAST(sum(CAST(floor(l_discount*10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_bp,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ── q02: filter + project (F1/F2; pushdown showcase) ────────────────────
+  def filterProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+              col("l_shipdate") < lit("1997-04-01") &&
+              col("l_returnflag") === "R")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"),
+        asCents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue_cents"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  val filterProjectSql: String =
+    """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+      |  CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT) AS revenue_cents
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  AND l_returnflag = 'R'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ── q03: multi-way FK join + agg (J2; flagship) ─────────────────────────
+  /** Revenue per region/nation — the latent fights↔fighters FK join of
+    * SURVEY §1.1 on the star schema. Dimensions are broadcast (no shuffle
+    * for customer→nation→region at any scale); lineitem⋈orders shuffles on
+    * orderkey — the one unavoidable fact-fact shuffle. */
+  def revenueByNation(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d)
+    val c  = Tables.customer(s, d)
+    val n  = Tables.nation(s, d)
+    val r  = Tables.region(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(asCents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+  val revenueByNationSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |  count(DISTINCT o_orderkey) AS n_orders,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // ── q04: incremental anti-join skip (J1 — the resume-safe headline) ─────
+  /** "Existing sink" = orders before the cutoff; frontier = all orders.
+    * Result = only-new rows, exactly `fighters_scraper.py:178-179`. */
+  def incrementalAntijoin(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.orders(s, d)
+    val existing = all.filter(col("o_orderdate") < lit("1999-01-01"))
+    Merge.incrementalSkip(all, existing, "o_orderkey")
+      .select(col("o_orderkey"), col("o_custkey"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      .orderBy(col("o_orderkey"))
+  }
+  val incrementalAntijoinSql: String =
+    """SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date
+      |FROM orders
+      |WHERE o_orderkey NOT IN (
+      |  SELECT o_orderkey FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01')
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ── q05: first-wins keyed merge (D3 exact semantics + U1) ───────────────
+  /** existing = non-negative-balance customers tagged 'old'; incoming = ALL
+    * customers tagged 'new' with shifted balances. Old rows must win; only
+    * negative-balance keys arrive from incoming — the reference's
+    * never-update-only-insert merge (`fighters_scraper.py:190-191`). */
+  def firstWinsMerge(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val existing = c.filter(col("c_acctbal") >= 0)
+      .select(col("c_custkey"), lit("old").as("src"),
+              asCents(col("c_acctbal")).as("bal_cents"))
+    val incoming = c.select(col("c_custkey"), lit("new").as("src"),
+              asCents(col("c_acctbal") + 1000.0).as("bal_cents"))
+    Merge.firstWinsMerge(existing, incoming, "c_custkey")
+      .orderBy(col("c_custkey"))
+  }
+  val firstWinsMergeSql: String =
+    """WITH existing AS (
+      |  SELECT c_custkey, 'old' AS src,
+      |    CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_cents
+      |  FROM customer WHERE c_acctbal >= 0),
+      |incoming AS (
+      |  SELECT c_custkey, 'new' AS src,
+      |    CAST(floor((c_acctbal+1000.0)*100 + 0.5) AS BIGINT) AS bal_cents
+      |  FROM customer)
+      |SELECT * FROM existing
+      |UNION ALL
+      |SELECT * FROM incoming WHERE c_custkey NOT IN (SELECT c_custkey FROM existing)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ── q06: union-by-name with missing columns (U1) ────────────────────────
+  def unionByName(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+              asCents(col("o_totalprice")).as("total_cents"))
+    val b = o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    Merge.unionByNameTolerant(a, b).orderBy(col("o_orderkey"))
+  }
+  val unionByNameSql: String =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS total_cents
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL BY NAME
+      |  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 2 = 1)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ── q07: distinct frontier (D1) ─────────────────────────────────────────
+  def distinctFrontier(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"))
+      .distinct()
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  val distinctFrontierSql: String =
+    """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
+  // ── q08: keyed dedup keep-first under explicit order (D2/D3 determinized)
+  def dedupKeepFirst(s: SparkSession, d: String): DataFrame =
+    Merge.dedupKeepFirst(
+        Tables.orders(s, d),
+        Seq("o_custkey"),
+        Seq(col("o_orderdate").asc, col("o_orderkey").asc))
+      .select(col("o_custkey"), col("o_orderkey"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd").as("first_order_date"))
+      .orderBy(col("o_custkey"))
+  val dedupKeepFirstSql: String =
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS first_order_date
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+      |  FROM orders)
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  // ── q09: active-status derivation (A1 + A2, fixed as-of date) ───────────
+  /** Per customer: last order date, order count, Active/Inactive under the
+    * reference's 2-year rule (`fighters_scraper.py:117-133`) with
+    * `datetime.now()` pinned to 2000-12-31 for determinism (SURVEY §7.5).
+    * Customers with no orders default Inactive, like no-dates fighters. */
+  def activeCustomers(s: SparkSession, d: String): DataFrame = {
+    val agg = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_order_date"),
+           count(lit(1)).as("n_orders"))
+    Tables.customer(s, d)
+      .join(agg, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        date_format(col("last_order_date"), "yyyy-MM-dd").as("last_order_date"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        Extract.activeFlag(col("last_order_date"), "2000-12-31")
+          .as("status"))
+      .orderBy(col("c_custkey"))
+  }
+  val activeCustomersSql: String =
+    """SELECT c_custkey, strftime(last_order_date, '%Y-%m-%d') AS last_order_date,
+      |  COALESCE(n_orders, 0) AS n_orders,
+      |  CASE WHEN last_order_date IS NOT NULL
+      |         AND date_diff('day', last_order_date, DATE '2000-12-31') <= 730
+      |       THEN 'Active' ELSE 'Inactive' END AS status
+      |FROM customer
+      |LEFT JOIN (
+      |  SELECT o_custkey, CAST(max(o_orderdate) AS DATE) AS last_order_date,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Registry fragment for SparkEntry. */
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q01_pricing_summary"     -> (pricingSummary _),
+    "q02_filter_project"      -> (filterProject _),
+    "q03_revenue_by_nation"   -> (revenueByNation _),
+    "q04_incremental_antijoin"-> (incrementalAntijoin _),
+    "q05_firstwins_merge"     -> (firstWinsMerge _),
+    "q06_union_by_name"       -> (unionByName _),
+    "q07_distinct_frontier"   -> (distinctFrontier _),
+    "q08_dedup_keep_first"    -> (dedupKeepFirst _),
+    "q09_active_customers"    -> (activeCustomers _))
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q01_pricing_summary"      -> pricingSummarySql,
+    "q02_filter_project"       -> filterProjectSql,
+    "q03_revenue_by_nation"    -> revenueByNationSql,
+    "q04_incremental_antijoin" -> incrementalAntijoinSql,
+    "q05_firstwins_merge"      -> firstWinsMergeSql,
+    "q06_union_by_name"        -> unionByNameSql,
+    "q07_distinct_frontier"    -> distinctFrontierSql,
+    "q08_dedup_keep_first"     -> dedupKeepFirstSql,
+    "q09_active_customers"     -> activeCustomersSql)
+}
