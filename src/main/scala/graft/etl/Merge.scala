@@ -29,12 +29,19 @@ import org.apache.spark.sql.functions._
 object Merge {
 
   /** J1 — incremental skip: rows of `frontier` whose key is NOT in
-    * `existing` (`fighters_scraper.py:178-179` as a set-membership test). */
+    * `existing` (`fighters_scraper.py:178-179` as a set-membership test).
+    *
+    * Null-key contract: NULL-key frontier rows are DROPPED. A left_anti
+    * join would keep them (NULL never matches), while the SQL `NOT IN`
+    * formulation drops everything when the subquery yields a NULL — the
+    * reference never has null keys, so we pick the strict semantic and
+    * make engine and oracle agree on nullable inputs (ADVICE r1). */
   def incrementalSkip(frontier: DataFrame, existing: DataFrame, key: String,
                       broadcastExisting: Boolean = false): DataFrame = {
-    val keys = existing.select(key).distinct()
-    frontier.join(if (broadcastExisting) broadcast(keys) else keys,
-                  Seq(key), "left_anti")
+    val keys = existing.filter(col(key).isNotNull).select(key).distinct()
+    frontier.filter(col(key).isNotNull)
+      .join(if (broadcastExisting) broadcast(keys) else keys,
+            Seq(key), "left_anti")
   }
 
   /** U1 — union-by-name with missing-column tolerance, the
@@ -45,12 +52,24 @@ object Merge {
   /** D3 exact semantics — first-wins keyed merge: every key in `existing`
     * keeps its existing row; keys only in `incoming` are inserted
     * (`fighters_scraper.py:190-191`: existing is concat'd FIRST, then
-    * `drop_duplicates(subset=[key])` keeps the first = old row). */
+    * `drop_duplicates(subset=[key])` keeps the first = old row).
+    *
+    * Contract: `incoming` must be key-unique — the reference's incoming
+    * batch is (one row per scraped URL), so duplicate keys cannot occur
+    * there. If yours can, pre-apply [[dedupKeepFirst]] with an explicit
+    * order, or use [[firstWinsMergeOrdered]] (ADVICE r1). */
   def firstWinsMerge(existing: DataFrame, incoming: DataFrame,
                      key: String): DataFrame =
     unionByNameTolerant(
       existing,
       incrementalSkip(incoming, existing, key))
+
+  /** [[firstWinsMerge]] for incoming batches that may repeat keys: keeps,
+    * per new key, the first incoming row under the EXPLICIT `order` —
+    * exactly one row per key survives, like pandas keep-first. */
+  def firstWinsMergeOrdered(existing: DataFrame, incoming: DataFrame,
+                            key: String, order: Seq[Column]): DataFrame =
+    firstWinsMerge(existing, dedupKeepFirst(incoming, Seq(key), order), key)
 
   /** D3 within one batch, made deterministic: keep, per key, the row that is
     * first under an EXPLICIT total order (the reference's implicit

@@ -35,7 +35,7 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02"))
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
         sum(asCents(col("l_extendedprice"))).as("sum_base_cents"),
         sum(asCents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
           .as("sum_disc_cents"),
@@ -47,7 +47,7 @@ object Relational {
   }
   val pricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
       |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
       |  CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
       |  CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_m,
@@ -80,9 +80,13 @@ object Relational {
 
   // ── q03: multi-way FK join + agg (J2; flagship) ─────────────────────────
   /** Revenue per region/nation — the latent fights↔fighters FK join of
-    * SURVEY §1.1 on the star schema. Dimensions are broadcast (no shuffle
-    * for customer→nation→region at any scale); lineitem⋈orders shuffles on
-    * orderkey — the one unavoidable fact-fact shuffle. */
+    * SURVEY §1.1 on the star schema. nation/region are FIXED-size dimensions
+    * (25/5 rows at any scale) → broadcast hints are safe forever. customer
+    * is scale-PROPORTIONAL (~15M rows at sf100), so it gets NO hint — AQE
+    * picks broadcast while it fits and falls back to shuffle join at scale
+    * (VERDICT r1 "What's wrong" #2). lineitem⋈orders shuffles on orderkey —
+    * the one unavoidable fact-fact shuffle (bucketing both on orderkey
+    * would remove it on a real lake). */
   def revenueByNation(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val o  = Tables.orders(s, d)
@@ -90,7 +94,7 @@ object Relational {
     val n  = Tables.nation(s, d)
     val r  = Tables.region(s, d)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
