@@ -26,7 +26,9 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           errors ::= name; false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-24s ${if (ok) f"$sec%8.2f s" else "FAILED"}")
+      name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

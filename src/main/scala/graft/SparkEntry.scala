@@ -4,7 +4,8 @@ import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Extraction, Relational}
+import graft.operators.{Analytics, Documents, Events, Extraction, Relational,
+  Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,10 +23,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ListMap((Relational.queries ++ Extraction.queries): _*)
+    ListMap((Relational.queries ++ Extraction.queries ++
+             Documents.queries ++ Similarity.queries ++
+             Events.queries ++ Analytics.queries): _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    ListMap((Relational.oracles ++ Extraction.oracles): _*)
+    ListMap((Relational.oracles ++ Extraction.oracles ++
+             Documents.oracles ++ Similarity.oracles ++
+             Events.oracles ++ Analytics.oracles): _*)
 }

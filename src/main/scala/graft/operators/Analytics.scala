@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The analytic surface SURVEY.md §2 lists as "absent categories" plus A4 —
+  * rollup/grouping sets, ranking/analytic window functions, top-k, set
+  * operations, and HLL distinct-counting. The reference's README names
+  * "feature engineering" as the downstream need (`README.md:96`); these are
+  * the grouped/windowed primitives that feed it.
+  *
+  * Scale notes: rollup is one shuffle with partial aggregation per grouping
+  * set (Catalyst Expand); window queries shuffle once on the partition key;
+  * top-k compiles to TakeOrderedAndProject (per-partition heaps + merge —
+  * never a full global sort); approx_count_distinct is HLL±± — mergeable
+  * sketch state, constant memory per group at any cardinality.
+  */
+object Analytics {
+
+  private def cents(c: Column): Column =
+    floor(c * 100.0 + lit(0.5)).cast("long")
+
+  // ── q28: rollup over the region→nation hierarchy (A4) ───────────────────
+  /** Customer count + balance by nation, subtotaled by region, grand-total —
+    * `rollup`. NULL group cells are labeled 'ALL' on both sides so ordering
+    * and hashing agree (Spark sorts NULLs first, DuckDB last). */
+  def rollupRegionNation(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+           sum(cents(col("c_acctbal"))).as("bal_cents"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+              coalesce(col("n_name"), lit("ALL")).as("nation"),
+              col("n_cust"), col("bal_cents"))
+      .orderBy(col("region"), col("nation"))
+  }
+  val rollupRegionNationSql: String =
+    """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+      |  count(*) AS n_cust,
+      |  CAST(sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  // ── q29: ranking + analytic window functions over order sequences ───────
+  /** Per-customer order timeline: row_number, gap-days since the previous
+    * order (lag), and a running balance (sum over an explicit ROWS frame) —
+    * the rank/lag/frame trio SURVEY §2 flags as the generalization of A2's
+    * "latest fight". One shuffle on o_custkey serves all three. */
+  def orderSequence(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("od").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("seq"),
+        datediff(col("od"), lag(col("od"), 1).over(w)).as("gap_days"),
+        sum(col("price_cents")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("run_cents"))
+      .orderBy(col("o_custkey"), col("seq"))
+  }
+  val orderSequenceSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  row_number() OVER w AS seq,
+      |  date_diff('day', lag(CAST(o_orderdate AS DATE)) OVER w,
+      |            CAST(o_orderdate AS DATE)) AS gap_days,
+      |  CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+      |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC)
+      |ORDER BY o_custkey, seq""".stripMargin
+
+  // ── q30: global top-k (TakeOrderedAndProject, not a full sort) ──────────
+  def topOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+      .limit(100)
+  val topOrdersSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents
+      |FROM orders
+      |ORDER BY price_cents DESC, o_orderkey ASC
+      |LIMIT 100""".stripMargin
+
+  // ── q31: intersect / except (set ops beyond J1's keyed anti-join) ───────
+  /** Nations that have BUILDING-segment customers vs nations hosting
+    * negative-balance suppliers: INTERSECT ∪ EXCEPT, labeled. Both set ops
+    * are distinct-semantics, matching SQL. */
+  def nationSetOps(s: SparkSession, d: String): DataFrame = {
+    val custN = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_nationkey").as("nation_key"))
+    val suppN = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0)
+      .select(col("s_nationkey").as("nation_key"))
+    custN.intersect(suppN).withColumn("rel", lit("both"))
+      .unionByName(custN.except(suppN).withColumn("rel", lit("cust_only")))
+      .orderBy(col("rel"), col("nation_key"))
+  }
+  val nationSetOpsSql: String =
+    """WITH cust AS (SELECT DISTINCT c_nationkey AS nation_key FROM customer
+      |              WHERE c_mktsegment = 'BUILDING'),
+      |     supp AS (SELECT DISTINCT s_nationkey AS nation_key FROM supplier
+      |              WHERE s_acctbal < 0)
+      |SELECT nation_key, 'both' AS rel FROM (SELECT * FROM cust INTERSECT SELECT * FROM supp)
+      |UNION ALL
+      |SELECT nation_key, 'cust_only' AS rel FROM (SELECT * FROM cust EXCEPT SELECT * FROM supp)
+      |ORDER BY rel, nation_key""".stripMargin
+
+  // ── q32: HLL distinct-count with exactness gate (A4's sketch row) ───────
+  /** approx_count_distinct (HyperLogLog++, rsd=0.01) per order priority,
+    * verified as a BOOLEAN gate: the sketch estimate must land within 5% of
+    * the exact count (the oracle asserts TRUE). The estimate itself is
+    * engine-specific, so the contract checked cross-engine is the error
+    * bound — deterministic for fixed data. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"),
+           approx_count_distinct(col("o_custkey"), 0.01).as("n_approx"))
+      .select(col("o_orderpriority"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")).cast("double") <=
+         col("n_exact").cast("double") * 0.05).as("approx_ok"))
+      .orderBy(col("o_orderpriority"))
+  val approxDistinctSql: String =
+    """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact,
+      |  TRUE AS approx_ok
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q28_rollup"          -> (rollupRegionNation _),
+    "q29_order_sequence"  -> (orderSequence _),
+    "q30_top_orders"      -> (topOrders _),
+    "q31_nation_setops"   -> (nationSetOps _),
+    "q32_approx_distinct" -> (approxDistinct _))
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q28_rollup"          -> rollupRegionNationSql,
+    "q29_order_sequence"  -> orderSequenceSql,
+    "q30_top_orders"      -> topOrdersSql,
+    "q31_nation_setops"   -> nationSetOpsSql,
+    "q32_approx_distinct" -> approxDistinctSql)
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream analytics over the `events` table — JSON prop extraction
+  * and event-time windowing (tumbling + session), the batch form of the
+  * Structured Streaming surface (`graft.streaming` holds the streaming
+  * variants; semantics are identical, which is the point of Spark's unified
+  * batch/stream API — SURVEY §2 "absent categories": JSON, streaming).
+  *
+  * The hard part of this table — parquet TIMESTAMP(NANOS) ingestion — is
+  * solved in [[Tables.events]] (`ts div 1000` integer division, never double
+  * division). Everything below is declarative groupBy/window over that.
+  *
+  * Scale notes: tumbling windows partial-aggregate map-side (a window is
+  * just a derived grouping key); session windows shuffle once on user_id —
+  * state per key is bounded by the session count, and the same query runs
+  * under Structured Streaming with a watermark bounding that state in time.
+  */
+object Events {
+
+  private def cents(c: Column): Column =
+    floor(c * 100.0 + lit(0.5)).cast("long")
+
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  // ── q25: JSON extraction from event props ───────────────────────────────
+  /** `get_json_object` over the `props` JSON column, aggregated per
+    * event_type: the engine-side answer to "the props are JSON, query
+    * them" (north-star JSON surface). */
+  def jsonProps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        cents(col("value")).as("v_cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"),
+           sum(col("v_cents")).as("sum_value_cents"))
+      .orderBy(col("event_type"))
+  val jsonPropsSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |  CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+      |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ── q26: tumbling event-time window ─────────────────────────────────────
+  /** 1-hour tumbling windows per event_type: `window($"ts", "1 hour")` — the
+    * canonical event-time aggregate; identical code under readStream with a
+    * watermark. */
+  def tumblingHourly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(cents(col("value"))).as("sum_value_cents"))
+      .select(date_format(col("window.start"), tsFmt).as("window_start"),
+              col("event_type"), col("n_events"), col("sum_value_cents"))
+      .orderBy(col("window_start"), col("event_type"))
+  val tumblingHourlySql: String =
+    """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // ── q27: session windows (30-minute gap) ────────────────────────────────
+  /** Per-user session windows with a 30-minute inactivity gap —
+    * `session_window`, Spark's native gap-merge aggregation (the streaming
+    * version adds only a watermark). Oracle reproduces it as
+    * gaps-and-islands: a session breaks where the gap from the previous
+    * event is >= 30 min (Spark sessions are half-open `[start, last+gap)`,
+    * so an event at exactly +30min starts a NEW session — hence the strict
+    * `<` in the oracle's merge condition). */
+  def sessionWindows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(cents(col("value"))).as("sum_value_cents"))
+      .select(col("user_id"),
+              date_format(col("session_window.start"), tsFmt)
+                .as("session_start"),
+              col("n_events"), col("sum_value_cents"))
+      .orderBy(col("user_id"), col("session_start"))
+  val sessionWindowsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v_cents
+      |  FROM events),
+      |marked AS (
+      |  SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                      < INTERVAL 30 MINUTE
+      |                 THEN 0 ELSE 1 END AS brk
+      |  FROM e),
+      |grouped AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  count(*) AS n_events, CAST(sum(v_cents) AS BIGINT) AS sum_value_cents
+      |FROM grouped GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q25_json_props"      -> (jsonProps _),
+    "q26_tumbling_hourly" -> (tumblingHourly _),
+    "q27_session_windows" -> (sessionWindows _))
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q25_json_props"      -> jsonPropsSql,
+    "q26_tumbling_hourly" -> tumblingHourlySql,
+    "q27_session_windows" -> sessionWindowsSql)
+}

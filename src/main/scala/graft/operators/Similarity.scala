@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-dim `Array[Float]`, 10-way `label` partitioning) — the north-star
+  * similarity-search component.
+  *
+  * Two paths, per the brief:
+  *  - [[cosineTopK]] — brute-force cosine top-k: the exact baseline. Query
+  *    set is broadcast; the corpus is scanned ONCE with norms precomputed
+  *    per row; ranking is a per-query window. Cost O(|Q|·N·d) — correct at
+  *    any scale where |Q| is small, and embarrassingly parallel (no shuffle
+  *    of the corpus, only of the top candidates).
+  *  - [[ivfTopK]] — the scale path: IVF-style partition pruning. Vectors are
+  *    coarsely clustered (here the table's own `label` plays the centroid
+  *    assignment); a query probes ONLY its own cluster (nprobe=1), cutting
+  *    scanned rows by the cluster fan-out. On a real lake the table would be
+  *    partitioned/bucketed by the cluster id so probing is a partition-pruned
+  *    scan, not a filter.
+  *
+  * All arithmetic is double (floats are cast up LOSSLESSLY), accumulated
+  * sequentially via the `aggregate` higher-order function — bit-identical to
+  * the DuckDB oracle's `list_reduce` left-fold, which is what makes an
+  * IEEE-float query hash-comparable across engines. No UDFs.
+  */
+object Similarity {
+
+  /** Elementwise-double view of the embedding + its L2 norm, computed once
+    * per row (not once per pair). */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+
+  /** Sequential-fold dot product of two equal-length double arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Micro-units similarity: floor(sim*1e6 + 0.5) — same literal IEEE ops as
+    * the oracle, so equality is exact. */
+  private def simMicro(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), simMicro(col("sim"))
+        .as("sim_micro"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // ── q23: brute-force cosine top-k (exact baseline) ──────────────────────
+  def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+              col("nrm").as("qn"))
+    val pairs = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    rankTopK(pairs, 10)
+  }
+
+  private val normedSql: String =
+    """n AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (a, b) -> a + b)) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  /** DuckDB dot product with the same left-fold order as Spark's
+    * `aggregate(..., 0.0, _+_)`: prepend the 0.0 init so the reduction
+    * sequence is identical (0+x1)+x2+… */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, 65), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+
+  val cosineTopKSql: String =
+    s"""WITH $normedSql,
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+       |    ${dotSql("q.v", "e.v")} / (q.nrm * e.nrm) AS sim
+       |  FROM n q JOIN n e ON q.vec_id % 50 = 0 AND e.vec_id <> q.vec_id)
+       |SELECT q_id, rank, n_id, CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+       |      FROM pairs)
+       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  // ── q24: IVF-style partition-pruned top-k (nprobe=1) ────────────────────
+  /** Probes only the query's own coarse cluster: the equi-join on `label`
+    * replaces the cross join, so each corpus row is compared against only
+    * the queries that landed in its cluster — at 1000 clusters that is
+    * ~0.1% of the brute-force work, the IVF trade (exactness within the
+    * probed cluster, recall loss only across cluster boundaries). */
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+              col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = e.join(broadcast(q),
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    rankTopK(pairs, 5)
+  }
+  val ivfTopKSql: String =
+    s"""WITH $normedSql,
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+       |    ${dotSql("q.v", "e.v")} / (q.nrm * e.nrm) AS sim
+       |  FROM n q JOIN n e ON q.vec_id % 50 = 0 AND e.label = q.label
+       |                    AND e.vec_id <> q.vec_id)
+       |SELECT q_id, rank, n_id, CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+       |      FROM pairs)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q23_cosine_topk" -> (cosineTopK _),
+    "q24_ivf_topk"    -> (ivfTopK _))
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q23_cosine_topk" -> cosineTopKSql,
+    "q24_ivf_topk"    -> ivfTopKSql)
+}

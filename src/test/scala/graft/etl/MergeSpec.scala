@@ -1,0 +1,67 @@
+package graft.etl
+
+import org.apache.spark.sql.functions.col
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** The incremental-merge kernel's contracts (SURVEY §5 item 3): first-wins
+  * semantics, idempotence of the incremental pass (`fighters_scraper
+  * .py:210-211` — re-running adds nothing), and the null-key contract. */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def kv(rows: Seq[(Long, String)]) = rows.toDF("k", "v")
+
+  test("firstWinsMerge: existing rows win, new keys insert") {
+    val existing = kv(Seq(1L -> "old1", 2L -> "old2"))
+    val incoming = kv(Seq(2L -> "NEW2", 3L -> "new3"))
+    val out = Merge.firstWinsMerge(existing, incoming, "k")
+      .as[(Long, String)].collect().sorted
+    assert(out === Array(1L -> "old1", 2L -> "old2", 3L -> "new3"))
+  }
+
+  test("incrementalSkip drops null-key frontier rows (strict NOT IN semantics)") {
+    val frontier = Seq(Some(1L) -> "a", None -> "nullkey", Some(9L) -> "b")
+      .map { case (k, v) => (k.map(Long.box).orNull, v) }.toDF("k", "v")
+    val existing = kv(Seq(1L -> "x"))
+    val out = Merge.incrementalSkip(frontier, existing, "k")
+      .select(col("v")).as[String].collect()
+    assert(out.toSet === Set("b"))
+  }
+
+  test("dedupKeepFirst keeps exactly the first row under the explicit order") {
+    val df = Seq((1L, 5, "late"), (1L, 1, "first"), (2L, 3, "only"))
+      .toDF("k", "ord", "v")
+    val out = Merge.dedupKeepFirst(df, Seq("k"), Seq(col("ord").asc))
+      .select(col("k"), col("v")).as[(Long, String)].collect().sorted
+    assert(out === Array(1L -> "first", 2L -> "only"))
+  }
+
+  // ScalaCheck generators driven by fixed seeds (scalatestplus isn't in the
+  // offline dependency set, so samples are drawn directly and
+  // deterministically): idempotence — merging the same incoming twice is a
+  // no-op — and key-completeness of the merge.
+  private val rowsGen: Gen[List[(Long, String)]] =
+    Gen.listOfN(12, Gen.zip(Gen.choose(0L, 8L), Gen.alphaStr.map(_.take(4))))
+
+  test("property: firstWinsMerge is idempotent and key-complete") {
+    for (seed <- 0L until 8L) {
+      val ex = rowsGen(Gen.Parameters.default, Seed(2 * seed)).get
+      val in = rowsGen(Gen.Parameters.default, Seed(2 * seed + 1)).get
+      // contract: inputs key-unique (reference batches are; see scaladoc)
+      val exU = ex.distinctBy(_._1)
+      val inU = in.distinctBy(_._1)
+      val once = Merge.firstWinsMerge(kv(exU), kv(inU), "k")
+      val twice = Merge.firstWinsMerge(once, kv(inU), "k")
+      val onceRows = once.as[(Long, String)].collect().sorted.toList
+      val twiceRows = twice.as[(Long, String)].collect().sorted.toList
+      assert(twiceRows === onceRows, s"seed $seed: second merge changed rows")
+      assert(onceRows.map(_._1).toSet === (exU.map(_._1) ++ inU.map(_._1)).toSet,
+        s"seed $seed: merged key set incomplete")
+      // first-wins: every existing pair survives untouched
+      assert(exU.toSet.subsetOf(onceRows.toSet), s"seed $seed: existing row lost")
+    }
+  }
+}
