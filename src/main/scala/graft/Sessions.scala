@@ -26,6 +26,7 @@ object Sessions {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

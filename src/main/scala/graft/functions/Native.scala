@@ -1,0 +1,206 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the hot dedup kernels.
+  *
+  * WHY these exist (and the higher-order-function versions in [[Text]]
+  * don't suffice at scale): Spark's array higher-order functions are
+  * interpreted — no codegen, no common-subexpression elimination — and
+  * Catalyst's CollapseProject happily inlines a single-use alias into a
+  * lambda body that the surrounding `transform` evaluates k times. A
+  * MinHash signature written as nested `transform`s therefore re-evaluates
+  * the whole shingle pipeline once per permutation: O(k²·|shingles|)
+  * interpreted evals per document (r2 bench: q18 hung for >10 min at sf0.1).
+  * A single native expression evaluates its child ONCE and runs the whole
+  * signature+banding as a tight JVM loop: O(k·|shingles|) long arithmetic,
+  * ~µs per document.
+  *
+  * This is the (b) tier of the build guidance — custom `Expression` for a
+  * scalar kernel Spark's built-ins can't express efficiently — and it stays
+  * fully distributed: per-row, no state, partition-parallel.
+  */
+object Native {
+
+  /** Shingle array → LSH band buckets in one pass:
+    * `array<struct<band:int, bh:bigint>>`. Signature is k affine
+    * permutations of xxhash64(shingle) mod P (P = 2^31-1, products stay
+    * < 2^62); each band's bucket id chain-hashes its `rows` signature
+    * values with xxhash64. Same banding math as [[Text.lshBands]].
+    *
+    * Resolves through the function registry — the session must carry
+    * [[graft.plans.GraftExtensions]] (Sessions.local does). */
+  def minhashBands(shingles: Column, k: Int, bands: Int, rows: Int): Column =
+    call_function("minhash_bands", shingles, lit(k), lit(bands), lit(rows))
+
+  /** Portable 60-bit SimHash (bit-identical to [[Text.simhash60]] and the
+    * DuckDB oracle's md5 reconstruction) as one native pass over the word
+    * array. */
+  def simhash60(words: Column): Column =
+    call_function("simhash60", words)
+
+  /** Distinct word n-gram shingle set as one native pass over the word
+    * array — semantics of [[Text.shingles]]. The HOF version references
+    * its `words` argument once per gram element, so a non-trivial `words`
+    * expression (regex normalize + split) re-executes O(|words|) times per
+    * row; here it is evaluated exactly once. */
+  def shingles(words: Column, n: Int): Column =
+    call_function("shingles_ngram", words, lit(n))
+}
+
+case class MinHashBandsExpr(child: Expression, k: Int, bands: Int, rows: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bands * rows == k, s"bands($bands) * rows($rows) must equal k($k)")
+
+  private val P = Text.MinhashP
+  private val aCoef = Text.minhashA(k)
+  private val bCoef = Text.minhashB(k)
+
+  override def prettyName: String = "minhash_bands"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("band", IntegerType, nullable = false),
+      StructField("bh", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_bands needs array<string>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val raw = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        val h = ((raw % P) + P) % P
+        var j = 0
+        while (j < k) {
+          val v = (aCoef(j) * h + bCoef(j)) % P
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[AnyRef](bands)
+    var b = 0
+    while (b < bands) {
+      var bh = 42L
+      var r = 0
+      while (r < rows) {
+        bh = XxHash64Function.hash(sig(b * rows + r), LongType, bh)
+        r += 1
+      }
+      out(b) = InternalRow(b, bh)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class WordNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "n must be >= 1")
+
+  override def prettyName: String = "shingles_ngram"
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingles_ngram needs array<string>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nw = arr.numElements()
+    if (nw < n) return new GenericArrayData(Array.empty[AnyRef])
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i <= nw - n) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var o = 0
+      while (o < n) { parts(o) = arr.getUTF8String(i + o); o += 1 }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SimHash60Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "simhash60"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash60 needs array<string>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](60)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val digest = md.digest(arr.getUTF8String(i).getBytes)
+        // first 15 hex chars of md5 = 7 full bytes + the high nibble of
+        // byte 7, identical to conv(substring(md5(x),1,15),16,10)
+        var h = 0L
+        var bIdx = 0
+        while (bIdx < 7) { h = (h << 8) | (digest(bIdx) & 0xffL); bIdx += 1 }
+        h = (h << 4) | ((digest(7) & 0xf0L) >> 4)
+        var j = 0
+        while (j < 60) {
+          votes(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 60) {
+      if (votes(j) >= 0) sim |= (1L << j)
+      j += 1
+    }
+    sim
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -58,19 +58,36 @@ object Text {
   def minhashB(k: Int): Array[Long] =
     Array.tabulate(k)(j => (40503L * 65537L * (j + 1)) % MinhashP)
 
-  /** k-wide MinHash signature of a shingle-set column: sig_j = min over
-    * shingles of (a_j * h(s) + b_j) mod P, h = xxhash64 mod P. One hash per
-    * shingle, k affine permutations of it — O(k·|shingles|) arithmetic per
-    * row, no shuffle. */
-  def minhashSignature(shingleSet: Column, k: Int): Column = {
+  /** Base hashes of a shingle set: xxhash64 mod P per shingle.
+    *
+    * EVALUATION-STAGING CONTRACT (applies to every multi-step kernel here):
+    * higher-order array functions are interpreted, not codegen'd, and Spark
+    * does NOT common-subexpression-eliminate across the k references a
+    * downstream step makes — inlining this into [[minhashFromHashes]] would
+    * re-hash every shingle k times (and nesting that into [[lshBands]]
+    * squares it; r2 bench measured q18 going from minutes-hung to seconds
+    * after staging). Materialize each step as its OWN projected column:
+    * shingles → hashes → signature → bands. */
+  def shingleHashes(shingleSet: Column): Column =
+    transform(shingleSet, s => pmod(xxhash64(s), lit(MinhashP)))
+
+  /** k-wide MinHash signature from a pre-staged [[shingleHashes]] column:
+    * sig_j = min over shingles of (a_j*h + b_j) mod P — O(k·|shingles|)
+    * arithmetic per row, no shuffle. The permutation-constant arrays are
+    * literal-foldable (constant-folded once at plan time). */
+  def minhashFromHashes(hs: Column, k: Int): Column = {
     val aArr = minhashA(k).mkString("array(", ",", ")")
     val bArr = minhashB(k).mkString("array(", ",", ")")
-    val hs = transform(shingleSet, s => pmod(xxhash64(s), lit(MinhashP)))
     transform(sequence(lit(0), lit(k - 1)), j =>
       array_min(transform(hs, h =>
         pmod(h * element_at(expr(aArr), j + 1).cast("long")
                + element_at(expr(bArr), j + 1).cast("long"), lit(MinhashP)))))
   }
+
+  /** One-shot convenience: ONLY for single-use contexts — see the staging
+    * contract on [[shingleHashes]] before composing this further. */
+  def minhashSignature(shingleSet: Column, k: Int): Column =
+    minhashFromHashes(shingleHashes(shingleSet), k)
 
   /** LSH banding of a k-wide signature into `bands` bands of `rows` rows:
     * array of (band index, band hash) structs. Docs sharing ANY band bucket
@@ -84,14 +101,19 @@ object Text {
 
   // ── SimHash ──────────────────────────────────────────────────────────────
 
-  /** 60-bit SimHash of a word-array column, built on [[portableHash]] so
-    * the DuckDB oracle can reproduce it bit-for-bit. Bit j is set iff the
-    * sum over words of ±1 (sign of hash bit j) is >= 0. Integer sums are
-    * order-independent → deterministic on any cluster. Bit positions are
-    * compile-time constants, so the 60 per-bit vote aggregates unroll into
-    * one flat native expression tree (no column-valued shift needed). */
-  def simhash60(wordsIn: Column): Column = {
-    val hw = transform(wordsIn, w => portableHash(w))
+  /** Per-word portable hashes — stage as a column before
+    * [[simhash60FromHashes]] (see the staging contract on
+    * [[shingleHashes]]: inlining re-md5s every word 60×). */
+  def wordHashes(words: Column): Column =
+    transform(words, w => portableHash(w))
+
+  /** 60-bit SimHash from a pre-staged [[wordHashes]] column, built on
+    * [[portableHash]] so the DuckDB oracle can reproduce it bit-for-bit.
+    * Bit j is set iff the sum over words of ±1 (sign of hash bit j) is
+    * >= 0. Integer sums are order-independent → deterministic on any
+    * cluster. Bit positions are compile-time constants, so the 60 per-bit
+    * vote aggregates unroll into one flat native expression tree. */
+  def simhash60FromHashes(hw: Column): Column = {
     val bitExprs = (0 until 60).map { j =>
       val vote = aggregate(hw, lit(0L), (acc, h) =>
         acc + when(pmod(shiftright(h, j), lit(2L)) === 1, lit(1L))
@@ -100,6 +122,10 @@ object Text {
     }
     bitExprs.reduce(_ + _)
   }
+
+  /** One-shot convenience — single-use contexts only (staging contract). */
+  def simhash60(wordsIn: Column): Column =
+    simhash60FromHashes(wordHashes(wordsIn))
 
   /** Split a 60-bit simhash into 4 disjoint 15-bit chunks (band structs).
     * Pigeonhole: any pair with Hamming distance <= 3 shares at least one

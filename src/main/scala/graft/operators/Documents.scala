@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Text
+import graft.functions.{Native, Text}
 
 /** LLM-data-pipeline operators over the `documents` table — the north-star
   * surface the reference's README declares as its downstream purpose
@@ -104,12 +104,16 @@ object Documents {
   def minhashNearDup(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
-        Text.shingles(Text.toWords(col("text")), 3).as("sh"))
+        Native.shingles(Text.toWords(col("text")), 3).as("sh"))
       .filter(size(col("sh")) > 0)
+    // Signature+banding runs as ONE native expression ([[Native]]): the
+    // higher-order-function formulation re-evaluates the shingle pipeline
+    // once per permutation after CollapseProject inlining — O(k²·|sh|)
+    // interpreted evals per doc, >10 min at sf0.1. The native kernel is
+    // O(k·|sh|) long arithmetic in a tight loop.
     val bands = docs
       .select(col("doc_id"),
-        explode(Text.lshBands(
-          Text.minhashSignature(col("sh"), MinhashK), LshBands, LshRows))
+        explode(Native.minhashBands(col("sh"), MinhashK, LshBands, LshRows))
           .as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
     val cand = bands.as("x").join(bands.as("y"),
@@ -153,8 +157,8 @@ object Documents {
     * artifact. */
   def simhashSign(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), Text.simhash60(Text.toWords(col("text")))
-        .as("simhash"))
+      .select(col("doc_id"),
+        Native.simhash60(Text.toWords(col("text"))).as("simhash"))
       .orderBy(col("doc_id"))
   val simhashSignSql: String = {
     val bitTerms = (0 until 60).map { j =>
@@ -241,7 +245,7 @@ object Documents {
   def fingerprints(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        Text.fingerprint(Text.shingles(Text.toWords(col("text")), 3))
+        Text.fingerprint(Native.shingles(Text.toWords(col("text")), 3))
           .as("fp"))
       .orderBy(col("doc_id"))
   val fingerprintsSql: String =

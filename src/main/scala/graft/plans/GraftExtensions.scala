@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{MinHashBandsExpr, SimHash60Expr, WordNgramsExpr}
+
+/** Engine extension point — registers the native dedup kernels with the
+  * session's function registry via the PUBLIC `SparkSessionExtensions` API
+  * (the (c)-tier mechanism of the build guidance; no private Spark API).
+  *
+  * Activate with `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions` — [[graft.Sessions]]
+  * does both-in-one at builder time. Once registered the kernels are
+  * callable from SQL (`SELECT minhash_bands(sh, 128, 32, 4)`) and from the
+  * Column API via `call_function` ([[graft.functions.Native]]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBandsExpr].getName, "minhash_bands"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "minhash_bands(shingles, k, bands, rows) takes 4 args")
+        MinHashBandsExpr(args.head, intArg(args(1), "k"),
+          intArg(args(2), "bands"), intArg(args(3), "rows"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingles_ngram"),
+      new ExpressionInfo(classOf[WordNgramsExpr].getName, "shingles_ngram"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "shingles_ngram(words, n) takes 2 args")
+        WordNgramsExpr(args.head, intArg(args(1), "n"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60Expr].getName, "simhash60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash60(words) takes 1 arg")
+        SimHash60Expr(args.head)
+      }))
+  }
+}

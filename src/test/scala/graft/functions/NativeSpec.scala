@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The native kernels ([[Native]] / GraftExtensions) must agree exactly
+  * with the higher-order-function reference implementations in [[Text]] —
+  * same shingle sets, same simhash bits, same bucket-sharing behavior. */
+class NativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy cat",
+    "completely unrelated words appear in this line",
+    "a b",  // shorter than one 3-gram
+    "x y x y x y")  // repeated grams → distinct set
+
+  private def df = texts.toDF("text")
+    .select(col("text"), Text.toWords(col("text")).as("w"))
+
+  test("native shingles == HOF shingles (as sets)") {
+    val out = df.select(
+        Native.shingles(col("w"), 3).as("a"),
+        Text.shingles(col("w"), 3).as("b"))
+      .as[(Seq[String], Seq[String])].collect()
+    out.foreach { case (a, b) => assert(a.toSet === b.toSet) }
+    assert(out(3)._1 === Seq.empty)
+  }
+
+  test("native simhash60 == HOF simhash60") {
+    val out = df.select(
+        Native.simhash60(col("w")).as("a"),
+        Text.simhash60(col("w")).as("b"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (a, b) => assert(a === b) }
+  }
+
+  test("native minhash bands: near-identical docs share a band, unrelated don't") {
+    val bands = df.select(
+        Native.minhashBands(Native.shingles(col("w"), 3), 128, 32, 4).as("b"))
+      .as[Seq[(Int, Long)]].collect()
+    assert(bands.head.map(_._1) === (0 until 32))
+    // rows 0 and 1 differ by one word → high Jaccard → some shared bucket
+    assert(bands(0).toSet.intersect(bands(1).toSet).nonEmpty)
+    // row 2 shares no shingles with row 0 → no shared bucket
+    assert(bands(0).toSet.intersect(bands(2).toSet).isEmpty)
+  }
+
+  test("kernels are SQL-callable through the registry") {
+    val n = df.createOrReplaceTempView("t")
+    val out = spark.sql(
+      """SELECT simhash60(w) AS h, size(shingles_ngram(w, 3)) AS ns,
+        |       size(minhash_bands(shingles_ngram(w, 3), 16, 4, 4)) AS nb
+        |FROM t""".stripMargin)
+      .as[(Long, Int, Int)].collect()
+    assert(out.length === texts.length)
+    assert(out.forall(_._3 === 4))
+  }
+}
