@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.Tables
+
+/** Structured Streaming surface — the streaming form of the engine's
+  * event-time operators, plus the reference's micro-batch checkpoint sink
+  * (S6: "every N rows, merge into the sink and persist",
+  * `fighters_scraper.py:188-193`) re-expressed as `foreachBatch` +
+  * idempotent merge, which is exactly Structured Streaming's
+  * checkpoint + idempotent-sink = effectively-once contract (SURVEY §3 E3).
+  *
+  * Batch/stream parity is the design point: [[tumblingCounts]] is the same
+  * `window($"ts", …)` aggregation as `operators.Events.tumblingHourly`, so
+  * one query definition serves both paths — only the read/write edges and
+  * the watermark differ. Tests drive these with `Trigger.AvailableNow`
+  * against the harness parquet and assert stream output == batch output.
+  *
+  * Scale notes: the watermark bounds window state in event time (without
+  * it, state grows with the key×window product forever); `foreachBatch`
+  * merge gives the sink idempotence the reference got from
+  * concat+drop_duplicates-on-key; `flatMapGroupsWithState` state is
+  * per-user O(1) (one open-session accumulator), evicted by timeout.
+  */
+object Streams {
+
+  /** Streaming read of an events DIRECTORY (FileStreamSource's contract —
+    * it tails a directory for new files; a single-file path would become
+    * its own basePath and fail). Same explicit schema + ns→µs conversion
+    * as the batch loader. `maxFilesPerTrigger` caps micro-batch size — the
+    * streaming analog of the reference's every-10-rows checkpoint cadence. */
+  def readEvents(s: SparkSession, eventsDir: String,
+                 maxFilesPerTrigger: Int = 1): DataFrame = {
+    require(
+      s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "build the session with Sessions.local (nanosAsLong)")
+    s.readStream
+      .schema(Tables.eventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour counts per event_type with a 2-hour watermark —
+    * identical aggregation to the batch `Events.tumblingHourly`. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+                .as("window_start"),
+              col("event_type"), col("n_events"))
+
+  /** S6 as streaming: merge each micro-batch into a parquet sink
+    * first-wins on `key` — idempotent, so checkpoint replay is safe
+    * (the reference's concat+dedup+overwrite per batch). */
+  def mergeSink(events: DataFrame, key: String, path: String,
+                checkpoint: String): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val existing =
+          if (new java.io.File(path).exists())
+            s.read.schema(batch.schema).parquet(path)
+          else batch.limit(0)
+        // materialize the merge before overwriting the input path
+        val merged = graft.etl.Merge
+          .firstWinsMerge(existing, batch.toDF(), key).cache()
+        merged.count()
+        merged.write.mode("overwrite").parquet(path)
+        merged.unpersist()
+        ()
+      }
+      .start()
+
+  /** Per-user session state for [[statefulSessions]]. */
+  case class SessionAgg(userId: Long, start: Long, lastTs: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: Long, n_events: Long)
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState` — the
+    * hand-rolled form of `session_window` for when per-group logic outgrows
+    * declarative aggregation (SURVEY §2 absent-categories: stateful ops).
+    * Emits a session when a gap > gapMinutes closes it; event-time timeout
+    * flushes the open session once the watermark passes. */
+  def statefulSessions(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events
+      .withWatermark("ts", "2 hours")
+      // keep the watermark-tagged `ts` column itself through the typed
+      // boundary — projecting it away would drop the watermark and
+      // event-time timeout requires one
+      .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAgg, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rowsIn: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[SessionAgg]) =>
+          val rows = rowsIn.map { case (u, t) =>
+            (u, t.getTime * 1000L + (t.getNanos / 1000) % 1000L)
+          }
+          if (state.hasTimedOut) {
+            val agg = state.get
+            state.remove()
+            Iterator(SessionOut(agg.userId, agg.start, agg.n))
+          } else {
+            // micro-batch iterators are unordered: sort this batch's events
+            val sorted = rows.map(_._2).toArray.sorted
+            var agg = state.getOption.orNull
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { ts =>
+              agg match {
+                case null =>
+                  agg = SessionAgg(userId, ts, ts, 1)
+                case a if ts - a.lastTs < gapUs =>
+                  agg = a.copy(lastTs = ts, n = a.n + 1)
+                case a =>
+                  out += SessionOut(a.userId, a.start, a.n)
+                  agg = SessionAgg(userId, ts, ts, 1)
+              }
+            }
+            state.update(agg)
+            state.setTimeoutTimestamp(agg.lastTs / 1000L + gapMinutes * 60L * 1000L)
+            out.result().iterator
+          }
+      }
+      .toDF()
+  }
+}
