@@ -4,8 +4,9 @@ import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Documents, Events, Extraction, Relational,
-  Similarity}
+import graft.multimodal.Media
+import graft.operators.{Analytics, Documents, Events, Extraction, Ingest,
+  Relational, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,12 +26,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap((Relational.queries ++ Extraction.queries ++
              Documents.queries ++ Similarity.queries ++
-             Events.queries ++ Analytics.queries): _*)
+             Events.queries ++ Analytics.queries ++ Ingest.queries ++
+             Media.queries): _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     ListMap((Relational.oracles ++ Extraction.oracles ++
              Documents.oracles ++ Similarity.oracles ++
-             Events.oracles ++ Analytics.oracles): _*)
+             Events.oracles ++ Analytics.oracles ++ Ingest.oracles ++
+             Media.oracles): _*)
 }

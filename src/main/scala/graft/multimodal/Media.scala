@@ -1,0 +1,103 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing — images/audio/video as opaque `binary`
+  * columns with typed metadata, decoded batch-wise inside partitions.
+  *
+  * The container has no media libraries, so [[MediaCodec.decodeStub]] is a
+  * clearly-marked deterministic FAKE standing in for a real decoder (JPEG
+  * dims, mel spectrogram, frame sampling, ...). Everything around it —
+  * schema, Dataset encoders, per-partition batch iteration, feature-column
+  * shape — is the real production plumbing: swap `decodeStub` for a real
+  * codec and nothing else changes.
+  *
+  * Scale notes: decode runs inside `mapPartitions` (the Scala analog of
+  * mapInPandas batch UDFs) so per-record codec setup is amortized across a
+  * partition; binary payloads never shuffle — features are extracted
+  * before any wide operation; the feature column is `Array[Float]`, the
+  * same shape the `embeddings` table and [[graft.operators.Similarity]]
+  * consume, so decoded media flows straight into ANN search.
+  */
+object Media {
+
+  /** An opaque media payload + typed metadata. */
+  case class MediaRecord(doc_id: Long, media: Array[Byte], mime: String)
+
+  /** Extracted features: dimensions + a fixed-width embedding. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int,
+                           height: Int, features: Array[Float])
+
+  /** Documents' text re-encoded as an opaque binary payload — the harness
+    * has no real media bytes, so the bytes ARE the UTF-8 text; the
+    * pipeline treats them as opaque. */
+  def mediaRecords(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"),
+              lit("application/octet-stream").as("mime"))
+      .as[MediaRecord]
+  }
+
+  /** Batch decode + feature extraction over partitions. The iterator is
+    * consumed lazily — no partition-wide materialization. */
+  def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      val codec = MediaCodec.open() // per-partition setup, amortized
+      it.map { r =>
+        val (w, h, feats) = codec.decodeStub(r.media)
+        MediaFeatures(r.doc_id, r.media.length, w, h, feats)
+      }
+    }
+  }
+
+  /** q34: the decode pipeline's integer outputs, oracle-checked — the stub
+    * is md5-determined, so DuckDB re-derives width/height from the hex
+    * digest (floats are covered by MediaSpec, not hash-compared). */
+  def mediaFeatures(s: SparkSession, d: String): DataFrame =
+    extractFeatures(mediaRecords(s, d))
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))
+      .orderBy(col("doc_id"))
+  /** decodeStub's dims are 12-bit slices of the digest: width bits = hex
+    * chars 1-3, height bits = hex chars 5-7 (md5(text) == md5 of the UTF-8
+    * payload bytes). */
+  val mediaFeaturesSql: String =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |  CAST(64 + CAST(concat('0x', substr(md5(text), 1, 3)) AS INT) % 1024 AS INT) AS width,
+      |  CAST(64 + CAST(concat('0x', substr(md5(text), 5, 3)) AS INT) % 1024 AS INT) AS height
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q34_media_features" -> (mediaFeatures _))
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q34_media_features" -> mediaFeaturesSql)
+}
+
+/** The stubbed codec. A real implementation would hold native decoder
+  * state opened once per partition; the stub derives everything
+  * deterministically from the payload's MD5 so tests and oracles can
+  * reproduce it. */
+class MediaCodec private () {
+  /** STUB — stands in for a real image/audio decode (no media libs in this
+    * container). Deterministic: width/height/features are pure functions
+    * of md5(payload). */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(bytes)
+    def u8(i: Int): Int = d(i) & 0xff
+    val width = 64 + (u8(0) << 4 | u8(1) >> 4) % 1024
+    val height = 64 + (u8(2) << 4 | u8(3) >> 4) % 1024
+    val feats = Array.tabulate(8)(i => u8(i * 2) / 255.0f)
+    (width, height, feats)
+  }
+}
+
+object MediaCodec {
+  def open(): MediaCodec = new MediaCodec()
+}
