@@ -128,11 +128,94 @@ object Similarity {
        |      FROM pairs)
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ── q35: embedding-cosine near-dup via random-hyperplane LSH ────────────
+  /** Fixed pseudo-random hyperplanes (Knuth-hash doubles in [-0.5, 0.5)),
+    * constant-folded into the plan. */
+  private def hyperplane(j: Int): Seq[Double] =
+    (0 until 64).map(i =>
+      (((j.toLong * 64 + i) * 2654435761L) % 1000L) / 1000.0 - 0.5)
+
+  private val SketchBits = 24
+
+  /** Near-duplicate vectors by cosine, found through a sign-bit sketch:
+    * bit j = sign(v·h_j) over 24 fixed hyperplanes; the 24-bit sketch is
+    * split into 3 byte chunks; vectors sharing ANY chunk become candidates
+    * (bucketed join — never all-pairs), then candidates are verified with
+    * exact cosine >= 0.999.
+    *
+    * The harness embeddings have no natural near-dups (all pairs < 0.8),
+    * so every vec_id % 25 == 0 gains a SCALED twin (×1.0001, id+100000) —
+    * same direction ⇒ identical sign sketch ⇒ candidate with NO LSH
+    * false-negative risk, the property that makes the exact oracle safe.
+    * Angular near-dups would carry the usual LSH miss probability — that
+    * trade (recall vs candidate count) is tuned via bits-per-chunk. */
+  def cosineNearDup(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val corpus = base.unionByName(
+      base.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("v"), x => x * 1.0001).as("v")))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val sketched = corpus.withColumn("sketch",
+      (0 until SketchBits).map { j =>
+        val h = array(hyperplane(j).map(lit): _*)
+        when(dot(col("v"), h) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _))
+    val chunks = sketched.select(col("vec_id"),
+        explode(array((0 until 3).map(c =>
+          struct(lit(c).as("chunk"),
+                 pmod(shiftright(col("sketch"), c * 8), lit(256L))
+                   .as("cv"))): _*)).as("ch"))
+      .select(col("vec_id"), col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    val verified = cand
+      .join(corpus.select(col("vec_id").as("a_id"), col("v").as("av"),
+        col("nrm").as("an")), Seq("a_id"))
+      .join(corpus.select(col("vec_id").as("b_id"), col("v").as("bv"),
+        col("nrm").as("bn")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("sim"))
+      .filter(col("sim") >= 0.999)
+    verified.select(col("a_id"), col("b_id"), simMicro(col("sim"))
+        .as("sim_micro"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  val cosineNearDupSql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |corpus AS (
+       |  SELECT * FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 100000, list_transform(v, x -> x * 1.0001)
+       |  FROM base WHERE vec_id % 25 = 0),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+       |  FROM corpus),
+       |pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       |SELECT a_id, b_id, CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
+       |FROM pairs WHERE sim >= 0.999
+       |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "q23_cosine_topk" -> (cosineTopK _),
-    "q24_ivf_topk"    -> (ivfTopK _))
+    "q23_cosine_topk"   -> (cosineTopK _),
+    "q24_ivf_topk"      -> (ivfTopK _),
+    "q35_cosine_neardup"-> (cosineNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
-    "q23_cosine_topk" -> cosineTopKSql,
-    "q24_ivf_topk"    -> ivfTopKSql)
+    "q23_cosine_topk"   -> cosineTopKSql,
+    "q24_ivf_topk"      -> ivfTopKSql,
+    "q35_cosine_neardup"-> cosineNearDupSql)
 }

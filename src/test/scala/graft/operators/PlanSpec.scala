@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Physical-plan audits — the 100 TB design contract, machine-checked:
+  * filters reach the parquet scan, projections prune the read schema,
+  * fixed-size dimensions broadcast, top-k never globally sorts, and no
+  * query degenerates into an unbucketed cartesian product. A regression
+  * here is invisible to the correctness oracle (same rows, catastrophic
+  * plan) — exactly the class of bug a plan spec exists to catch. */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("q02: predicates are pushed to the parquet scan, schema is pruned") {
+    val p = plan(q("q02_filter_project"))
+    assert(p.contains("PushedFilters:"), "no pushdown section in scan")
+    assert(p.contains("l_shipdate"), "shipdate filter not near scan")
+    assert(p.replaceAll("\\s", "").contains("IsNotNull(l_returnflag)")
+      || p.contains("EqualTo(l_returnflag,R)"), s"returnflag not pushed:\n$p")
+    // pruned read: the 11-column lineitem scan should read only the 6
+    // referenced columns
+    assert(!p.contains("l_comment") && !p.contains("l_tax,"),
+      "scan reads unprojected columns")
+  }
+
+  test("q03: fixed-size dims broadcast; no cartesian product") {
+    val p = plan(q("q03_revenue_by_nation"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "nation/region dimension joins should broadcast")
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian product")
+  }
+
+  test("q30: top-k compiles to TakeOrderedAndProject, not global sort") {
+    val p = plan(q("q30_top_orders"))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("q01: aggregation is partial (map-side combine before the shuffle)") {
+    val p = plan(q("q01_pricing_summary"))
+    assert(p.contains("partial_"), "no partial aggregation phase")
+    // (WholeStageCodegen spans are inserted post-AQE and don't appear in
+    // the initial executedPlan string, so codegen isn't asserted here)
+  }
+
+  test("q18: candidate generation joins on band buckets, never all-pairs") {
+    val p = plan(q("q18_minhash_neardup"))
+    assert(!p.contains("CartesianProduct"),
+      "LSH candidate join degenerated to all-pairs")
+    assert(p.contains("band"), "bucket join key missing from plan")
+  }
+
+  test("q23: the intended cross join broadcasts the small query side") {
+    val p = plan(q("q23_cosine_topk"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query-vector side should broadcast:\n$p")
+  }
+
+  test("no registered query plans a CartesianProduct") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = plan(fn(spark, sfDir))
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("every query's scan carries an explicit schema (no inference)") {
+    // inference would surface as a schema-less scan; explicit loaders give
+    // every FileScan a ReadSchema entry
+    SparkEntry.queries.take(5).foreach { case (name, fn) =>
+      val p = plan(fn(spark, sfDir))
+      if (p.contains("FileScan"))
+        assert(p.contains("ReadSchema"), s"$name scan lacks ReadSchema")
+    }
+  }
+}
