@@ -52,6 +52,15 @@ object Native {
     * row; here it is evaluated exactly once. */
   def shingles(words: Column, n: Int): Column =
     call_function("shingles_ngram", words, lit(n))
+
+  /** Sequential-fold dot product of two double arrays — bit-identical to
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` (the (((0+x₁)+x₂)+…) order
+    * the DuckDB oracle's `list_reduce(list_prepend(0.0, …))` replays), but
+    * a tight JVM loop instead of ~3·d interpreted lambda frames per row.
+    * This is the inner loop of every similarity scan — the kernel that
+    * runs O(|Q|·N) times at 100 TB. */
+  def dotProduct(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
 }
 
 case class MinHashBandsExpr(child: Expression, k: Int, bands: Int, rows: Int)
@@ -151,6 +160,40 @@ case class WordNgramsExpr(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+case class DotProductExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def prettyName: String = "dot_product"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dot_product needs two array<double>, got ${l.sql}, ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    // exact (((0+x₁y₁)+x₂y₂)+…) fold — keep the order, it is the oracle
+    // contract for float-exact comparison
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 case class SimHash60Expr(child: Expression)

@@ -34,12 +34,13 @@ object Similarity {
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(
-        transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
-  /** Sequential-fold dot product of two equal-length double arrays. */
+  /** Sequential-fold dot product — the native kernel; same fold order as
+    * `aggregate(zip_with(...))` and the oracle's `list_reduce`, so float
+    * results stay bit-identical (NativeSpec asserts it). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.Native.dotProduct(a, b)
 
   /** Micro-units similarity: floor(sim*1e6 + 0.5) — same literal IEEE ops as
     * the oracle, so equality is exact. */
@@ -157,8 +158,7 @@ object Similarity {
       base.filter(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 100000L).as("vec_id"),
           transform(col("v"), x => x * 1.0001).as("v")))
-      .withColumn("nrm", sqrt(aggregate(
-        transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val sketched = corpus.withColumn("sketch",
       (0 until SketchBits).map { j =>
         val h = array(hyperplane(j).map(lit): _*)

@@ -48,6 +48,21 @@ class NativeSpec extends SparkSpec {
     assert(bands(0).toSet.intersect(bands(2).toSet).isEmpty)
   }
 
+  test("native dot product == HOF sequential fold, bit-exact") {
+    val vecs = Seq(
+      (Seq(0.1, 0.2, 0.3, 0.7), Seq(0.4, 0.5, 0.6, 1.1)),
+      (Seq(1e-9, 1e9, -3.7, 0.0), Seq(2.5, 1e-9, 1.1, 9.9)))
+    val out = vecs.toDF("a", "b").select(
+        Native.dotProduct(col("a"), col("b")).as("n"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("h"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n)
+        === java.lang.Double.doubleToLongBits(h))
+    }
+  }
+
   test("kernels are SQL-callable through the registry") {
     val n = df.createOrReplaceTempView("t")
     val out = spark.sql(
