@@ -108,13 +108,55 @@ object Events {
       |FROM grouped GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ── q36: as-of join (purchase → latest click at or before it) ───────────
+  /** Backward as-of join, the operator Spark has no built-in for: per
+    * purchase, the same user's latest click with `click.ts <= purchase.ts`
+    * (classic attribution). Implemented scale-safe as union + running
+    * `last(..., ignoreNulls)` over (user, ts) — ONE shuffle on user_id,
+    * state O(1) per row — rather than an inequality join (which Spark
+    * plans as a per-key cartesian) or a per-key collect. Clicks sort
+    * before purchases on ts ties so the <= bound is inclusive, matching
+    * DuckDB's native ASOF JOIN in the oracle. */
+  def asofClickAttribution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("event_type") === "click").cast("int").as("is_click"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_click").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_click_us",
+        last(when(col("is_click") === 1, unix_micros(col("ts"))),
+          ignoreNulls = true).over(w))
+      .filter(col("is_click") === 0)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        col("last_click_us"),
+        (unix_micros(col("ts")) - col("last_click_us")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+  val asofClickAttributionSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM e WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+      |  epoch_us(c.ts) AS last_click_us,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q25_json_props"      -> (jsonProps _),
     "q26_tumbling_hourly" -> (tumblingHourly _),
-    "q27_session_windows" -> (sessionWindows _))
+    "q27_session_windows" -> (sessionWindows _),
+    "q36_asof_attribution"-> (asofClickAttribution _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q25_json_props"      -> jsonPropsSql,
     "q26_tumbling_hourly" -> tumblingHourlySql,
-    "q27_session_windows" -> sessionWindowsSql)
+    "q27_session_windows" -> sessionWindowsSql,
+    "q36_asof_attribution"-> asofClickAttributionSql)
 }
