@@ -88,21 +88,30 @@ object Relational {
     * the one unavoidable fact-fact shuffle (bucketing both on orderkey
     * would remove it on a real lake). */
   def revenueByNation(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    // Pre-aggregate lineitem to one row per order BEFORE the fact⋈fact
+    // join: the orderkey shuffle then carries ~1/4 the rows (3 longs each),
+    // the join is 1:1, and n_orders becomes a plain count — no
+    // countDistinct Expand in the plan. Same result, strictly smaller
+    // shuffle at any scale.
+    val liAgg = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sum(asCents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("o_rev_cents"),
+        count(lit(1)).as("o_n_lines"))
     val o  = Tables.orders(s, d)
     val c  = Tables.customer(s, d)
     val n  = Tables.nation(s, d)
     val r  = Tables.region(s, d)
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    liAgg.join(o, liAgg("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        sum(asCents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-          .as("revenue_cents"),
-        countDistinct(col("o_orderkey")).as("n_orders"),
-        count(lit(1)).as("n_lines"))
+        sum(col("o_rev_cents")).as("revenue_cents"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_n_lines")).as("n_lines"))
       .orderBy(col("r_name"), col("n_name"))
   }
   val revenueByNationSql: String =
