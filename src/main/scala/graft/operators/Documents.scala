@@ -254,13 +254,38 @@ object Documents {
        |FROM (SELECT doc_id, $wordsSql AS w FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  // ── q37: corpus vocabulary — top terms by frequency ─────────────────────
+  /** Top-50 terms with term frequency and document frequency — the
+    * vocabulary-stats pass of a training-data pipeline. The explode is
+    * tamed by partial aggregation (map-side combine eats the token blowup
+    * before the shuffle) and the top-k is TakeOrderedAndProject, so at
+    * 100 TB the shuffle carries one row per distinct term, not per token. */
+  def topTerms(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.toWords(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_occurrences"),
+           countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("term").asc)
+      .limit(50)
+  val topTermsSql: String =
+    s"""SELECT term, count(*) AS n_occurrences,
+       |  count(DISTINCT doc_id) AS n_docs
+       |FROM (SELECT doc_id, unnest($wordsSql) AS term FROM documents)
+       |WHERE length(term) > 0
+       |GROUP BY term
+       |ORDER BY n_occurrences DESC, term ASC
+       |LIMIT 50""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q17_exact_dedup"     -> (exactDedup _),
     "q18_minhash_neardup" -> (minhashNearDup _),
     "q19_simhash"         -> (simhashSign _),
     "q20_text_stats"      -> (textStats _),
     "q21_lang_id"         -> (langIdBreakdown _),
-    "q22_fingerprint"     -> (fingerprints _))
+    "q22_fingerprint"     -> (fingerprints _),
+    "q37_top_terms"       -> (topTerms _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q17_exact_dedup"     -> exactDedupSql,
@@ -268,5 +293,6 @@ object Documents {
     "q19_simhash"         -> simhashSignSql,
     "q20_text_stats"      -> textStatsSql,
     "q21_lang_id"         -> langIdBreakdownSql,
-    "q22_fingerprint"     -> fingerprintsSql)
+    "q22_fingerprint"     -> fingerprintsSql,
+    "q37_top_terms"       -> topTermsSql)
 }

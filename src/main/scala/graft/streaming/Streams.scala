@@ -80,6 +80,16 @@ object Streams {
       }
       .start()
 
+  /** Streaming exact-dedup on a key with bounded state: duplicates arriving
+    * within the watermark horizon are dropped; state for keys older than
+    * the watermark is evicted (unbounded-state dedup is the classic
+    * streaming-pipeline OOM). The streaming twin of q17's content-hash
+    * dedup — hash the normalized payload upstream, dedup on the digest. */
+  def dedupStream(events: DataFrame, key: String): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(key)
+
   /** Per-user session state for [[statefulSessions]]. */
   case class SessionAgg(userId: Long, start: Long, lastTs: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: Long, n_events: Long)

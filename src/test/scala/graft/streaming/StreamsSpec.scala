@@ -71,6 +71,32 @@ class StreamsSpec extends SparkSpec {
     assert(after2 === after1, "replaying the stream changed the sink")
   }
 
+  test("streaming dedup emits each key exactly once") {
+    val out = tmp("graft-dedup-out")
+    // duplicate the stream by reading the same file twice via two symlinks
+    val dupDir = Files.createTempDirectory("graft-dup-dir")
+    for (n <- Seq("a", "b"))
+      Files.createSymbolicLink(
+        dupDir.resolve(s"part-$n.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val q = Streams.dedupStream(
+        Streams.readEvents(spark, dupDir.toString), "event_id")
+      .select("event_id", "event_type")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmp("graft-dedup-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val emitted = spark.read.parquet(out)
+    val expected = Tables.events(spark, sfDir).count()
+    assert(emitted.count() === expected,
+      "doubled input should dedup back to the original row count")
+    assert(emitted.select("event_id").distinct().count() === expected)
+  }
+
   test("stateful sessionizer matches session_window on closed sessions") {
     val out = tmp("graft-sess-out")
     val q = Streams.statefulSessions(Streams.readEvents(spark, eventsDir), 30)
