@@ -56,6 +56,23 @@ class ExtractSpec extends SparkSpec {
     assert(one[String](Extract.labelValue(col("s"), "Missing"), blob) === None)
   }
 
+  test("property: parse(format(x)) == x for records, ratios, and times") {
+    // SURVEY §5 item 3 — round-trip identity over generated values
+    for (seed <- 0 until 50) {
+      val w = seed * 7 % 100; val l = seed * 3 % 50; val dr = seed % 4
+      assert(one[Int](Extract.recordWins(col("s")), s"Record: $w-$l-$dr")
+        === Some(w), s"wins $seed")
+      assert(one[Int](Extract.recordLosses(col("s")), s"Record: $w-$l-$dr")
+        === Some(l), s"losses $seed")
+      val landed = seed % 120; val att = landed + seed % 30
+      assert(one[Int](Extract.ratioLanded(col("s")), s"$landed of $att")
+        === Some(landed), s"ratio $seed")
+      val sec = seed * 97 % 3600
+      assert(one[Int](Extract.mmssToSeconds(col("s")),
+        f"${sec / 60}:${sec % 60}%02d") === Some(sec), s"mmss $seed")
+    }
+  }
+
   test("nullifyNA: both reference null conventions normalize") {
     for (bad <- Seq("N/A", "--", "---", "", "  "))
       assert(one[String](Extract.nullifyNA(col("s")), bad) === None, s"input '$bad'")

@@ -39,6 +39,28 @@ class MergeSpec extends SparkSpec {
     assert(out === Array(1L -> "first", 2L -> "only"))
   }
 
+  test("mergeWrite: the S7 sink write is idempotent on re-run") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-mergewrite").toString + "/sink"
+    val batch1 = kv(Seq(1L -> "a", 2L -> "b"))
+    Merge.mergeWrite(batch1.limit(0), batch1, "k", path)
+    val incoming = kv(Seq(2L -> "XX", 3L -> "c"))
+    def runIncremental(): Unit = {
+      val existing = spark.read.parquet(path)
+      // materialize before overwriting the path being read
+      val merged = Merge.firstWinsMerge(existing, incoming, "k").cache()
+      merged.count()
+      merged.write.mode("overwrite").parquet(path)
+      merged.unpersist()
+    }
+    runIncremental()
+    val after1 = spark.read.parquet(path).as[(Long, String)].collect().sorted
+    runIncremental() // E3: re-running the pass adds nothing
+    val after2 = spark.read.parquet(path).as[(Long, String)].collect().sorted
+    assert(after1 === Array(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(after2 === after1)
+  }
+
   // ScalaCheck generators driven by fixed seeds (scalatestplus isn't in the
   // offline dependency set, so samples are drawn directly and
   // deterministically): idempotence — merging the same incoming twice is a
