@@ -21,7 +21,10 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        // toRdd executes the query's physical plan AS WRITTEN — df.count()
+        // would let the optimizer prune every projected column and time an
+        // empty scan instead of the actual kernels
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           errors ::= name; false

@@ -122,16 +122,20 @@ object Analytics {
       |ORDER BY rel, nation_key""".stripMargin
 
   // ── q32: HLL distinct-count with exactness gate (A4's sketch row) ───────
-  /** approx_count_distinct (HyperLogLog++, rsd=0.01) per order priority,
-    * verified as a BOOLEAN gate: the sketch estimate must land within 5% of
-    * the exact count (the oracle asserts TRUE). The estimate itself is
-    * engine-specific, so the contract checked cross-engine is the error
-    * bound — deterministic for fixed data. */
+  /** approx_count_distinct (HyperLogLog++, rsd=0.02) per order priority,
+    * verified as a BOOLEAN gate: the sketch estimate must land within 5%
+    * (2.5σ) of the exact count (the oracle asserts TRUE). The estimate
+    * itself is engine-specific, so the contract checked cross-engine is
+    * the error bound — deterministic for fixed data.
+    *
+    * rsd 0.02 → 2^11 registers ≈ 341 longs of agg buffer. Do NOT tighten
+    * to 0.01: that quadruples the buffer past Spark's wide-row codegen
+    * cliff (measured 69 s at sf0.1 vs ~1 s here). */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy(col("o_orderpriority"))
       .agg(countDistinct(col("o_custkey")).as("n_exact"),
-           approx_count_distinct(col("o_custkey"), 0.01).as("n_approx"))
+           approx_count_distinct(col("o_custkey"), 0.02).as("n_approx"))
       .select(col("o_orderpriority"), col("n_exact"),
         (abs(col("n_approx") - col("n_exact")).cast("double") <=
          col("n_exact").cast("double") * 0.05).as("approx_ok"))

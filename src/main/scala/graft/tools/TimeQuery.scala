@@ -22,7 +22,7 @@ object TimeQuery {
       val df = fn(spark, sfDir)
       if (doExplain) df.explain("formatted")
       val t0 = System.nanoTime()
-      val rows = df.count()
+      val rows = df.queryExecution.toRdd.count() // plan-as-written, no count pruning
       println(f"TIMEQ $n%-24s rows=$rows%-8d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
     spark.stop()
