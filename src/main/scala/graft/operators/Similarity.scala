@@ -209,13 +209,144 @@ object Similarity {
        |FROM pairs WHERE sim >= 0.999
        |ORDER BY a_id, b_id""".stripMargin
 
+  // ── q38: IVF with COMPUTED centroids (coarse quantizer from the data) ───
+  /** Full IVF shape: train the coarse quantizer (per-cluster centroid),
+    * assign each query to its nearest centroid, probe that cluster only.
+    *
+    * Determinism trick that makes float centroids oracle-exact: per-dim
+    * components are quantized to integers (floor(x*1000+0.5)) BEFORE the
+    * per-cluster sum, so the sum is order-independent (integer addition
+    * commutes; float summation would depend on shuffle order), and the
+    * centroid is the exact double sum/n. Assignment = argmin L2 with
+    * (dist, label) tie-break; probe = cosine top-5 within the cluster.
+    *
+    * Scale: centroid training is one posexplode + two partial-aggregated
+    * shuffles of (cluster, dim) pairs; assignment is a broadcast of the
+    * tiny centroid table; the probe joins each query against one cluster
+    * — the IVF pruning that replaces the full-corpus scan. */
+  def ivfCentroidTopK(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(Tables.embeddings(s, d))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+              col("nrm").as("qn"))
+    val perDim = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("qx", floor(col("x") * 1000.0 + lit(0.5)).cast("long"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("qx")).as("sx"), count(lit(1)).as("n"))
+    val cents = perDim.groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"),
+          (col("sx").cast("double") / lit(1000.0) / col("n").cast("double"))
+            .as("c")))),
+        s => s.getField("c")).as("cv"))
+    val l2 = aggregate(
+      zip_with(col("qv"), col("cv"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (a, x) => a + x)
+    val wAssign = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist").asc, col("label").asc)
+    val assigned = q.crossJoin(broadcast(cents))
+      .withColumn("dist", l2)
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select(col("q_id"), col("qv"), col("qn"),
+              col("label").as("probe_label"))
+    val pairs = e.join(broadcast(assigned),
+        col("label") === col("probe_label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    rankTopK(pairs, 5)
+  }
+  val ivfCentroidTopKSql: String =
+    s"""WITH $normedSql,
+       |perdim AS (
+       |  SELECT label, i AS pos, CAST(floor(v[i + 1] * 1000.0 + 0.5) AS BIGINT) AS qx
+       |  FROM n, range(0, 64) t(i)),
+       |cents AS (
+       |  SELECT label, list(c ORDER BY pos) AS cv FROM (
+       |    SELECT label, pos,
+       |      CAST(sum(qx) AS DOUBLE) / 1000.0 / CAST(count(*) AS DOUBLE) AS c
+       |    FROM perdim GROUP BY label, pos)
+       |  GROUP BY label),
+       |assigned AS (
+       |  SELECT q_id, label AS probe_label FROM (
+       |    SELECT q.vec_id AS q_id, c.label,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(range(1, 65),
+       |            i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))),
+       |          (a, b) -> a + b) ASC, c.label ASC) AS arank
+       |    FROM n q, cents c WHERE q.vec_id % 50 = 0)
+       |  WHERE arank = 1),
+       |pairs AS (
+       |  SELECT a.q_id, e.vec_id AS n_id,
+       |    ${dotSql("q.v", "e.v")} / (q.nrm * e.nrm) AS sim
+       |  FROM assigned a
+       |  JOIN n q ON q.vec_id = a.q_id
+       |  JOIN n e ON e.label = a.probe_label AND e.vec_id <> a.q_id)
+       |SELECT q_id, rank, n_id, CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+       |      FROM pairs)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  // ── q39: int8 embedding quantization with error-bound verification ─────
+  /** Per-vector symmetric int8 quantization (scale = max|x|/127,
+    * q = round-half-up(x/scale)) — the compression step before an ANN
+    * index ships to serving. Integer outputs + a boolean reconstruction
+    * bound make the float pipeline exactly verifiable. */
+  def quantizeInt8(s: SparkSession, d: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val absMax = array_max(transform(v, x => abs(x)))
+    val scale = absMax / 127.0
+    val qarr = transform(v, x => floor(x / scale + 0.5).cast("long"))
+    val recOk = forall(
+      zip_with(v, qarr, (x, qx) =>
+        abs(x - qx * scale) <= scale * 0.5 + lit(1e-12)),
+      p => p)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        floor(scale * 1e9 + lit(0.5)).cast("long").as("scale_nano"),
+        aggregate(qarr, lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(qarr).as("q_min"),
+        array_max(qarr).as("q_max"),
+        recOk.as("recon_ok"))
+      .orderBy(col("vec_id"))
+  }
+  val quantizeInt8Sql: String =
+    """WITH b AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |sc AS (
+      |  SELECT vec_id, v,
+      |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |  FROM b),
+      |qq AS (
+      |  SELECT vec_id, v, scale,
+      |    list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qarr
+      |  FROM sc)
+      |SELECT vec_id,
+      |  CAST(floor(scale * 1000000000.0 + 0.5) AS BIGINT) AS scale_nano,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), qarr), (a, x) -> a + x) AS BIGINT) AS q_sum,
+      |  CAST(list_min(qarr) AS BIGINT) AS q_min,
+      |  CAST(list_max(qarr) AS BIGINT) AS q_max,
+      |  list_reduce(list_prepend(TRUE,
+      |    list_transform(range(1, 65),
+      |      i -> abs(v[i] - qarr[i] * scale) <= scale * 0.5 + 1e-12)),
+      |    (a, x) -> a AND x) AS recon_ok
+      |FROM qq ORDER BY vec_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q23_cosine_topk"   -> (cosineTopK _),
     "q24_ivf_topk"      -> (ivfTopK _),
-    "q35_cosine_neardup"-> (cosineNearDup _))
+    "q35_cosine_neardup"-> (cosineNearDup _),
+    "q38_ivf_centroids" -> (ivfCentroidTopK _),
+    "q39_quantize_int8" -> (quantizeInt8 _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q23_cosine_topk"   -> cosineTopKSql,
     "q24_ivf_topk"      -> ivfTopKSql,
-    "q35_cosine_neardup"-> cosineNearDupSql)
+    "q35_cosine_neardup"-> cosineNearDupSql,
+    "q38_ivf_centroids" -> ivfCentroidTopKSql,
+    "q39_quantize_int8" -> quantizeInt8Sql)
 }
