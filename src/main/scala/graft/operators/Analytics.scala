@@ -146,7 +146,29 @@ object Analytics {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ── q40: fact ⋈ mid-size dimension (part) — revenue by brand/type ──────
+  /** The one dimension too big to force-broadcast at scale (part grows
+    * with SF): no hint, AQE decides — broadcast while it fits, shuffle
+    * join beyond. Completes coverage of every harness table. */
+  def revenueByBrand(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(count(lit(1)).as("n_lines"),
+           sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+             .as("revenue_cents"),
+           sum(floor(col("l_quantity")).cast("long")).as("sum_qty"))
+      .orderBy(col("p_brand"), col("p_type"))
+  val revenueByBrandSql: String =
+    """SELECT p_brand, p_type, count(*) AS n_lines,
+      |  CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand, p_type
+      |ORDER BY p_brand, p_type""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q40_revenue_by_brand"-> (revenueByBrand _),
     "q28_rollup"          -> (rollupRegionNation _),
     "q29_order_sequence"  -> (orderSequence _),
     "q30_top_orders"      -> (topOrders _),
@@ -154,6 +176,7 @@ object Analytics {
     "q32_approx_distinct" -> (approxDistinct _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q40_revenue_by_brand"-> revenueByBrandSql,
     "q28_rollup"          -> rollupRegionNationSql,
     "q29_order_sequence"  -> orderSequenceSql,
     "q30_top_orders"      -> topOrdersSql,
