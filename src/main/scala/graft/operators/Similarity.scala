@@ -296,21 +296,27 @@ object Similarity {
     * index ships to serving. Integer outputs + a boolean reconstruction
     * bound make the float pipeline exactly verifiable. */
   def quantizeInt8(s: SparkSession, d: String): DataFrame = {
-    val v = transform(col("embedding"), x => x.cast("double"))
-    val absMax = array_max(transform(v, x => abs(x)))
-    val scale = absMax / 127.0
-    val qarr = transform(v, x => floor(x / scale + 0.5).cast("long"))
-    val recOk = forall(
-      zip_with(v, qarr, (x, qx) =>
-        abs(x - qx * scale) <= scale * 0.5 + lit(1e-12)),
-      p => p)
+    // scale and qarr are staged as columns referenced MANY times — a
+    // single-use alias would be CollapseProject-inlined into the
+    // per-element lambdas below and array_max would re-run per element
+    // (measured 7.3 s -> ~1 s at sf0.1); multi-use non-cheap aliases
+    // survive collapse
     Tables.embeddings(s, d)
       .select(col("vec_id"),
-        floor(scale * 1e9 + lit(0.5)).cast("long").as("scale_nano"),
-        aggregate(qarr, lit(0L), (a, x) => a + x).as("q_sum"),
-        array_min(qarr).as("q_min"),
-        array_max(qarr).as("q_max"),
-        recOk.as("recon_ok"))
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("scale",
+        array_max(transform(col("v"), x => abs(x))) / 127.0)
+      .withColumn("qarr",
+        transform(col("v"), x => floor(x / col("scale") + 0.5).cast("long")))
+      .select(col("vec_id"),
+        floor(col("scale") * 1e9 + lit(0.5)).cast("long").as("scale_nano"),
+        aggregate(col("qarr"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(col("qarr")).as("q_min"),
+        array_max(col("qarr")).as("q_max"),
+        forall(
+          zip_with(col("v"), col("qarr"), (x, qx) =>
+            abs(x - qx * col("scale")) <= col("scale") * 0.5 + lit(1e-12)),
+          p => p).as("recon_ok"))
       .orderBy(col("vec_id"))
   }
   val quantizeInt8Sql: String =
