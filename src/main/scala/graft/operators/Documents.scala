@@ -278,7 +278,64 @@ object Documents {
        |ORDER BY n_occurrences DESC, term ASC
        |LIMIT 50""".stripMargin
 
+  // ── q41: deterministic per-group sampling ───────────────────────────────
+  /** Per-source k-sample by portable-hash order — consistent sampling:
+    * the sample is a pure function of the data (no rand()), so re-runs,
+    * retries, and both engines agree row-for-row. The per-group top-k is
+    * one window shuffle; at scale this is how you take a stable audit
+    * sample of each source without a global sort. */
+  def groupSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        Text.portableHash(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("source"), col("rk"), col("doc_id"))
+      .orderBy(col("source"), col("rk"))
+  }
+  val groupSampleSql: String =
+    """SELECT source, rk, doc_id FROM (
+      |  SELECT source, doc_id, row_number() OVER (
+      |    PARTITION BY source
+      |    ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+      |             doc_id ASC) AS rk
+      |  FROM documents)
+      |WHERE rk <= 3
+      |ORDER BY source, rk""".stripMargin
+
+  // ── q42: reproducible hash-bucket train/test split ──────────────────────
+  /** Split assignment as a pure function of the key (hash mod 100:
+    * <80 train, <90 valid, else test) — the canonical reproducible split:
+    * stable under re-runs, data re-ordering, and cluster size, and
+    * stratifiable by any column. Output: per (lang, split) counts. */
+  def trainTestSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        pmod(Text.portableHash(col("doc_id").cast("string")), lit(100L))
+          .as("bucket"))
+      .select(col("lang"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test").as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("split"))
+  val trainTestSplitSql: String =
+    """SELECT lang,
+      |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split,
+      |  count(*) AS n_docs
+      |FROM (
+      |  SELECT lang,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+      |  FROM documents)
+      |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q41_group_sample"    -> (groupSample _),
+    "q42_train_test_split"-> (trainTestSplit _),
     "q17_exact_dedup"     -> (exactDedup _),
     "q18_minhash_neardup" -> (minhashNearDup _),
     "q19_simhash"         -> (simhashSign _),
@@ -288,6 +345,8 @@ object Documents {
     "q37_top_terms"       -> (topTerms _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q41_group_sample"    -> groupSampleSql,
+    "q42_train_test_split"-> trainTestSplitSql,
     "q17_exact_dedup"     -> exactDedupSql,
     "q18_minhash_neardup" -> minhashNearDupSql,
     "q19_simhash"         -> simhashSignSql,
