@@ -126,4 +126,22 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** CSV read with a DECLARED schema — the reference's persisted format
+    * (the CSVs under data/raw, `fighters_scraper.py:23`) without its resume-read
+    * schema inference (`pd.read_csv` re-inferring on every resume is the
+    * §1.2 instability). `mode=FAILFAST` surfaces malformed rows instead of
+    * silently nulling them; use PERMISSIVE + a corrupt-record column when
+    * ingesting untrusted dumps. */
+  def loadCsv(s: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    s.read.schema(schema)
+      .option("header", header.toString)
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  /** CSV write, header on — the reference's sink shape. Overwrite +
+    * pre-merged input is the idempotent pattern (see Merge.mergeWrite). */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header.toString).csv(path)
 }
