@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** KMV (k-minimum-values) bottom-k sketch as a typed [[Aggregator]] — the
+  * custom-aggregate tier of the build guidance (a mergeable sketch Spark
+  * has no built-in for; `approx_count_distinct` is HLL, which gives an
+  * estimate but no sample and no exact cross-engine replay).
+  *
+  * The sketch keeps the k smallest DISTINCT hash values seen. It is:
+  *  - mergeable (union, keep k smallest) → partial aggregation works, the
+  *    shuffle carries ≤ k longs per group at any input size;
+  *  - a distinct-count estimator: est ≈ (k-1) · H / h_k for hash space
+  *    [0, H) — with the portable md5 hash both engines reproduce h_k
+  *    EXACTLY, so unlike HLL the estimate itself is oracle-verifiable;
+  *  - a uniform sample of the group's distinct values (bottom-k by hash =
+  *    consistent sampling), reusable for per-group auditing.
+  *
+  * Buffer/output are case classes so Encoders.product keeps everything in
+  * Catalyst's serialized format (no kryo blobs).
+  */
+object KmvSketch {
+
+  /** Sorted-ascending distinct hashes, at most k. */
+  case class Buf(hashes: Seq[Long])
+  case class Out(hashes: Seq[Long])
+
+  class Agg(k: Int) extends Aggregator[Long, Buf, Out] {
+    require(k >= 2, "k must be >= 2")
+
+    override def zero: Buf = Buf(Vector.empty)
+
+    override def reduce(b: Buf, h: Long): Buf = insert(b, h)
+
+    override def merge(a: Buf, b: Buf): Buf =
+      b.hashes.foldLeft(a)(insert)
+
+    private def insert(b: Buf, h: Long): Buf = {
+      val hs = b.hashes
+      if (hs.length >= k && h >= hs.last) b
+      else {
+        val idx = {
+          val i = java.util.Arrays.binarySearch(hs.toArray, h)
+          if (i >= 0) -1 else -(i + 1) // present → skip
+        }
+        if (idx < 0) b
+        else {
+          val inserted = (hs.take(idx) :+ h) ++ hs.drop(idx)
+          Buf(if (inserted.length > k) inserted.take(k) else inserted)
+        }
+      }
+    }
+
+    override def finish(b: Buf): Out = Out(b.hashes)
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[Out] = Encoders.product[Out]
+  }
+}

@@ -167,7 +167,51 @@ object Analytics {
       |GROUP BY p_brand, p_type
       |ORDER BY p_brand, p_type""".stripMargin
 
+  // ── q45: KMV bottom-k sketch (custom typed Aggregator) ──────────────────
+  val KmvK = 64
+
+  /** Distinct customers per order priority, estimated with the mergeable
+    * KMV sketch ([[graft.functions.KmvSketch]]): the shuffle carries ≤ 64
+    * longs per group regardless of input size. Because the sketch is
+    * built on the portable md5 hash, the oracle recomputes the EXACT kth
+    * minimum and the exact estimate — a sketch whose output hash-matches
+    * across engines (HLL can't do that). The exactness gate also checks
+    * the estimate lands within 2× of truth (k=64 → ~13% stderr). */
+  def kmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvSketch.Agg(KmvK))
+    val h = graft.functions.Text.portableHash(col("o_custkey").cast("string"))
+    val big = lit(1152921504606846976.0) // 2^60, the portable hash space
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), h.as("h"))
+      .groupBy(col("o_orderpriority"))
+      .agg(kmv(col("h")).as("sk"),
+           countDistinct(col("h")).as("n_exact"))
+      .select(col("o_orderpriority"), col("n_exact"),
+        element_at(col("sk.hashes"), KmvK).as("kth_min"),
+        floor(lit(KmvK - 1) * (big / element_at(col("sk.hashes"), KmvK)))
+          .cast("long").as("est"))
+      .withColumn("est_ok",
+        col("est") * 2L >= col("n_exact") && col("est") <= col("n_exact") * 2L)
+      .orderBy(col("o_orderpriority"))
+  }
+  val kmvDistinctSql: String =
+    """WITH h AS (
+      |  SELECT o_orderpriority,
+      |    CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM orders),
+      |sk AS (
+      |  SELECT o_orderpriority,
+      |    count(DISTINCT h) AS n_exact,
+      |    list_sort(list_distinct(list(h)))[64] AS kth_min
+      |  FROM h GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, n_exact, kth_min,
+      |  CAST(floor(63 * (1152921504606846976.0 / kth_min)) AS BIGINT) AS est,
+      |  (CAST(floor(63 * (1152921504606846976.0 / kth_min)) AS BIGINT) * 2 >= n_exact
+      |   AND CAST(floor(63 * (1152921504606846976.0 / kth_min)) AS BIGINT) <= n_exact * 2) AS est_ok
+      |FROM sk ORDER BY o_orderpriority""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q45_kmv_distinct"    -> (kmvDistinct _),
     "q40_revenue_by_brand"-> (revenueByBrand _),
     "q28_rollup"          -> (rollupRegionNation _),
     "q29_order_sequence"  -> (orderSequence _),
@@ -176,6 +220,7 @@ object Analytics {
     "q32_approx_distinct" -> (approxDistinct _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q45_kmv_distinct"    -> kmvDistinctSql,
     "q40_revenue_by_brand"-> revenueByBrandSql,
     "q28_rollup"          -> rollupRegionNationSql,
     "q29_order_sequence"  -> orderSequenceSql,

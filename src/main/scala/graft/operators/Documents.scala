@@ -333,7 +333,75 @@ object Documents {
       |  FROM documents)
       |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
+  // ── q43: PII/URL scrubbing ──────────────────────────────────────────────
+  /** Pretraining-style text cleaning: strip URLs and emails, count what
+    * was removed. The corpus has none, so they are injected
+    * deterministically (both engines build the same dirty text) — same
+    * pattern as the extraction round-trips. Pure regexp_replace: codegen,
+    * per-row, no shuffle. */
+  def scrubPii(s: SparkSession, d: String): DataFrame = {
+    val dirty = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" see https://ex"), col("doc_id"), lit(".example.com/x")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" mail u"), col("doc_id"), lit("@example.org")))
+        .otherwise(lit("")))
+    val urlRe = """https?://[^\s]+"""
+    val mailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    Tables.documents(s, d)
+      .select(col("doc_id"), dirty.as("dirty"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("dirty"), lit(urlRe), lit(0)))
+          .as("n_urls"),
+        size(regexp_extract_all(col("dirty"), lit(mailRe), lit(0)))
+          .as("n_emails"),
+        length(trim(regexp_replace(regexp_replace(col("dirty"), urlRe, ""),
+          mailRe, ""))).as("clean_len"))
+      .orderBy(col("doc_id"))
+  }
+  val scrubPiiSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(dirty, 'https?://[^\s]+')) AS INT) AS n_urls,
+      |  CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+      |  CAST(length(trim(regexp_replace(regexp_replace(dirty, 'https?://[^\s]+', '', 'g'),
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'))) AS INT) AS clean_len
+      |FROM (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 7 = 0 THEN ' see https://ex' || doc_id || '.example.com/x' ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0 THEN ' mail u' || doc_id || '@example.org' ELSE '' END AS dirty
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ── q44: n-gram repetition ratio (Gopher-style quality gate) ───────────
+  /** Duplicate-3-gram fraction: 1 - distinct/total grams, in basis
+    * points — high values flag boilerplate/repetitive junk. Per-row
+    * arithmetic on the shingle pipeline; no shuffle. */
+  def repetitionRatio(s: SparkSession, d: String): DataFrame = {
+    val words = Text.toWords(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), words.as("w"))
+      .withColumn("total", greatest(size(col("w")) - 2, lit(0)))
+      .withColumn("distinctg", size(Native.shingles(col("w"), 3)))
+      .filter(col("total") > 0)
+      .select(col("doc_id"), col("total"), col("distinctg"),
+        bpRatio(col("total") - col("distinctg"), col("total")).as("dup_bp"))
+      .orderBy(col("doc_id"))
+  }
+  val repetitionRatioSql: String =
+    s"""SELECT doc_id, total, distinctg,
+       |  CAST((total - distinctg) AS BIGINT) * 10000 // CAST(total AS BIGINT) AS dup_bp
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(greatest(len(w) - 2, 0) AS INT) AS total,
+       |    CAST(len($shinglesSql) AS INT) AS distinctg
+       |  FROM (SELECT doc_id, $wordsSql AS w FROM documents))
+       |WHERE total > 0
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q43_scrub_pii"       -> (scrubPii _),
+    "q44_repetition"      -> (repetitionRatio _),
     "q41_group_sample"    -> (groupSample _),
     "q42_train_test_split"-> (trainTestSplit _),
     "q17_exact_dedup"     -> (exactDedup _),
@@ -345,6 +413,8 @@ object Documents {
     "q37_top_terms"       -> (topTerms _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q43_scrub_pii"       -> scrubPiiSql,
+    "q44_repetition"      -> repetitionRatioSql,
     "q41_group_sample"    -> groupSampleSql,
     "q42_train_test_split"-> trainTestSplitSql,
     "q17_exact_dedup"     -> exactDedupSql,
