@@ -210,7 +210,86 @@ object Analytics {
       |   AND CAST(floor(63 * (1152921504606846976.0 / kth_min)) AS BIGINT) <= n_exact * 2) AS est_ok
       |FROM sk ORDER BY o_orderpriority""".stripMargin
 
+  // ── q46: left-semi join (EXISTS) ────────────────────────────────────────
+  /** Customers with at least one URGENT order — `left_semi`: probe side
+    * streams through the join without duplication or payload columns from
+    * the build side (EXISTS, not INNER+distinct — no fan-out, no dedup
+    * shuffle). */
+  def urgentCustomers(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    Tables.customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+  val urgentCustomersSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ── q47: full outer join ────────────────────────────────────────────────
+  /** Per-nation BUILDING-customer totals vs negative-balance-supplier
+    * totals, full outer on nation key: nations present on either side
+    * survive with NULL-filled partners — the reconciliation-report shape. */
+  def nationBalanceRecon(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("c_nationkey"))
+      .agg(sum(cents(col("c_acctbal"))).as("cust_cents"))
+    val supp = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0)
+      .groupBy(col("s_nationkey"))
+      .agg(sum(cents(col("s_acctbal"))).as("supp_cents"))
+    cust.join(supp, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nation_key"),
+        coalesce(col("cust_cents"), lit(0L)).as("cust_cents"),
+        coalesce(col("supp_cents"), lit(0L)).as("supp_cents"))
+      .orderBy(col("nation_key"))
+  }
+  val nationBalanceReconSql: String =
+    """WITH cust AS (
+      |  SELECT c_nationkey,
+      |    CAST(sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS cust_cents
+      |  FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey),
+      |supp AS (
+      |  SELECT s_nationkey,
+      |    CAST(sum(CAST(floor(s_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS supp_cents
+      |  FROM supplier WHERE s_acctbal < 0 GROUP BY s_nationkey)
+      |SELECT COALESCE(c_nationkey, s_nationkey) AS nation_key,
+      |  COALESCE(cust_cents, 0) AS cust_cents,
+      |  COALESCE(supp_cents, 0) AS supp_cents
+      |FROM cust FULL JOIN supp ON c_nationkey = s_nationkey
+      |ORDER BY nation_key""".stripMargin
+
+  // ── q48: unpivot (wide → attribute rows, P6's inverse) ─────────────────
+  /** Melt the per-order pivot of q15 back into (orderkey, flag, qty)
+    * attribute rows via stack() — the wide→tall direction the reference's
+    * header-zip pivot undoes. Zero-filled cells are dropped to keep the
+    * relation sparse. */
+  def unpivotQuantities(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(floor(col("l_quantity")).cast("long")))
+      .select(col("l_orderkey"), expr(
+        "stack(3, 'A', A, 'N', N, 'R', R) AS (flag, qty)"))
+      .filter(col("qty").isNotNull)
+      .orderBy(col("l_orderkey"), col("flag"))
+  val unpivotQuantitiesSql: String =
+    """SELECT l_orderkey, l_returnflag AS flag,
+      |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      |FROM lineitem
+      |GROUP BY l_orderkey, l_returnflag
+      |ORDER BY l_orderkey, flag""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q46_semi_exists"     -> (urgentCustomers _),
+    "q47_full_outer"      -> (nationBalanceRecon _),
+    "q48_unpivot"         -> (unpivotQuantities _),
     "q45_kmv_distinct"    -> (kmvDistinct _),
     "q40_revenue_by_brand"-> (revenueByBrand _),
     "q28_rollup"          -> (rollupRegionNation _),
@@ -220,6 +299,9 @@ object Analytics {
     "q32_approx_distinct" -> (approxDistinct _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q46_semi_exists"     -> urgentCustomersSql,
+    "q47_full_outer"      -> nationBalanceReconSql,
+    "q48_unpivot"         -> unpivotQuantitiesSql,
     "q45_kmv_distinct"    -> kmvDistinctSql,
     "q40_revenue_by_brand"-> revenueByBrandSql,
     "q28_rollup"          -> rollupRegionNationSql,
