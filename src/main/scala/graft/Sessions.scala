@@ -31,6 +31,10 @@ object Sessions {
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .config("spark.sql.session.timeZone", "UTC")
+      // Spark 4 default, pinned explicitly: the whole oracle surface is
+      // verified under ANSI (parsers guard their casts; try_* for
+      // parse-or-null), and ANSI matches DuckDB's strict arithmetic
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
