@@ -80,6 +80,15 @@ object Streams {
       }
       .start()
 
+  /** Stream–static enrichment join: each micro-batch joins against a
+    * batch dimension (re-planned per batch, so a refreshed dimension is
+    * picked up); the static side broadcasts — no stream-side shuffle and
+    * no state, the cheapest join a stream can do. Keys here: events.user_id
+    * against a customer-derived profile. */
+  def enrichEvents(events: DataFrame, profile: DataFrame,
+                   key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(profile), Seq(key))
+
   /** Streaming exact-dedup on a key with bounded state: duplicates arriving
     * within the watermark horizon are dropped; state for keys older than
     * the watermark is evicted (unbounded-state dedup is the classic

@@ -97,6 +97,29 @@ class StreamsSpec extends SparkSpec {
     assert(emitted.select("event_id").distinct().count() === expected)
   }
 
+  test("stream-static join enriches every matching event") {
+    import spark.implicits._
+    val out = tmp("graft-enrich-out")
+    val profile = (0L until 100L).map(u => (u, s"tier${u % 3}"))
+      .toDF("user_id", "tier")
+    val q = Streams.enrichEvents(
+        Streams.readEvents(spark, eventsDir), profile, "user_id")
+      .select("event_id", "user_id", "tier")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmp("graft-enrich-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(out)
+    val expected = Tables.events(spark, sfDir)
+      .filter(col("user_id") < 100).count()
+    assert(got.count() === expected)
+    assert(got.filter(col("tier").isNull).count() === 0)
+  }
+
   test("stateful sessionizer matches session_window on closed sessions") {
     val out = tmp("graft-sess-out")
     val q = Streams.statefulSessions(Streams.readEvents(spark, eventsDir), 30)
