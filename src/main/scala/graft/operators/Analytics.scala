@@ -286,7 +286,39 @@ object Analytics {
       |GROUP BY l_orderkey, l_returnflag
       |ORDER BY l_orderkey, flag""".stripMargin
 
+  // ── q49: distribution window functions (ntile / percent_rank / cume) ───
+  /** Per-nation customer balance quartiles: ntile(4), percent_rank and
+    * cume_dist (emitted as exact micro-units — both are ratios of small
+    * integers, so the double division is bit-identical cross-engine).
+    * Partitioned by nation: the window never needs a global sort, so the
+    * operator scales with the largest nation, not the table. */
+  def balanceQuartiles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("bal_cents").asc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_custkey"),
+        cents(col("c_acctbal")).as("bal_cents"))
+      .select(col("c_nationkey"), col("c_custkey"), col("bal_cents"),
+        ntile(4).over(w).as("quartile"),
+        floor(percent_rank().over(w) * 1e6 + lit(0.5)).cast("long")
+          .as("pct_rank_micro"),
+        floor(cume_dist().over(w) * 1e6 + lit(0.5)).cast("long")
+          .as("cume_micro"))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+  }
+  val balanceQuartilesSql: String =
+    """SELECT c_nationkey, c_custkey, bal_cents,
+      |  ntile(4) OVER w AS quartile,
+      |  CAST(floor(percent_rank() OVER w * 1000000.0 + 0.5) AS BIGINT) AS pct_rank_micro,
+      |  CAST(floor(cume_dist() OVER w * 1000000.0 + 0.5) AS BIGINT) AS cume_micro
+      |FROM (SELECT c_nationkey, c_custkey,
+      |        CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_cents
+      |      FROM customer)
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY bal_cents ASC, c_custkey ASC)
+      |ORDER BY c_nationkey, c_custkey""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q49_balance_quartiles"-> (balanceQuartiles _),
     "q46_semi_exists"     -> (urgentCustomers _),
     "q47_full_outer"      -> (nationBalanceRecon _),
     "q48_unpivot"         -> (unpivotQuantities _),
@@ -299,6 +331,7 @@ object Analytics {
     "q32_approx_distinct" -> (approxDistinct _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q49_balance_quartiles"-> balanceQuartilesSql,
     "q46_semi_exists"     -> urgentCustomersSql,
     "q47_full_outer"      -> nationBalanceReconSql,
     "q48_unpivot"         -> unpivotQuantitiesSql,
