@@ -317,7 +317,71 @@ object Analytics {
       |WINDOW w AS (PARTITION BY c_nationkey ORDER BY bal_cents ASC, c_custkey ASC)
       |ORDER BY c_nationkey, c_custkey""".stripMargin
 
+  // ── q50: moment statistics from exact integer sums ──────────────────────
+  /** Mean/variance/stddev per segment WITHOUT float-sum nondeterminism:
+    * the aggregation computes only integer moments (n, Σx, Σx²) in cents —
+    * order-independent under any shuffle — and the float statistics are
+    * derived afterwards in one deterministic scalar expression. This is
+    * how to get distribution stats that hash-compare across engines (a
+    * plain `stddev()` sums doubles in shuffle order and is not
+    * reproducible). Σx² of 1e6-cent balances × 1e5 rows stays < 2^63. */
+  def balanceMoments(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), cents(col("c_acctbal")).as("x"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("x")).as("sum_cents"),
+           sum(col("x") * col("x")).as("sum_sq"))
+      .select(col("c_mktsegment"), col("n"), col("sum_cents"),
+        floor(col("sum_cents").cast("double") / col("n").cast("double") + 0.5)
+          .cast("long").as("mean_cents"),
+        floor((col("sum_sq").cast("double") / col("n").cast("double")
+          - (col("sum_cents").cast("double") / col("n").cast("double"))
+            * (col("sum_cents").cast("double") / col("n").cast("double")))
+          + 0.5).cast("long").as("var_cents2"))
+      .orderBy(col("c_mktsegment"))
+  val balanceMomentsSql: String =
+    """SELECT c_mktsegment, n, sum_cents,
+      |  CAST(floor(CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS mean_cents,
+      |  CAST(floor((CAST(sum_sq AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - (CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE))) + 0.5) AS BIGINT) AS var_cents2
+      |FROM (
+      |  SELECT c_mktsegment, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sum_cents,
+      |    CAST(sum(x * x) AS BIGINT) AS sum_sq
+      |  FROM (SELECT c_mktsegment,
+      |          CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS x
+      |        FROM customer)
+      |  GROUP BY c_mktsegment)
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ── q51: exact percentiles (median / p90) ───────────────────────────────
+  /** Exact interpolated percentiles of integer cents per nation — Spark
+    * `percentile` and DuckDB `quantile_cont` share the linear-interpolation
+    * definition; inputs are exact ints so the interpolation arithmetic is
+    * reproducible. Emitted in micro-cents. */
+  def balancePercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), cents(col("c_acctbal")).as("x"))
+      .groupBy(col("c_nationkey"))
+      .agg(
+        floor(expr("percentile(x, 0.5)") * 1e6 + lit(0.5)).cast("long")
+          .as("median_microcents"),
+        floor(expr("percentile(x, 0.9)") * 1e6 + lit(0.5)).cast("long")
+          .as("p90_microcents"))
+      .orderBy(col("c_nationkey"))
+  val balancePercentilesSql: String =
+    """SELECT c_nationkey,
+      |  CAST(floor(quantile_cont(x, 0.5) * 1000000.0 + 0.5) AS BIGINT) AS median_microcents,
+      |  CAST(floor(quantile_cont(x, 0.9) * 1000000.0 + 0.5) AS BIGINT) AS p90_microcents
+      |FROM (SELECT c_nationkey, CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS x
+      |      FROM customer)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q50_balance_moments" -> (balanceMoments _),
+    "q51_percentiles"     -> (balancePercentiles _),
     "q49_balance_quartiles"-> (balanceQuartiles _),
     "q46_semi_exists"     -> (urgentCustomers _),
     "q47_full_outer"      -> (nationBalanceRecon _),
@@ -331,6 +395,8 @@ object Analytics {
     "q32_approx_distinct" -> (approxDistinct _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q50_balance_moments" -> balanceMomentsSql,
+    "q51_percentiles"     -> balancePercentilesSql,
     "q49_balance_quartiles"-> balanceQuartilesSql,
     "q46_semi_exists"     -> urgentCustomersSql,
     "q47_full_outer"      -> nationBalanceReconSql,
