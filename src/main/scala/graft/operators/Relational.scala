@@ -66,12 +66,15 @@ object Relational {
               col("l_returnflag") === "R")
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity").cast("long").as("qty"),
+        // floor() on BOTH sides: Spark's double→long cast truncates while
+        // DuckDB's rounds, so a bare cast only agrees on integral data
+        // (ADVICE r1 on q01; same applies here)
+        floor(col("l_quantity")).cast("long").as("qty"),
         asCents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue_cents"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   val filterProjectSql: String =
-    """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+    """SELECT l_orderkey, l_linenumber, CAST(floor(l_quantity) AS BIGINT) AS qty,
       |  CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT) AS revenue_cents
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
