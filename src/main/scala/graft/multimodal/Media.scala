@@ -55,6 +55,50 @@ object Media {
     }
   }
 
+  /** Resized variant record (the thumbnail/preview path). */
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+                          thumb_w: Int, thumb_h: Int, thumb: Array[Byte])
+
+  /** Resize: per-partition batch op over decoded dims — aspect-preserving
+    * fit into a bounding box; the byte payload is the stub codec's
+    * deterministic re-encode. Same plumbing contract as
+    * [[extractFeatures]]: swap the stub for a real scaler and the
+    * Dataset shape is unchanged. */
+  def resize(records: Dataset[MediaRecord], maxSide: Int): Dataset[ResizedMedia] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      val codec = MediaCodec.open()
+      it.map { r =>
+        val (w, h, _) = codec.decodeStub(r.media)
+        val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+        val (tw, th) = (math.max(1, math.round(w * scale).toInt),
+                        math.max(1, math.round(h * scale).toInt))
+        ResizedMedia(r.doc_id, w, h, tw, th,
+          codec.reencodeStub(r.media, tw, th))
+      }
+    }
+  }
+
+  /** One sampled frame: index + its feature vector. */
+  case class Frame(doc_id: Long, frame_idx: Int, features: Array[Float])
+
+  /** Frame sampling: every `stride`-th frame of a (stub-decoded) video
+    * payload, each frame feature-extracted — the 1→N expansion runs
+    * INSIDE the partition iterator, so a million-frame payload never
+    * materializes as a driver-side list. */
+  def sampleFrames(records: Dataset[MediaRecord], stride: Int): Dataset[Frame] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      val codec = MediaCodec.open()
+      it.flatMap { r =>
+        val n = codec.frameCountStub(r.media)
+        Iterator.range(0, n, stride).map { f =>
+          Frame(r.doc_id, f, codec.frameFeaturesStub(r.media, f))
+        }
+      }
+    }
+  }
+
   /** q34: the decode pipeline's integer outputs, oracle-checked — the stub
     * is md5-determined, so DuckDB re-derives width/height from the hex
     * digest (floats are covered by MediaSpec, not hash-compared). */
@@ -88,14 +132,32 @@ class MediaCodec private () {
     * container). Deterministic: width/height/features are pure functions
     * of md5(payload). */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(bytes)
-    def u8(i: Int): Int = d(i) & 0xff
-    val width = 64 + (u8(0) << 4 | u8(1) >> 4) % 1024
-    val height = 64 + (u8(2) << 4 | u8(3) >> 4) % 1024
-    val feats = Array.tabulate(8)(i => u8(i * 2) / 255.0f)
+    val d = digest(bytes)
+    val width = 64 + (u8(d, 0) << 4 | u8(d, 1) >> 4) % 1024
+    val height = 64 + (u8(d, 2) << 4 | u8(d, 3) >> 4) % 1024
+    val feats = Array.tabulate(8)(i => u8(d, i * 2) / 255.0f)
     (width, height, feats)
   }
+
+  /** STUB re-encode at a target size: deterministic bytes derived from the
+    * payload digest + dims (a real codec would scale and re-compress). */
+  def reencodeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+    digest(bytes ++ Array(w.toByte, h.toByte))
+
+  /** STUB frame count: 1–32 frames, digest-determined. */
+  def frameCountStub(bytes: Array[Byte]): Int = 1 + u8(digest(bytes), 4) % 32
+
+  /** STUB per-frame features (digest of payload + frame index). */
+  def frameFeaturesStub(bytes: Array[Byte], frame: Int): Array[Float] = {
+    val d = digest(bytes ++ Array(frame.toByte))
+    Array.tabulate(8)(i => u8(d, i) / 255.0f)
+  }
+
+  private def digest(bytes: Array[Byte]): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(bytes)
+  }
+  private def u8(d: Array[Byte], i: Int): Int = d(i) & 0xff
 }
 
 object MediaCodec {

@@ -34,6 +34,31 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("resize fits the bounding box and preserves aspect") {
+    val out = Media.resize(Media.mediaRecords(spark, sfDir), 128).collect()
+    out.foreach { r =>
+      assert(math.max(r.thumb_w, r.thumb_h) <= 128)
+      assert(r.thumb_w >= 1 && r.thumb_h >= 1)
+      // aspect preserved within integer rounding of the SMALL dimension
+      val orig = r.width.toDouble / r.height
+      val thumb = r.thumb_w.toDouble / r.thumb_h
+      val tol = 1.0 / math.min(r.thumb_w, r.thumb_h) + 1e-9
+      assert(math.abs(orig - thumb) / orig <= tol, s"aspect drift: $r")
+      assert(r.thumb.nonEmpty)
+    }
+  }
+
+  test("frame sampling strides through stub-decoded frames") {
+    val records = Media.mediaRecords(spark, sfDir)
+    val all = Media.sampleFrames(records, 1)
+    val sampled = Media.sampleFrames(records, 4)
+    val allCount = all.count()
+    assert(allCount > records.count(), "expected multi-frame payloads")
+    assert(sampled.count() < allCount)
+    val idxs = sampled.collect().map(_.frame_idx)
+    assert(idxs.forall(_ % 4 == 0), "stride not respected")
+  }
+
   test("decode stub matches its spec (md5-derived dims)") {
     val codec = MediaCodec.open()
     val payload = "hello world".getBytes("UTF-8")
