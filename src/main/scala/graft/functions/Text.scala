@@ -148,6 +148,34 @@ object Text {
   def stopwordHits(words: Column): Column =
     size(filter(words, w => w.isin(EnStopwords.map(lit): _*)))
 
+  /** Character-trigram set of normalized text (the n-gram half of the
+    * language-ID heuristic): distinct 3-char substrings including spaces,
+    * so word-boundary trigrams like "th " and " de" carry signal. */
+  def charTrigrams(c: Column): Column = {
+    val n = normText(c)
+    when(length(n) < 3, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(n) - 2), i => substring(n, i, lit(3)))))
+  }
+
+  /** Tiny embedded char-trigram profiles (top function-word trigrams per
+    * language — public linguistic common knowledge, no external data). */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th ", " th", "the", "he ", " of", "of ", "nd ", " an",
+                "and", "ing", " to", "to ", " in", "in "),
+    "de" -> Seq("er ", " de", "der", "ie ", "die", "und", " un", "nd ",
+                "ch ", "ein", " ei", "sch", "en ", " da"),
+    "fr" -> Seq(" de", "de ", "le ", " le", "es ", "ent", " la", "la ",
+                "et ", " et", "que", " qu", "ue ", "les"),
+    "es" -> Seq(" de", "de ", " la", "la ", "os ", "el ", " el", "que",
+                " qu", "ue ", "en ", " en", "ión", "los"))
+
+  /** Per-language trigram hit count over a [[charTrigrams]] set. */
+  def langHits(trigrams: Column, lang: String): Column = {
+    val profile = LangProfiles.toMap.apply(lang)
+    size(array_intersect(trigrams, array(profile.map(lit): _*)))
+  }
+
   /** Whitespace-token count of raw text. */
   def tokenCount(c: Column): Column = size(toWords(c))
 

@@ -399,7 +399,63 @@ object Documents {
        |WHERE total > 0
        |ORDER BY doc_id""".stripMargin
 
+  // ── q52: char-n-gram language ID ────────────────────────────────────────
+  /** The n-gram language-ID heuristic proper: score each doc's distinct
+    * char-trigram set against tiny embedded per-language profiles, argmax
+    * with a fixed tie-break order. Per-row array intersections against
+    * literal arrays — no shuffle but the final rollup. (TextSpec proves
+    * the heuristic discriminates on real multilingual sentences; the
+    * synthetic corpus is English-ish so 'en' dominates here.) */
+  def charNgramLangId(s: SparkSession, d: String): DataFrame = {
+    val langs = Text.LangProfiles.map(_._1)
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        Text.charTrigrams(col("text")).as("tg"))
+      .select(col("doc_id") +: col("lang") +:
+        langs.map(l => Text.langHits(col("tg"), l).as(s"h_$l")): _*)
+    // argmax with deterministic tie-break = profile declaration order
+    val best = langs.tail.foldLeft(
+      struct(col(s"h_${langs.head}").as("h"), lit(langs.head).as("l"))) {
+      (acc, l) => when(col(s"h_$l") > acc.getField("h"),
+        struct(col(s"h_$l").as("h"), lit(l).as("l"))).otherwise(acc)
+    }
+    scored
+      .select(col("lang"), best.getField("l").as("pred_lang"),
+        best.getField("h").as("hits"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("hits")).as("sum_hits"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+  val charNgramLangIdSql: String = {
+    def arr(l: String) = Text.LangProfiles.toMap.apply(l)
+      .map(t => s"'${t}'").mkString("[", ", ", "]")
+    val hitCols = Text.LangProfiles.map { case (l, _) =>
+      s"CAST(len(list_intersect(tg, ${arr(l)})) AS INT) AS h_$l" }
+      .mkString(",\n    ")
+    val langs = Text.LangProfiles.map(_._1)
+    val best = langs.tail.foldLeft(
+      s"{'h': h_${langs.head}, 'l': '${langs.head}'}") { (acc, l) =>
+      s"CASE WHEN h_$l > ($acc).h THEN {'h': h_$l, 'l': '$l'} ELSE $acc END"
+    }
+    s"""WITH tgs AS (
+       |  SELECT doc_id, lang, list_distinct(list_transform(
+       |    range(1, greatest(length(nt) - 2, 0) + 1),
+       |    i -> substr(nt, CAST(i AS INT), 3))) AS tg
+       |  FROM (SELECT doc_id, lang, $normSql AS nt FROM documents)),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    $hitCols
+       |  FROM tgs),
+       |best AS (
+       |  SELECT lang, ($best).l AS pred_lang, ($best).h AS hits FROM scored)
+       |SELECT lang, pred_lang, count(*) AS n_docs,
+       |  CAST(sum(hits) AS BIGINT) AS sum_hits
+       |FROM best GROUP BY lang, pred_lang
+       |ORDER BY lang, pred_lang""".stripMargin
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q52_char_ngram_langid" -> (charNgramLangId _),
     "q43_scrub_pii"       -> (scrubPii _),
     "q44_repetition"      -> (repetitionRatio _),
     "q41_group_sample"    -> (groupSample _),
@@ -413,6 +469,7 @@ object Documents {
     "q37_top_terms"       -> (topTerms _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q52_char_ngram_langid" -> charNgramLangIdSql,
     "q43_scrub_pii"       -> scrubPiiSql,
     "q44_repetition"      -> repetitionRatioSql,
     "q41_group_sample"    -> groupSampleSql,

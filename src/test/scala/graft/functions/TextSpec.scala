@@ -69,6 +69,24 @@ class TextSpec extends SparkSpec {
     assert(reassembled === h)
   }
 
+  test("char-trigram lang-ID discriminates real multilingual sentences") {
+    val samples = Seq(
+      ("the cat sat on the mat and looked at the dog", "en"),
+      ("der hund und die katze schlafen in einem schönen haus", "de"),
+      ("le chien et le chat dorment dans la maison que nous aimons", "fr"),
+      ("el perro y el gato duermen en la casa que los vecinos aman", "es"))
+    val langs = Text.LangProfiles.map(_._1)
+    val rows = samples.map(_._1).toDF("text")
+      .select(Text.charTrigrams(col("text")).as("tg"))
+      .select(langs.map(l => Text.langHits(col("tg"), l).as(l)): _*)
+      .collect()
+    rows.zip(samples).foreach { case (r, (_, expected)) =>
+      val scores = langs.map(l => l -> r.getAs[Int](l))
+      val best = scores.maxBy(_._2)._1
+      assert(best === expected, s"scores $scores for '$expected'")
+    }
+  }
+
   test("token counts: whitespace and bpe-ish") {
     val out = df("Hello, world! This is fine.")
       .select(Text.tokenCount(col("text")).as("t"),
