@@ -148,15 +148,20 @@ object Text {
   def stopwordHits(words: Column): Column =
     size(filter(words, w => w.isin(EnStopwords.map(lit): _*)))
 
-  /** Character-trigram set of normalized text (the n-gram half of the
-    * language-ID heuristic): distinct 3-char substrings including spaces,
-    * so word-boundary trigrams like "th " and " de" carry signal. */
-  def charTrigrams(c: Column): Column = {
-    val n = normText(c)
-    when(length(n) < 3, array().cast("array<string>"))
+  /** Character-trigram set of an ALREADY-NORMALIZED text column (the
+    * n-gram half of the language-ID heuristic): distinct 3-char substrings
+    * including spaces, so word-boundary trigrams like "th " and " de"
+    * carry signal.
+    *
+    * STAGING CONTRACT (see [[shingleHashes]]): pass an attribute or a
+    * cheap column — the argument is referenced inside a per-position
+    * lambda, so passing `normText(text)` directly re-runs the regex once
+    * per character (measured 17 s at sf0.1 vs ~1 s staged). */
+  def charTrigrams(normed: Column): Column =
+    when(length(normed) < 3, array().cast("array<string>"))
       .otherwise(array_distinct(transform(
-        sequence(lit(1), length(n) - 2), i => substring(n, i, lit(3)))))
-  }
+        sequence(lit(1), length(normed) - 2),
+        i => substring(normed, i, lit(3)))))
 
   /** Tiny embedded char-trigram profiles (top function-word trigrams per
     * language — public linguistic common knowledge, no external data). */

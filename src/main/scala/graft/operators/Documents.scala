@@ -408,9 +408,13 @@ object Documents {
     * synthetic corpus is English-ish so 'en' dominates here.) */
   def charNgramLangId(s: SparkSession, d: String): DataFrame = {
     val langs = Text.LangProfiles.map(_._1)
+    // nt staged as an attribute (Text staging contract): charTrigrams
+    // references it per character position; the alias survives collapse
+    // because the trigram expression references it 3× (guard, bound, body)
     val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), Text.normText(col("text")).as("nt"))
       .select(col("doc_id"), col("lang"),
-        Text.charTrigrams(col("text")).as("tg"))
+        Text.charTrigrams(col("nt")).as("tg"))
       .select(col("doc_id") +: col("lang") +:
         langs.map(l => Text.langHits(col("tg"), l).as(s"h_$l")): _*)
     // argmax with deterministic tie-break = profile declaration order

@@ -77,7 +77,8 @@ class TextSpec extends SparkSpec {
       ("el perro y el gato duermen en la casa que los vecinos aman", "es"))
     val langs = Text.LangProfiles.map(_._1)
     val rows = samples.map(_._1).toDF("text")
-      .select(Text.charTrigrams(col("text")).as("tg"))
+      .select(Text.normText(col("text")).as("nt"))
+      .select(Text.charTrigrams(col("nt")).as("tg"))
       .select(langs.map(l => Text.langHits(col("tg"), l).as(l)): _*)
       .collect()
     rows.zip(samples).foreach { case (r, (_, expected)) =>
