@@ -49,6 +49,27 @@ class ExtractSpec extends SparkSpec {
     assert(one[java.sql.Date](Extract.parseRefDate(col("s")), "1987-07-19") === None)
   }
 
+  test("extractFirst/extractAll: selector-style single and list extraction") {
+    val markup = "<a href='/f/1'>Jon</a> <a href='/f/2'>Amanda</a>"
+    assert(one[String](
+      Extract.extractFirst(col("s"), "<a[^>]*>([^<]*)</a>"), markup)
+      === Some("Jon"))
+    assert(one[String](
+      Extract.extractFirst(col("s"), "<b>([^<]*)</b>"), markup) === None)
+    val all = Seq(markup).toDF("s")
+      .select(Extract.extractAll(col("s"), "<a[^>]*>([^<]*)</a>").as("r"))
+      .as[Seq[String]].collect().head
+    assert(all === Seq("Jon", "Amanda"))
+  }
+
+  test("ratioStruct bundles landed/attempted as one struct") {
+    val r = Seq("58 of 112").toDF("s")
+      .select(Extract.ratioStruct(col("s")).as("r"))
+      .select(col("r.landed"), col("r.attempted"))
+      .as[(Int, Int)].collect().head
+    assert(r === ((58, 112)))
+  }
+
   test("label extraction: hit, miss, and N/A value") {
     val blob = "Segment: GOLD; Nation: 7; Balance: N/A"
     assert(one[String](Extract.labelValue(col("s"), "Segment"), blob) === Some("GOLD"))

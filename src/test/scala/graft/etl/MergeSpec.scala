@@ -39,6 +39,17 @@ class MergeSpec extends SparkSpec {
     assert(out === Array(1L -> "first", 2L -> "only"))
   }
 
+  test("firstWinsMergeOrdered: duplicate incoming keys keep the ordered first") {
+    val existing = kv(Seq(1L -> "old"))
+    val incoming = Seq((2L, 9, "late"), (2L, 1, "first"), (3L, 5, "only"))
+      .toDF("k", "ord", "v")
+    val out = Merge.firstWinsMergeOrdered(
+        existing.withColumn("ord", org.apache.spark.sql.functions.lit(0)),
+        incoming, "k", Seq(col("ord").asc))
+      .select(col("k"), col("v")).as[(Long, String)].collect().sorted
+    assert(out === Array(1L -> "old", 2L -> "first", 3L -> "only"))
+  }
+
   test("mergeWrite: the S7 sink write is idempotent on re-run") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-mergewrite").toString + "/sink"
