@@ -379,7 +379,59 @@ object Analytics {
       |      FROM customer)
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  // ── q53: bivariate moments — correlation without float-sum order bugs ──
+  /** Pearson correlation of customer balance vs order count per segment,
+    * from exact integer co-moments (n, Σx, Σy, Σxy, Σx², Σy²) — the same
+    * shuffle-order-proof recipe as q50 extended to two variables; built-in
+    * `corr()` double-sums in shuffle order and cannot hash-compare.
+    * Balance is scaled to whole dollars so Σx² of 1e5 rows stays far from
+    * 2^63. */
+  def balanceOrderCorr(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("y"))
+    val joined = Tables.customer(s, d)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment"),
+        floor(col("c_acctbal") + 0.5).cast("long").as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val m = joined.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    def d_(c: Column) = c.cast("double")
+    val cov = d_(col("sxy")) * d_(col("n")) - d_(col("sx")) * d_(col("sy"))
+    val vx = d_(col("sxx")) * d_(col("n")) - d_(col("sx")) * d_(col("sx"))
+    val vy = d_(col("syy")) * d_(col("n")) - d_(col("sy")) * d_(col("sy"))
+    m.select(col("c_mktsegment"), col("n"),
+        floor(cov / sqrt(vx * vy) * 1e6 + lit(0.5)).cast("long")
+          .as("corr_micro"))
+      .orderBy(col("c_mktsegment"))
+  }
+  val balanceOrderCorrSql: String =
+    """WITH j AS (
+      |  SELECT c_mktsegment,
+      |    CAST(floor(c_acctbal + 0.5) AS BIGINT) AS x,
+      |    COALESCE(y, 0) AS y
+      |  FROM customer LEFT JOIN (
+      |    SELECT o_custkey, count(*) AS y FROM orders GROUP BY o_custkey)
+      |    ON c_custkey = o_custkey),
+      |m AS (
+      |  SELECT c_mktsegment, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x*y) AS BIGINT) AS sxy,
+      |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+      |  FROM j GROUP BY c_mktsegment)
+      |SELECT c_mktsegment, n,
+      |  CAST(floor(
+      |    (CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / sqrt((CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |         * (CAST(syy AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    * 1000000.0 + 0.5) AS BIGINT) AS corr_micro
+      |FROM m ORDER BY c_mktsegment""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q53_balance_order_corr" -> (balanceOrderCorr _),
     "q50_balance_moments" -> (balanceMoments _),
     "q51_percentiles"     -> (balancePercentiles _),
     "q49_balance_quartiles"-> (balanceQuartiles _),
@@ -395,6 +447,7 @@ object Analytics {
     "q32_approx_distinct" -> (approxDistinct _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q53_balance_order_corr" -> balanceOrderCorrSql,
     "q50_balance_moments" -> balanceMomentsSql,
     "q51_percentiles"     -> balancePercentilesSql,
     "q49_balance_quartiles"-> balanceQuartilesSql,
