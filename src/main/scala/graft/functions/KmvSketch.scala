@@ -40,16 +40,28 @@ object KmvSketch {
       val hs = b.hashes
       if (hs.length >= k && h >= hs.last) b
       else {
-        val idx = {
-          val i = java.util.Arrays.binarySearch(hs.toArray, h)
-          if (i >= 0) -1 else -(i + 1) // present → skip
-        }
+        val idx = search(hs, h) // -1 → present, skip
         if (idx < 0) b
         else {
           val inserted = (hs.take(idx) :+ h) ++ hs.drop(idx)
           Buf(if (inserted.length > k) inserted.take(k) else inserted)
         }
       }
+    }
+
+    /** Binary search over the sorted buffer in place — copying to an
+      * Array per input row would allocate O(k) on the hot insert path. */
+    private def search(hs: Seq[Long], h: Long): Int = {
+      var lo = 0
+      var hi = hs.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val v = hs(mid)
+        if (v == h) return -1
+        else if (v < h) lo = mid + 1
+        else hi = mid - 1
+      }
+      lo
     }
 
     override def finish(b: Buf): Out = Out(b.hashes)

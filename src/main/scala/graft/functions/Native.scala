@@ -32,7 +32,16 @@ object Native {
     * `array<struct<band:int, bh:bigint>>`. Signature is k affine
     * permutations of xxhash64(shingle) mod P (P = 2^31-1, products stay
     * < 2^62); each band's bucket id chain-hashes its `rows` signature
-    * values with xxhash64. Same banding math as [[Text.lshBands]].
+    * values with xxhash64.
+    *
+    * Same banding STRUCTURE as [[Text.lshBands]] (bands × rows over the
+    * same affine-permutation signature), but the bucket VALUES are not
+    * interchangeable: this kernel chain-hashes the raw signature longs
+    * (seed 42), while `Text.lshBands` xxhash64's the comma-joined decimal
+    * string. Empty inputs differ too (here an empty shingle set yields the
+    * all-Long.MaxValue signature; the HOF's `array_min` of an empty array
+    * yields nulls). Use ONE surface on both sides of a candidate join —
+    * mixing them silently produces zero candidates.
     *
     * Resolves through the function registry — the session must carry
     * [[graft.plans.GraftExtensions]] (Sessions.local does). */
@@ -168,6 +177,13 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
   override def dataType: DataType = DoubleType
 
+  /** NULL semantics match `aggregate(zip_with(a,b,_*_), 0.0, _+_)` in
+    * full: unequal lengths → NULL (zip_with pads with null, null products
+    * poison the sum) and any null element → NULL. So the bit-identical
+    * claim holds on the whole input domain, not just the clean subset —
+    * reading getDouble on a null slot (undefined 0.0) can't happen. */
+  override def nullable: Boolean = true
+
   /** Real codegen (not CodegenFallback): this kernel runs once per
     * CANDIDATE PAIR — O(|queries|·N) times in a brute-force scan — so the
     * per-call boxing of an interpreted fallback is the hot path's hot
@@ -181,12 +197,17 @@ case class DotProductExpr(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -203,12 +224,17 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null // zip_with pads → null sum
     // exact (((0+x₁y₁)+x₂y₂)+…) fold — keep the order, it is the oracle
     // contract for float-exact comparison
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 

@@ -116,11 +116,59 @@ object Media {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** q56: the resize pipeline's integer outputs (source + thumb dims),
+    * oracle-checked — the aspect-preserving fit arithmetic runs on
+    * stub-decoded dims, so DuckDB replays the identical IEEE ops:
+    * scale = min(1, 256/max(w,h)); thumb = max(1, floor(side*scale+0.5))
+    * (`floor(x+0.5)` IS `math.round` for positive doubles). */
+  def resizedDims(s: SparkSession, d: String): DataFrame =
+    resize(mediaRecords(s, d), maxSide = 256)
+      .select(col("doc_id"), col("width"), col("height"),
+              col("thumb_w"), col("thumb_h"))
+      .orderBy(col("doc_id"))
+  val resizedDimsSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |    CAST(64 + CAST(concat('0x', substr(md5(text), 1, 3)) AS INT) % 1024 AS INT) AS width,
+      |    CAST(64 + CAST(concat('0x', substr(md5(text), 5, 3)) AS INT) % 1024 AS INT) AS height
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, width, height,
+      |    least(1.0, 256.0 / greatest(width, height)) AS scale
+      |  FROM dims)
+      |SELECT doc_id, width, height,
+      |  CAST(greatest(1, CAST(floor(width * scale + 0.5) AS BIGINT)) AS INT) AS thumb_w,
+      |  CAST(greatest(1, CAST(floor(height * scale + 0.5) AS BIGINT)) AS INT) AS thumb_h
+      |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** q57: frame sampling's integer outputs — stride-4 sampling of the
+    * stub-decoded frame count (1..32, digest byte 4 = md5 hex chars 9-10):
+    * per doc, the sampled-frame count and index sum. The sum over indexes
+    * 0, 4, ..., 4(c-1) closes to 2·c·(c-1). */
+  def frameSampleStats(s: SparkSession, d: String): DataFrame =
+    sampleFrames(mediaRecords(s, d), stride = 4)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("frame_idx")).as("sum_idx"))
+      .orderBy(col("doc_id"))
+  val frameSampleStatsSql: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    1 + CAST(concat('0x', substr(md5(text), 9, 2)) AS INT) % 32 AS n_total
+      |  FROM documents),
+      |c AS (SELECT doc_id, (n_total + 3) // 4 AS cnt FROM n)
+      |SELECT doc_id, CAST(cnt AS BIGINT) AS n_frames,
+      |  CAST(2 * cnt * (cnt - 1) AS BIGINT) AS sum_idx
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "q34_media_features" -> (mediaFeatures _))
+    "q34_media_features" -> (mediaFeatures _),
+    "q56_media_resize"   -> (resizedDims _),
+    "q57_frame_sample"   -> (frameSampleStats _))
 
   val oracles: Seq[(String, String)] = Seq(
-    "q34_media_features" -> mediaFeaturesSql)
+    "q34_media_features" -> mediaFeaturesSql,
+    "q56_media_resize"   -> resizedDimsSql,
+    "q57_frame_sample"   -> frameSampleStatsSql)
 }
 
 /** The stubbed codec. A real implementation would hold native decoder

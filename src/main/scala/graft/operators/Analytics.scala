@@ -176,19 +176,26 @@ object Analytics {
     * built on the portable md5 hash, the oracle recomputes the EXACT kth
     * minimum and the exact estimate — a sketch whose output hash-matches
     * across engines (HLL can't do that). The exactness gate also checks
-    * the estimate lands within 2× of truth (k=64 → ~13% stderr). */
+    * the estimate lands within 2× of truth (k=64 → ~13% stderr).
+    *
+    * `try_element_at` (not `element_at`): the session pins ANSI mode, so a
+    * group with fewer than k distinct hashes would otherwise throw
+    * INVALID_ARRAY_INDEX — with `try_` it yields NULL, matching the
+    * oracle's DuckDB `list[64]` (NULL past the end) and the KMV
+    * convention that a sketch with < k values has no kth-min estimate. */
   def kmvDistinct(s: SparkSession, d: String): DataFrame = {
     val kmv = udaf(new graft.functions.KmvSketch.Agg(KmvK))
     val h = graft.functions.Text.portableHash(col("o_custkey").cast("string"))
     val big = lit(1152921504606846976.0) // 2^60, the portable hash space
+    val kthMin = try_element_at(col("sk.hashes"), lit(KmvK))
     Tables.orders(s, d)
       .select(col("o_orderpriority"), h.as("h"))
       .groupBy(col("o_orderpriority"))
       .agg(kmv(col("h")).as("sk"),
            countDistinct(col("h")).as("n_exact"))
       .select(col("o_orderpriority"), col("n_exact"),
-        element_at(col("sk.hashes"), KmvK).as("kth_min"),
-        floor(lit(KmvK - 1) * (big / element_at(col("sk.hashes"), KmvK)))
+        kthMin.as("kth_min"),
+        floor(lit(KmvK - 1) * (big / kthMin))
           .cast("long").as("est"))
       .withColumn("est_ok",
         col("est") * 2L >= col("n_exact") && col("est") <= col("n_exact") * 2L)

@@ -174,6 +174,65 @@ object Documents {
        |FROM hw ORDER BY doc_id""".stripMargin
   }
 
+  // ── q54: SimHash-Hamming near-dup (chunk-bucketed, pigeonhole-exact) ────
+  /** Near-dup pairs by SimHash Hamming distance <= 3 — the query
+    * [[Text.simhashChunks]] exists for: the 60-bit signature splits into 4
+    * disjoint 15-bit chunks, and by pigeonhole ANY pair within Hamming 3
+    * shares at least one identical chunk, so the chunk-bucket join yields
+    * candidates with ZERO false negatives; candidates are then verified
+    * with the exact popcount. That exactness is what lets the oracle
+    * brute-force all pairs and demand an identical answer.
+    *
+    * Scale shape (same as q18's LSH): the shuffle carries 4 fixed-size
+    * (doc_id, chunk, value, sig) rows per document — never text — and the
+    * join is bucket-local; 32768 buckets per chunk keep random collisions
+    * at ~1.2e-4 per chunk pair, so candidates stay O(near-dups), not
+    * O(N²). Runs over the variant-augmented corpus (the case/whitespace
+    * twins normalize to identical word streams ⇒ Hamming 0), so planted
+    * pairs exist alongside any organic ones. */
+  def simhashNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = corpusWithVariants(s, d)
+      .select(col("doc_id"),
+        Native.simhash60(Text.toWords(col("text"))).as("sh"))
+    val chunks = docs
+      .select(col("doc_id"), col("sh"),
+        explode(Text.simhashChunks(col("sh"))).as("c"))
+      .select(col("doc_id"), col("sh"),
+        col("c.band").as("band"), col("c.bh").as("bh"))
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("x.sh").as("a_sh"),
+              col("y.doc_id").as("b_id"), col("y.sh").as("b_sh"))
+      .distinct()
+    cand
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  /** Oracle: exact 60-bit Hamming over ALL pairs of the augmented corpus
+    * (sf0.01 is small enough); the engine must find the same set through
+    * chunk bucketing. */
+  val simhashNearDupSql: String = {
+    val bitTerms = (0 until 60).map { j =>
+      s"""CASE WHEN list_sum(list_transform(hw,
+         |    h -> CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+         |  THEN CAST(${1L << j} AS BIGINT) ELSE 0 END""".stripMargin
+    }.mkString(" +\n  ")
+    s"""WITH $corpusSql,
+       |hw AS (
+       |  SELECT doc_id, list_transform($wordsSql,
+       |    wd -> CAST(concat('0x', substr(md5(wd), 1, 15)) AS BIGINT)) AS hw
+       |  FROM corpus),
+       |sh AS (SELECT doc_id, $bitTerms AS sh FROM hw)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   // ── q20: text-quality stats ─────────────────────────────────────────────
   /** Per-document quality scoring: token counts (whitespace + BPE-ish),
     * punctuation count, stopword hits/ratio, and a boolean quality gate —
@@ -467,6 +526,7 @@ object Documents {
     "q17_exact_dedup"     -> (exactDedup _),
     "q18_minhash_neardup" -> (minhashNearDup _),
     "q19_simhash"         -> (simhashSign _),
+    "q54_simhash_neardup" -> (simhashNearDup _),
     "q20_text_stats"      -> (textStats _),
     "q21_lang_id"         -> (langIdBreakdown _),
     "q22_fingerprint"     -> (fingerprints _),
@@ -481,6 +541,7 @@ object Documents {
     "q17_exact_dedup"     -> exactDedupSql,
     "q18_minhash_neardup" -> minhashNearDupSql,
     "q19_simhash"         -> simhashSignSql,
+    "q54_simhash_neardup" -> simhashNearDupSql,
     "q20_text_stats"      -> textStatsSql,
     "q21_lang_id"         -> langIdBreakdownSql,
     "q22_fingerprint"     -> fingerprintsSql,

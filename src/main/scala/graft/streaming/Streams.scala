@@ -57,25 +57,38 @@ object Streams {
 
   /** S6 as streaming: merge each micro-batch into a parquet sink
     * first-wins on `key` — idempotent, so checkpoint replay is safe
-    * (the reference's concat+dedup+overwrite per batch). */
+    * (the reference's concat+dedup+overwrite per batch).
+    *
+    * Filesystem access goes through the Hadoop `FileSystem` API resolved
+    * from the sink path (portable to HDFS/S3 — `java.io.File` would
+    * silently report "missing" on any real lake and re-bootstrap the
+    * sink), and the merge is written to a TEMP directory first, then
+    * swapped into place. Writing the merged result directly over the path
+    * it reads from would need the read side fully materialized first;
+    * relying on `cache()` for that is unsafe (cached blocks are evictable,
+    * and a recompute mid-overwrite re-reads a half-deleted sink). The
+    * tmp-write fully drains the read plan to durable storage before the
+    * target is touched; the delete+rename window is covered by
+    * foreachBatch replay idempotence (first-wins merge). */
   def mergeSink(events: DataFrame, key: String, path: String,
                 checkpoint: String): StreamingQuery =
     events.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
+        val target = new org.apache.hadoop.fs.Path(path)
+        val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
         val existing =
-          if (new java.io.File(path).exists())
+          if (fs.exists(target))
             s.read.schema(batch.schema).parquet(path)
           else batch.limit(0)
-        // materialize the merge before overwriting the input path
-        val merged = graft.etl.Merge
-          .firstWinsMerge(existing, batch.toDF(), key).cache()
-        merged.count()
-        merged.write.mode("overwrite").parquet(path)
-        merged.unpersist()
+        val merged = graft.etl.Merge.firstWinsMerge(existing, batch.toDF(), key)
+        val tmp = new org.apache.hadoop.fs.Path(s"$path.tmp-$batchId")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(target)) fs.delete(target, true)
+        fs.rename(tmp, target)
         ()
       }
       .start()

@@ -64,6 +64,29 @@ class PlanSpec extends SparkSpec {
       s"query-vector side should broadcast:\n$p")
   }
 
+  test("similarity broadcasts only the fixed literal query-ID set") {
+    // round-2 verdict: broadcasting a corpus-derived frame (vec_id % 50)
+    // is scale-proportional — ~10 GB at a 1e9-row corpus. The query set
+    // must be a literal ID list, visible in the plan as an In/InSet filter
+    // feeding the broadcast side.
+    Seq("q23_cosine_topk", "q24_ivf_topk", "q38_ivf_centroids").foreach {
+      name =>
+        val p = plan(q(name)).replaceAll("\\s", "")
+        assert(p.contains("BroadcastExchange"),
+          s"$name: the fixed-size query side should broadcast")
+        assert(p.contains("In(vec_id") || p.contains("INSET"),
+          s"$name: broadcast side must be the literal query-ID set, " +
+            "not a corpus-proportional filter")
+    }
+  }
+
+  test("q54: Hamming candidates join on simhash chunks, never all-pairs") {
+    val p = plan(q("q54_simhash_neardup"))
+    assert(!p.contains("CartesianProduct"),
+      "chunk-bucket candidate join degenerated to all-pairs")
+    assert(p.contains("band"), "chunk join key missing from plan")
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sfDir))
