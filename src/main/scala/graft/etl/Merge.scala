@@ -82,13 +82,60 @@ object Merge {
       .drop("__rn")
   }
 
-  /** S7 — idempotent append-dedup sink write: merge then overwrite, the
-    * Parquet analog of the reference's full-file rewrite
+  /** S7 — idempotent append-dedup sink write: merge then swap, the Parquet
+    * analog of the reference's full-file rewrite
     * (`fighters_scraper.py:197-207`). At scale this would be a Delta MERGE;
-    * with plain Parquet, overwrite-after-firstWinsMerge is the idempotent
-    * equivalent (re-running adds nothing — E3's core invariant). */
+    * no lakehouse jar ships in this environment, so the transactional
+    * equivalent is [[writeAndSwap]]: the merge is fully drained to a temp
+    * directory FIRST (also why reading `existing` from `path` itself is
+    * safe — a direct `mode("overwrite")` would delete the files the lazy
+    * read plan still needs), then swapped in with crash recovery.
+    * Re-running adds nothing (first-wins) — E3's core invariant. */
   def mergeWrite(existing: DataFrame, incoming: DataFrame, key: String,
                  path: String): Unit =
-    firstWinsMerge(existing, incoming, key)
-      .write.mode("overwrite").parquet(path)
+    writeAndSwap(firstWinsMerge(existing, incoming, key), path, "merge")
+
+  /** Crash-safe publish of a dataframe to `path`: drain to
+    * `$path.tmp-$token`, delete the old target, rename the temp into
+    * place. Rename failure THROWS (a false return with the batch
+    * checkpoint-committed would silently lose the sink — ADVICE r3), and
+    * [[recoverSwap]] heals the one remaining window (death between delete
+    * and rename) by adopting the orphaned temp on the next run: an orphan
+    * is only ever a FULLY-written merge result, because the target is
+    * never deleted until the temp write has returned.
+    *
+    * All filesystem access goes through the Hadoop FS API resolved from
+    * the path (HDFS/S3-portable). On S3A, rename is a non-atomic O(data)
+    * copy — the recovery contract still holds (the orphan survives a
+    * mid-copy crash and is re-adopted), but a real lake deployment should
+    * prefer a table format with a transactional commit protocol. */
+  def writeAndSwap(df: DataFrame, path: String, token: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.tmp-$token")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(target) && !fs.delete(target, true))
+      throw new java.io.IOException(s"could not delete old sink $target")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"rename $tmp -> $target failed")
+  }
+
+  /** If `path` is missing but a `$path.tmp-*` orphan exists, a previous
+    * [[writeAndSwap]] died between delete and rename: adopt the newest
+    * orphan (by modification time) as the sink so the accumulated merges
+    * are never lost. Single-writer contract, like the reference. */
+  def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit =
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+      val orphans = Option(
+        fs.globStatus(new org.apache.hadoop.fs.Path(s"$path.tmp-*")))
+        .getOrElse(Array.empty)
+      if (orphans.nonEmpty) {
+        val newest = orphans.maxBy(_.getModificationTime).getPath
+        if (!fs.rename(newest, new org.apache.hadoop.fs.Path(path)))
+          throw new java.io.IOException(
+            s"orphan recovery rename $newest -> $path failed")
+      }
+    }
 }

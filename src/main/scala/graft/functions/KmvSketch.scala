@@ -22,8 +22,10 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object KmvSketch {
 
-  /** Sorted-ascending distinct hashes, at most k. */
-  case class Buf(hashes: Seq[Long])
+  /** Sorted-ascending distinct hashes, at most k. `Vector`, not `Seq`:
+    * [[Agg.search]] indexes into the buffer, and a List-backed Seq would
+    * silently turn the binary search into O(k log k) per probe. */
+  case class Buf(hashes: Vector[Long])
   case class Out(hashes: Seq[Long])
 
   class Agg(k: Int) extends Aggregator[Long, Buf, Out] {
@@ -43,15 +45,20 @@ object KmvSketch {
         val idx = search(hs, h) // -1 → present, skip
         if (idx < 0) b
         else {
+          // the accepting branch still copies O(k) — unavoidable with an
+          // immutable buffer — but acceptance is rare once the sketch
+          // saturates (p ≈ k/n); the common reject paths above stay O(1)
+          // (last-element gate) and O(log k) (search, no copy)
           val inserted = (hs.take(idx) :+ h) ++ hs.drop(idx)
           Buf(if (inserted.length > k) inserted.take(k) else inserted)
         }
       }
     }
 
-    /** Binary search over the sorted buffer in place — copying to an
-      * Array per input row would allocate O(k) on the hot insert path. */
-    private def search(hs: Seq[Long], h: Long): Int = {
+    /** Binary search over the sorted buffer in place — indexed access is
+      * pinned by Buf's `Vector` type; the win over sorting/copying per
+      * probe is avoiding any allocation on the common reject path. */
+    private def search(hs: Vector[Long], h: Long): Int = {
       var lo = 0
       var hi = hs.length - 1
       while (lo <= hi) {

@@ -62,6 +62,20 @@ object Native {
   def shingles(words: Column, n: Int): Column =
     call_function("shingles_ngram", words, lit(n))
 
+  /** Distinct character n-gram set of an ALREADY-NORMALIZED string column —
+    * semantics of [[Text.charTrigrams]] generalized to any n. The HOF
+    * version runs O(len) interpreted `substring` calls per row AND
+    * re-evaluates its argument per position unless carefully staged
+    * (the [[Text.shingleHashes]] staging contract); this expression
+    * evaluates its child exactly once and emits the gram set in one tight
+    * loop, so `Text.normText(text)` can be passed inline with no caveat.
+    * q52's language-ID kernel — the engine's slowest before this existed. */
+  def charNgrams(s: Column, n: Int): Column =
+    call_function("char_ngrams", s, lit(n))
+
+  /** The language-ID trigram case of [[charNgrams]]. */
+  def charTrigrams(s: Column): Column = charNgrams(s, 3)
+
   /** Sequential-fold dot product of two double arrays — bit-identical to
     * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` (the (((0+x₁)+x₂)+…) order
     * the DuckDB oracle's `list_reduce(list_prepend(0.0, …))` replays), but
@@ -165,6 +179,96 @@ case class WordNgramsExpr(child: Expression, n: Int)
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct character n-gram set (first-occurrence order, matching
+  * `array_distinct(transform(sequence(1, len-n+1), i -> substring(s,i,n)))`
+  * — NativeSpec asserts the parity). Character semantics are SQL
+  * `substring`'s (code-unit-per-char via UTF8String), so multi-byte text
+  * grams identically to the HOF form. */
+case class CharNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "n must be >= 1")
+
+  override def prettyName: String = "char_ngrams"
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"char_ngrams needs string, got ${other.sql}")
+  }
+
+  /** One pass over the UTF-8 bytes: char starts are walked once (same
+    * `numBytesForFirstByte` walk SQL `substring` uses, so multi-byte parity
+    * holds), grams are deduped in an open-addressing table of char indexes
+    * (FNV-1a over the byte span, linear probing, byte-wise equality on
+    * collision — exact, not hash-trusting), and only the DISTINCT grams are
+    * materialized as strings at the end. The naive per-position
+    * `substringSQL` + `LinkedHashSet[UTF8String]` form allocated two
+    * objects per CHARACTER of input and benched 3× slower on q52. */
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val b = input.asInstanceOf[UTF8String].getBytes
+    val nb = b.length
+    var nc = 0
+    var i = 0
+    while (i < nb) { i += UTF8String.numBytesForFirstByte(b(i)); nc += 1 }
+    if (nc < n) return new GenericArrayData(Array.empty[AnyRef])
+    val offs = new Array[Int](nc + 1)
+    i = 0
+    var c = 0
+    while (i < nb) {
+      offs(c) = i; i += UTF8String.numBytesForFirstByte(b(i)); c += 1
+    }
+    offs(nc) = nb
+    val nGrams = nc - n + 1
+    var cap = 4
+    while (cap < nGrams * 2) cap <<= 1
+    val table = new Array[Int](cap) // 0 = empty, else gram start char + 1
+    val mask = cap - 1
+    val order = new Array[Int](nGrams) // first-occurrence order of distincts
+    var distinct = 0
+    var g = 0
+    while (g < nGrams) {
+      val from = offs(g)
+      val until = offs(g + n)
+      var h = 0x811c9dc5
+      var p = from
+      while (p < until) { h = (h ^ (b(p) & 0xff)) * 0x01000193; p += 1 }
+      var slot = h & mask
+      var done = false
+      while (!done) {
+        val e = table(slot)
+        if (e == 0) {
+          table(slot) = g + 1; order(distinct) = g; distinct += 1; done = true
+        } else {
+          val ef = offs(e - 1)
+          val len = until - from
+          var same = (offs(e - 1 + n) - ef) == len
+          var q = 0
+          while (same && q < len) { same = b(ef + q) == b(from + q); q += 1 }
+          if (same) done = true else slot = (slot + 1) & mask
+        }
+      }
+      g += 1
+    }
+    val out = new Array[AnyRef](distinct)
+    var d = 0
+    while (d < distinct) {
+      val gs = order(d)
+      out(d) = UTF8String.fromBytes(b, offs(gs), offs(gs + n) - offs(gs))
+      d += 1
+    }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -156,7 +156,11 @@ object Text {
     * STAGING CONTRACT (see [[shingleHashes]]): pass an attribute or a
     * cheap column — the argument is referenced inside a per-position
     * lambda, so passing `normText(text)` directly re-runs the regex once
-    * per character (measured 17 s at sf0.1 vs ~1 s staged). */
+    * per character (measured 17 s at sf0.1 vs ~1 s staged).
+    *
+    * HOT PATHS: use [[Native.charTrigrams]] instead — one native pass,
+    * child evaluated once, no staging contract (NativeSpec pins the
+    * parity); this HOF form remains as the executable specification. */
   def charTrigrams(normed: Column): Column =
     when(length(normed) < 3, array().cast("array<string>"))
       .otherwise(array_distinct(transform(

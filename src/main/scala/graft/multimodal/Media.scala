@@ -71,8 +71,12 @@ object Media {
       it.map { r =>
         val (w, h, _) = codec.decodeStub(r.media)
         val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
-        val (tw, th) = (math.max(1, math.round(w * scale).toInt),
-                        math.max(1, math.round(h * scale).toInt))
+        // floor(x + 0.5) with the add performed in IEEE double — the exact
+        // op sequence the DuckDB oracle runs. (Math.round is NOT that: since
+        // Java 8 it computes floor(x+0.5) in exact arithmetic, diverging on
+        // the 0.49999999999999994-class inputs half an ulp below n+0.5.)
+        val (tw, th) = (math.max(1, math.floor(w * scale + 0.5).toInt),
+                        math.max(1, math.floor(h * scale + 0.5).toInt))
         ResizedMedia(r.doc_id, w, h, tw, th,
           codec.reencodeStub(r.media, tw, th))
       }
@@ -119,8 +123,9 @@ object Media {
   /** q56: the resize pipeline's integer outputs (source + thumb dims),
     * oracle-checked — the aspect-preserving fit arithmetic runs on
     * stub-decoded dims, so DuckDB replays the identical IEEE ops:
-    * scale = min(1, 256/max(w,h)); thumb = max(1, floor(side*scale+0.5))
-    * (`floor(x+0.5)` IS `math.round` for positive doubles). */
+    * scale = min(1, 256/max(w,h)); thumb = max(1, floor(side*scale+0.5)),
+    * with [[Media.resize]] computing literally `math.floor(x + 0.5)` so
+    * both engines perform the identical IEEE add-then-floor. */
   def resizedDims(s: SparkSession, d: String): DataFrame =
     resize(mediaRecords(s, d), maxSide = 256)
       .select(col("doc_id"), col("width"), col("height"),

@@ -467,13 +467,12 @@ object Documents {
     * synthetic corpus is English-ish so 'en' dominates here.) */
   def charNgramLangId(s: SparkSession, d: String): DataFrame = {
     val langs = Text.LangProfiles.map(_._1)
-    // nt staged as an attribute (Text staging contract): charTrigrams
-    // references it per character position; the alias survives collapse
-    // because the trigram expression references it 3× (guard, bound, body)
+    // native char_ngrams evaluates its child (the regex normalize) exactly
+    // once per row — no HOF staging contract needed; `tg` itself survives
+    // CollapseProject because the 4 langHits below reference it 4×
     val scored = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), Text.normText(col("text")).as("nt"))
       .select(col("doc_id"), col("lang"),
-        Text.charTrigrams(col("nt")).as("tg"))
+        Native.charTrigrams(Text.normText(col("text"))).as("tg"))
       .select(col("doc_id") +: col("lang") +:
         langs.map(l => Text.langHits(col("tg"), l).as(s"h_$l")): _*)
     // argmax with deterministic tie-break = profile declaration order

@@ -78,7 +78,20 @@ object Events {
     * gaps-and-islands: a session breaks where the gap from the previous
     * event is >= 30 min (Spark sessions are half-open `[start, last+gap)`,
     * so an event at exactly +30min starts a NEW session — hence the strict
-    * `<` in the oracle's merge condition). */
+    * `<` in the oracle's merge condition).
+    *
+    * PUSHDOWN TRAP for downstream consumers: do NOT `.filter` on a column
+    * derived from the `session_window` struct (start/end). Catalyst treats
+    * it as a grouping expression and pushes the predicate BELOW the
+    * aggregate, where it evaluates against each event's PRE-MERGE
+    * `[ts, ts+gap)` window — silently dropping events before session
+    * merging and emitting phantom split sessions (reproduced on harness
+    * data: filtering `session_end < cutoff` split two 2-event sessions
+    * whose later event's own window crossed the cutoff). If a session
+    * boundary must be filtered or compared on, derive it from an AGGREGATE
+    * instead — `max(ts) + gap` for the end, `min(ts)` for the start —
+    * which the optimizer cannot push below the aggregation. StreamsSpec's
+    * sessionizer-equivalence test uses exactly that form. */
   def sessionWindows(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))

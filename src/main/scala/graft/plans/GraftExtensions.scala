@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProductExpr, MinHashBandsExpr, SimHash60Expr,
-  WordNgramsExpr}
+import graft.functions.{CharNgramsExpr, DotProductExpr, MinHashBandsExpr,
+  SimHash60Expr, WordNgramsExpr}
 
 /** Engine extension point — registers the native dedup kernels with the
   * session's function registry via the PUBLIC `SparkSessionExtensions` API
@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "shingles_ngram(words, n) takes 2 args")
         WordNgramsExpr(args.head, intArg(args(1), "n"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNgramsExpr].getName, "char_ngrams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "char_ngrams(str, n) takes 2 args")
+        CharNgramsExpr(args.head, intArg(args(1), "n"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),

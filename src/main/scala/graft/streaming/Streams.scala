@@ -59,17 +59,17 @@ object Streams {
     * first-wins on `key` — idempotent, so checkpoint replay is safe
     * (the reference's concat+dedup+overwrite per batch).
     *
-    * Filesystem access goes through the Hadoop `FileSystem` API resolved
-    * from the sink path (portable to HDFS/S3 — `java.io.File` would
-    * silently report "missing" on any real lake and re-bootstrap the
-    * sink), and the merge is written to a TEMP directory first, then
-    * swapped into place. Writing the merged result directly over the path
-    * it reads from would need the read side fully materialized first;
-    * relying on `cache()` for that is unsafe (cached blocks are evictable,
-    * and a recompute mid-overwrite re-reads a half-deleted sink). The
-    * tmp-write fully drains the read plan to durable storage before the
-    * target is touched; the delete+rename window is covered by
-    * foreachBatch replay idempotence (first-wins merge). */
+    * Durability is [[graft.etl.Merge.writeAndSwap]]'s contract (shared
+    * with the batch S7 sink): Hadoop-FS, drain-to-temp-then-swap, rename
+    * failures thrown, and — critically — orphan recovery at batch start.
+    * Replay idempotence alone does NOT cover a death between
+    * delete(target) and rename: the restarted batch would find no target,
+    * merge against an EMPTY existing set, and permanently lose every
+    * previously merged batch (ADVICE r3). `recoverSwap` inside
+    * `writeAndSwap` adopts the orphaned temp — which is always a complete
+    * merge result, since the target is only deleted after the temp write
+    * returns — before the existing set is read. StreamsSpec's
+    * crash-recovery case replays exactly that death. */
   def mergeSink(events: DataFrame, key: String, path: String,
                 checkpoint: String): StreamingQuery =
     events.writeStream
@@ -80,15 +80,13 @@ object Streams {
         val s = batch.sparkSession
         val target = new org.apache.hadoop.fs.Path(path)
         val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+        graft.etl.Merge.recoverSwap(fs, path) // BEFORE reading existing
         val existing =
           if (fs.exists(target))
             s.read.schema(batch.schema).parquet(path)
           else batch.limit(0)
         val merged = graft.etl.Merge.firstWinsMerge(existing, batch.toDF(), key)
-        val tmp = new org.apache.hadoop.fs.Path(s"$path.tmp-$batchId")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(target)) fs.delete(target, true)
-        fs.rename(tmp, target)
+        graft.etl.Merge.writeAndSwap(merged, path, batchId.toString)
         ()
       }
       .start()

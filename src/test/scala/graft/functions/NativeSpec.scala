@@ -48,6 +48,29 @@ class NativeSpec extends SparkSpec {
     assert(bands(0).toSet.intersect(bands(2).toSet).isEmpty)
   }
 
+  test("native char_ngrams == HOF charTrigrams, order included") {
+    val strs = Seq(
+      "the quick brown fox",
+      "aaaa",            // repeated grams → distinct set, first-occurrence order
+      "ab",              // shorter than one trigram → empty
+      "",                // empty string
+      "héllo wörld déjà" // multi-byte chars gram by character, not byte
+    )
+    val out = strs.toDF("s").select(
+        Native.charTrigrams(col("s")).as("a"),
+        Text.charTrigrams(col("s")).as("b"))
+      .as[(Seq[String], Seq[String])].collect()
+    out.foreach { case (a, b) => assert(a === b) }
+    assert(out(1)._1 === Seq("aaa"))
+    assert(out(2)._1 === Seq.empty)
+    // null input → null out on both surfaces
+    val nulls = Seq(Option.empty[String]).toDF("s").select(
+        Native.charTrigrams(col("s")).as("a"),
+        Text.charTrigrams(col("s")).as("b"))
+      .as[(Option[Seq[String]], Option[Seq[String]])].collect()
+    assert(nulls.head._1 === None && nulls.head._2 === None)
+  }
+
   test("native dot product == HOF sequential fold, bit-exact") {
     val vecs = Seq(
       (Seq(0.1, 0.2, 0.3, 0.7), Seq(0.4, 0.5, 0.6, 1.1)),

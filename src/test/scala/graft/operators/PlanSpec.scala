@@ -87,6 +87,48 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("band"), "chunk join key missing from plan")
   }
 
+  test("q16: the regex split is evaluated at most twice (pushed filter + project)") {
+    // r3 verdict "What's wrong" #2: the filter-between-two-projects shape
+    // re-ran split(text) up to 4×/row once pushdown substituted the alias.
+    // The single-select + derived-column-filter shape pins it at ≤2: one
+    // eval in the pushed-down row filter (early pruning), one in the
+    // project whose `words` attribute all three output columns share.
+    // the FileScan line re-lists the Filter's DataFilters textually — not
+    // an extra evaluation — so count only operator (Filter/Project) lines
+    val p = plan(q("q16_arity_filter"))
+      .linesIterator.filterNot(_.contains("FileScan")).mkString("\n")
+    val n = "split\\(text".r.findAllIn(p).length
+    assert(n <= 2 && n >= 1, s"q16 evaluates the split $n times:\n$p")
+  }
+
+  test("q52: trigrams come from the native kernel, evaluated once") {
+    val p = plan(q("q52_char_ngram_langid"))
+    val n = "char_ngrams\\(".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly one native char_ngrams eval, got $n:\n$p")
+    assert(!p.contains("transform(sequence"),
+      "q52 regressed to the interpreted per-position HOF trigram lambda")
+  }
+
+  test("q56/q57: media decode is one mapPartitions stage; binary never shuffles") {
+    Seq("q56_media_resize", "q57_frame_sample").foreach { name =>
+      // unwrap AQE: AdaptiveSparkPlanExec is a leaf to collect(), the real
+      // tree hangs off its executedPlan
+      val planTree = q(name).queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val mps = planTree.collect {
+        case p if p.nodeName.contains("MapPartitions") => p }
+      assert(mps.length == 1,
+        s"$name: expected exactly one MapPartitions stage, got ${mps.length}")
+      val shufflesBelow = mps.head.collect {
+        case e if e.nodeName.contains("Exchange") => e }
+      assert(shufflesBelow.isEmpty,
+        s"$name: an Exchange below the decode would shuffle the binary payload")
+    }
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sfDir))
