@@ -31,13 +31,24 @@ object Bench {
     * driver budget while making a single contended pass non-fatal. */
   val Passes = 3
 
-  /** Per-query seconds from the newest `BENCH_r{N}.json` in cwd, if any.
-    * The known flat shape (`"queries":{"qNN_name":sec,…}`) is parsed with a
-    * regex — query keys are the only `"qNN_…":number` pairs in the file —
-    * so no JSON dependency and a malformed/missing file degrades to
-    * "no prev", never a bench failure. The driver's file embeds our stdout
-    * line as an ESCAPED string (`\"qNN\":sec`), so the quotes may carry a
-    * backslash — `\\?` accepts both framings. */
+  /** Per-query seconds out of a bench-file's text. The known flat shape
+    * (`"queries":{"qNN_name":sec,…}`) is parsed with a regex — query keys
+    * are the only `"qNN_…":number` pairs in the file — so no JSON
+    * dependency. The driver's file embeds our stdout line as an ESCAPED
+    * string (`\"qNN\":sec`), so the quotes may carry a backslash — `\\?`
+    * accepts both framings (BenchSpec pins both). In our own output the
+    * per-query DETAIL entries (`"qNN":{"min":…}`) don't re-match: their
+    * value starts with `{`, not a digit. */
+  def parseQueryTimes(txt: String): Map[String, Double] =
+    """"(q\d+[A-Za-z0-9_]*)\\?"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r
+      .findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter(_._2 >= 0) // a failed (-1) prev is no baseline
+      .toMap
+
+  /** [[parseQueryTimes]] over the newest `BENCH_r{N}.json` in cwd, if any.
+    * A malformed/missing file degrades to "no prev", never a bench
+    * failure. */
   def prevQueryTimes(): Map[String, Double] =
     try {
       val rx = """BENCH_r(\d+)\.json""".r
@@ -52,11 +63,7 @@ object Bench {
           val src = scala.io.Source.fromFile(files.maxBy(_._1)._2, "UTF-8")
           try src.mkString finally src.close()
         }
-        """"(q\d+[A-Za-z0-9_]*)\\?"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r
-          .findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter(_._2 >= 0) // a failed (-1) prev is no baseline
-          .toMap
+        parseQueryTimes(txt)
       }
     } catch { case _: Throwable => Map.empty }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Native
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (64-dim `Array[Float]`, 10-way `label` partitioning) — the north-star
@@ -145,9 +146,13 @@ object Similarity {
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   // ── q35: embedding-cosine near-dup via random-hyperplane LSH ────────────
-  /** Fixed pseudo-random hyperplanes (Knuth-hash doubles in [-0.5, 0.5)),
-    * constant-folded into the plan. */
-  private def hyperplane(j: Int): Seq[Double] =
+  /** Fixed pseudo-random hyperplanes (Knuth-hash doubles in [-0.5, 0.5)).
+    * The sketch is computed by the fused native `sign_sketch` kernel
+    * ([[graft.functions.Native.signSketch]]), which derives exactly these
+    * values inline; this generator remains as the executable spec —
+    * NativeSpec asserts the fused kernel matches a literal-array
+    * reconstruction built from it, sign for sign. */
+  private[graft] def hyperplane(j: Int): Seq[Double] =
     (0 until 64).map(i =>
       (((j.toLong * 64 + i) * 2654435761L) % 1000L) / 1000.0 - 0.5)
 
@@ -186,11 +191,12 @@ object Similarity {
         .select((col("vec_id") + 100000L).as("vec_id"),
           transform(col("v"), x => x * 1.0001).as("v")))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    // fused native sketch: the per-bit literal-hyperplane form built a
+    // ~4000-node expression whose planning + codegen compilation alone
+    // cost ~1.2 s/run (measured, r4) — the kernel arithmetic is identical
+    // (same Knuth constants, same fold order), so buckets don't move
     val sketched = corpus.withColumn("sketch",
-      (0 until SketchBits).map { j =>
-        val h = array(hyperplane(j).map(lit): _*)
-        when(dot(col("v"), h) >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _))
+      Native.signSketch(col("v"), SketchBits))
     val chunks = sketched.select(col("vec_id"),
         explode(array((0 until NChunks).map(c =>
           struct(lit(c).as("chunk"),

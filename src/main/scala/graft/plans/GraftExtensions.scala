@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 import graft.functions.{CharNgramsExpr, DotProductExpr, MinHashBandsExpr,
-  SimHash60Expr, WordNgramsExpr}
+  SignSketchExpr, SimHash60Expr, WordNgramsExpr}
 
 /** Engine extension point — registers the native dedup kernels with the
   * session's function registry via the PUBLIC `SparkSessionExtensions` API
@@ -55,6 +55,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "dot_product(a, b) takes 2 args")
         DotProductExpr(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sign_sketch"),
+      new ExpressionInfo(classOf[SignSketchExpr].getName, "sign_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "sign_sketch(v, bits) takes 2 args")
+        SignSketchExpr(args.head, intArg(args(1), "bits"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("simhash60"),

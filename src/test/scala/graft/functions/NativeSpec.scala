@@ -86,6 +86,26 @@ class NativeSpec extends SparkSpec {
     }
   }
 
+  test("native sign_sketch == per-bit literal-hyperplane dots, sign for sign") {
+    // reconstruct the sketch the unfused way: 60 literal hyperplane
+    // arrays (the Similarity generator), one dot + sign test per bit
+    val vecs = Seq(
+      Seq.tabulate(64)(i => math.sin(i + 1)),            // arbitrary dense
+      Seq.tabulate(64)(i => math.sin(i + 1) * 1.0001),   // scaled twin
+      Seq.tabulate(64)(i => -0.25 + (i % 7) * 0.1),      // small values
+      Seq.fill(64)(0.0))                                  // all-zero → all acc=0 → all bits set
+    val unfused = vecs.toDF("v").select(
+      (0 until 60).map { j =>
+        val h = array(graft.operators.Similarity.hyperplane(j).map(lit): _*)
+        when(Native.dotProduct(col("v"), h) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _).as("s"))
+    val fused = vecs.toDF("v").select(Native.signSketch(col("v"), 60).as("s"))
+    assert(fused.as[Long].collect().toSeq === unfused.as[Long].collect().toSeq)
+    // scaled twin keeps the identical sketch (the q35 planted-pair invariant)
+    val out = fused.as[Long].collect()
+    assert(out(0) === out(1))
+  }
+
   test("kernels are SQL-callable through the registry") {
     val n = df.createOrReplaceTempView("t")
     val out = spark.sql(
