@@ -144,4 +144,25 @@ object Tables {
     * pre-merged input is the idempotent pattern (see Merge.mergeWrite). */
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode("overwrite").option("header", header.toString).csv(path)
+
+  /** JSONL (one JSON object per line) read with a DECLARED schema — the
+    * interchange format LLM training corpora actually ship in. Same
+    * no-inference stance as [[loadCsv]] (a second inference pass over
+    * 100 TB of JSONL would both cost a full scan and drift types between
+    * resumes) and the same FAILFAST contract: malformed lines throw
+    * rather than silently nulling a shard. Spark's json source IS
+    * line-delimited by default, splittable per line at any scale. */
+  def loadJsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema)
+      .option("mode", "FAILFAST")
+      .json(path)
+
+  /** JSONL write. `ignoreNullFields=false` keeps null-valued keys in the
+    * output so a round-trip preserves row shape (the default drops them,
+    * which re-reads fine with an explicit schema but breaks downstream
+    * consumers that key-check records). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("ignoreNullFields", "false")
+      .json(path)
 }
