@@ -56,20 +56,49 @@ class MergeSpec extends SparkSpec {
     val batch1 = kv(Seq(1L -> "a", 2L -> "b"))
     Merge.mergeWrite(batch1.limit(0), batch1, "k", path)
     val incoming = kv(Seq(2L -> "XX", 3L -> "c"))
-    def runIncremental(): Unit = {
-      val existing = spark.read.parquet(path)
-      // materialize before overwriting the path being read
-      val merged = Merge.firstWinsMerge(existing, incoming, "k").cache()
-      merged.count()
-      merged.write.mode("overwrite").parquet(path)
-      merged.unpersist()
-    }
+    // `existing` is read FROM the path being republished — safe because
+    // writeAndSwap fully drains the merge to a temp dir before touching
+    // the target (no cache() dance needed)
+    def runIncremental(): Unit =
+      Merge.mergeWrite(spark.read.parquet(path), incoming, "k", path)
     runIncremental()
     val after1 = spark.read.parquet(path).as[(Long, String)].collect().sorted
     runIncremental() // E3: re-running the pass adds nothing
     val after2 = spark.read.parquet(path).as[(Long, String)].collect().sorted
     assert(after1 === Array(1L -> "a", 2L -> "b", 3L -> "c"))
     assert(after2 === after1)
+  }
+
+  test("writeAndSwap publishes exactly the dataframe and leaves no temp") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-swap").toString
+    val path = s"$base/sink"
+    Merge.writeAndSwap(kv(Seq(1L -> "a", 2L -> "b")), path, "t0")
+    Merge.writeAndSwap(kv(Seq(3L -> "c")), path, "t1") // republish over it
+    val out = spark.read.parquet(path).as[(Long, String)].collect().sorted
+    assert(out === Array(3L -> "c"))
+    val leftovers = new java.io.File(base).listFiles().map(_.getName).toSet
+    assert(leftovers === Set("sink"), s"temp dirs survived the swap: $leftovers")
+  }
+
+  test("recoverSwap adopts the newest orphan; no-ops when the target exists") {
+    val fsPath = new org.apache.hadoop.fs.Path("/")
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-recover").toString
+    val path = s"$base/sink"
+    // two orphans with distinct mtimes, no target: the crash left the
+    // NEWEST one as the complete merge result — it must win
+    kv(Seq(1L -> "old")).write.parquet(s"$path.tmp-1")
+    Thread.sleep(1100) // local FS mtime granularity is a full second
+    kv(Seq(1L -> "old", 2L -> "new")).write.parquet(s"$path.tmp-2")
+    Merge.recoverSwap(fs, path)
+    val out = spark.read.parquet(path).as[(Long, String)].collect().sorted
+    assert(out === Array(1L -> "old", 2L -> "new"))
+    // target present now → a second recovery must not touch anything
+    Merge.recoverSwap(fs, path)
+    val again = spark.read.parquet(path).as[(Long, String)].collect().sorted
+    assert(again === out)
   }
 
   // ScalaCheck generators driven by fixed seeds (scalatestplus isn't in the
