@@ -91,6 +91,19 @@ object Native {
   def signSketch(v: Column, bits: Int): Column =
     call_function("sign_sketch", v, lit(bits))
 
+  /** Split a long into `nChunks` disjoint `chunkBits`-wide band structs
+    * (`array<struct<band:int, bh:bigint>>`) — semantics of
+    * [[Text.simhashChunks]] as ONE expression. The point is not the
+    * arithmetic (4 shifts) but EVALUATION COUNT under `explode`: a
+    * generator built as `array(struct(.. sig ..) × 4)` carries four
+    * references to the signature column, and the optimizer inlines the
+    * signature's whole subtree into each — q35 was re-running its fused
+    * sketch kernel 4×/row, q54 its simhash. `explode(long_chunks(sig))`
+    * evaluates the signature exactly once per row, whatever gets inlined.
+    * PlanSpec pins the eval counts. */
+  def longChunks(x: Column, nChunks: Int, chunkBits: Int): Column =
+    call_function("long_chunks", x, lit(nChunks), lit(chunkBits))
+
   /** Sequential-fold dot product of two double arrays — bit-identical to
     * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` (the (((0+x₁)+x₂)+…) order
     * the DuckDB oracle's `list_reduce(list_prepend(0.0, …))` replays), but
@@ -360,6 +373,47 @@ case class DotProductExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** See [[Native.longChunks]]. `(x >> k) & mask` equals
+  * `pmod(shiftright(x, k), 2^bits)` on the whole long domain (two's
+  * complement), so the HOF parity holds for negative inputs too —
+  * NativeSpec checks one. */
+case class LongChunksExpr(child: Expression, nChunks: Int, chunkBits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(nChunks >= 1 && chunkBits >= 1 && nChunks * chunkBits <= 64,
+    s"nChunks($nChunks) * chunkBits($chunkBits) must fit in 64 bits")
+
+  override def prettyName: String = "long_chunks"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("band", IntegerType, nullable = false),
+      StructField("bh", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case LongType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"long_chunks needs bigint, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[Long]
+    val mask = (1L << chunkBits) - 1
+    val out = new Array[AnyRef](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      out(c) = InternalRow(c, (x >> (c * chunkBits)) & mask)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** See [[Native.signSketch]]. The hyperplane component is recomputed

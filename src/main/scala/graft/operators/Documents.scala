@@ -194,9 +194,12 @@ object Documents {
     val docs = corpusWithVariants(s, d)
       .select(col("doc_id"),
         Native.simhash60(Text.toWords(col("text"))).as("sh"))
+    // native long_chunks so the generator evaluates the simhash ONCE per
+    // row — the HOF simhashChunks form carries 4 references to `sh` and
+    // the optimizer inlines the whole per-word kernel into each
     val chunks = docs
       .select(col("doc_id"), col("sh"),
-        explode(Text.simhashChunks(col("sh"))).as("c"))
+        explode(Native.longChunks(col("sh"), 4, 15)).as("c"))
       .select(col("doc_id"), col("sh"),
         col("c.band").as("band"), col("c.bh").as("bh"))
     val cand = chunks.as("x").join(chunks.as("y"),

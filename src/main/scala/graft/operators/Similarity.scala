@@ -197,12 +197,13 @@ object Similarity {
     // (same Knuth constants, same fold order), so buckets don't move
     val sketched = corpus.withColumn("sketch",
       Native.signSketch(col("v"), SketchBits))
+    // long_chunks, not array(struct(..sketch..)×4): the 4-reference array
+    // form gets the sketch subtree inlined into the generator 4× (one
+    // kernel eval per chunk, PlanSpec-measured); the single-expression
+    // form evaluates it once per row
     val chunks = sketched.select(col("vec_id"),
-        explode(array((0 until NChunks).map(c =>
-          struct(lit(c).as("chunk"),
-                 pmod(shiftright(col("sketch"), c * ChunkBits),
-                   lit(1L << ChunkBits)).as("cv"))): _*)).as("ch"))
-      .select(col("vec_id"), col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
+        explode(Native.longChunks(col("sketch"), NChunks, ChunkBits)).as("ch"))
+      .select(col("vec_id"), col("ch.band").as("chunk"), col("ch.bh").as("cv"))
     val cand = chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
         col("x.vec_id") < col("y.vec_id"))

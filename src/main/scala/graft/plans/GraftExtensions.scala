@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CharNgramsExpr, DotProductExpr, MinHashBandsExpr,
-  SignSketchExpr, SimHash60Expr, WordNgramsExpr}
+import graft.functions.{CharNgramsExpr, DotProductExpr, LongChunksExpr,
+  MinHashBandsExpr, SignSketchExpr, SimHash60Expr, WordNgramsExpr}
 
 /** Engine extension point — registers the native dedup kernels with the
   * session's function registry via the PUBLIC `SparkSessionExtensions` API
@@ -55,6 +55,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "dot_product(a, b) takes 2 args")
         DotProductExpr(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("long_chunks"),
+      new ExpressionInfo(classOf[LongChunksExpr].getName, "long_chunks"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "long_chunks(x, nChunks, chunkBits) takes 3 args")
+        LongChunksExpr(args.head, intArg(args(1), "nChunks"),
+          intArg(args(2), "chunkBits"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("sign_sketch"),

@@ -106,6 +106,16 @@ class NativeSpec extends SparkSpec {
     assert(out(0) === out(1))
   }
 
+  test("native long_chunks == HOF simhashChunks, negative longs included") {
+    val xs = Seq(0L, 1L, (1L << 60) - 1, 0x7fffffffffffffffL, -1L,
+      -123456789012345L, 0x123456789abcdefL)
+    val out = xs.toDF("x").select(
+        Native.longChunks(col("x"), 4, 15).as("a"),
+        Text.simhashChunks(col("x")).as("b"))
+      .as[(Seq[(Int, Long)], Seq[(Int, Long)])].collect()
+    out.foreach { case (a, b) => assert(a === b) }
+  }
+
   test("kernels are SQL-callable through the registry") {
     val n = df.createOrReplaceTempView("t")
     val out = spark.sql(

@@ -109,6 +109,27 @@ class PlanSpec extends SparkSpec {
       "q52 regressed to the interpreted per-position HOF trigram lambda")
   }
 
+  test("q35: the sketch is one fused sign_sketch eval, not 60 dot products") {
+    // the unfused per-bit form built a ~4000-node tree whose planning +
+    // codegen compile alone cost ~1.2 s per run (r4 measurement)
+    val p = plan(q("q35_cosine_neardup"))
+    val sketches = "sign_sketch\\(".r.findAllIn(p).length
+    assert(sketches == 1, s"expected one fused sign_sketch eval, got $sketches")
+    val dots = "dot_product\\(".r.findAllIn(p).length
+    assert(dots <= 6, // norm + verify dots only, never the 60-dot sketch
+      s"q35 regressed toward per-bit hyperplane dots ($dots dot_products):\n$p")
+  }
+
+  test("q54: the simhash kernel is evaluated at most twice per row") {
+    // explode(long_chunks(sh)) evaluates sh once in the generator; the
+    // pass-through `sh` output column may cost one more if the alias gets
+    // inlined — never the 4-refs-in-the-generator blowup of the HOF
+    // chunking form
+    val p = plan(q("q54_simhash_neardup"))
+    val n = "simhash60\\(".r.findAllIn(p).length
+    assert(n <= 2, s"q54 evaluates simhash60 $n times per row:\n$p")
+  }
+
   test("q56/q57: media decode is one mapPartitions stage; binary never shuffles") {
     Seq("q56_media_resize", "q57_frame_sample").foreach { name =>
       // unwrap AQE: AdaptiveSparkPlanExec is a leaf to collect(), the real
