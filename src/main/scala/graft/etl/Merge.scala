@@ -90,10 +90,28 @@ object Merge {
     * directory FIRST (also why reading `existing` from `path` itself is
     * safe — a direct `mode("overwrite")` would delete the files the lazy
     * read plan still needs), then swapped in with crash recovery.
-    * Re-running adds nothing (first-wins) — E3's core invariant. */
-  def mergeWrite(existing: DataFrame, incoming: DataFrame, key: String,
-                 path: String): Unit =
+    * Re-running adds nothing (first-wins) — E3's core invariant.
+    *
+    * This reads `existing` from `path` ITSELF, after running
+    * [[recoverSwap]] — the ordering is the crash-safety contract
+    * (ADVICE r4): a caller-supplied `existing` frame would be constructed
+    * BEFORE writeAndSwap's internal recovery ran, so in the
+    * death-between-delete-and-rename window the caller either fails on the
+    * missing path or, worse, bootstraps an empty frame and lets
+    * writeAndSwap adopt-then-delete the orphan — merging against the
+    * empty set and silently dropping every previously accumulated row. A
+    * missing path AFTER recovery genuinely means first run → bootstrap
+    * from the incoming batch's own (empty) shape. */
+  def mergeWrite(incoming: DataFrame, key: String, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      incoming.sparkSession.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, path)
+    val existing =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        incoming.sparkSession.read.schema(incoming.schema).parquet(path)
+      else incoming.limit(0)
     writeAndSwap(firstWinsMerge(existing, incoming, key), path, "merge")
+  }
 
   /** Crash-safe publish of a dataframe to `path`: drain to
     * `$path.tmp-$token`, delete the old target, rename the temp into

@@ -87,7 +87,14 @@ object Native {
     * cost ~1.2 s per run (measured, sf0.1), dwarfing its own arithmetic.
     * Same left-fold accumulation order per hyperplane, so every sign —
     * and therefore every LSH bucket — is bit-identical to the unfused
-    * form. Null/empty vector or null element → null sketch. */
+    * form ON CLEAN FIXED-LENGTH VECTORS. Edge semantics (ADVICE r4):
+    * null vector → null; EMPTY vector → all-bits-set sketch (every
+    * accumulator is 0.0, and sign(0) sets the bit — same as the unfused
+    * `when(dot >= 0)` form); a null ELEMENT → null sketch, which DIVERGES
+    * from the unfused form's `otherwise(0)` per-bit fallback (sketch 0) —
+    * a null-element row drops out of LSH banding entirely here rather
+    * than landing in bucket 0. Pre-filter null vectors if rows must
+    * survive. */
   def signSketch(v: Column, bits: Int): Column =
     call_function("sign_sketch", v, lit(bits))
 
@@ -384,6 +391,12 @@ case class LongChunksExpr(child: Expression, nChunks: Int, chunkBits: Int)
   require(nChunks >= 1 && chunkBits >= 1 && nChunks * chunkBits <= 64,
     s"nChunks($nChunks) * chunkBits($chunkBits) must fit in 64 bits")
 
+  // -1L >>> (64 - chunkBits), NOT (1L << chunkBits) - 1: Java shifts mod
+  // 64, so the latter wraps to 0 at chunkBits = 64 and every chunk would
+  // silently read as 0 (ADVICE r4). The unsigned-shift form is exact on
+  // the whole permitted range [1, 64].
+  private val mask = -1L >>> (64 - chunkBits)
+
   override def prettyName: String = "long_chunks"
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -402,7 +415,6 @@ case class LongChunksExpr(child: Expression, nChunks: Int, chunkBits: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[Long]
-    val mask = (1L << chunkBits) - 1
     val out = new Array[AnyRef](nChunks)
     var c = 0
     while (c < nChunks) {
@@ -426,7 +438,17 @@ case class SignSketchExpr(child: Expression, bits: Int)
 
   override def prettyName: String = "sign_sketch"
   override def dataType: DataType = LongType
-  override def nullable: Boolean = true
+
+  /** Exact, not a blanket `true` (r4 verdict): the result is null iff the
+    * input vector is null or contains a null element. A blanket-nullable
+    * signature invites InferFiltersFromConstraints to synthesize
+    * `isnotnull(sign_sketch(...))` join-key filters that re-inline this
+    * CodegenFallback kernel below its defining Project — the q35 3×/row
+    * re-evaluation. With a non-nullable child the constraint now folds. */
+  override def nullable: Boolean = child.nullable || (child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {

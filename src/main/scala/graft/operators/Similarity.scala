@@ -184,19 +184,32 @@ object Similarity {
     * trade (recall vs candidate count) is tuned via bits-per-chunk. */
   def cosineNearDup(s: SparkSession, d: String): DataFrame = {
     val base = Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
     val corpus = base.unionByName(
       base.filter(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 100000L).as("vec_id"),
           transform(col("v"), x => x * 1.0001).as("v")))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      // coalesce: same nullability launder as the sketch below — without
+      // it the verify join's sim predicate infers isnotnull(nrm) and
+      // pushes a Filter that re-inlines a SECOND 64-mult dot_product per
+      // row below this Project. The 0.0 arm never fires (embedding is
+      // null-filtered; a null element nulls the sim numerator anyway).
+      .withColumn("nrm", coalesce(sqrt(dot(col("v"), col("v"))), lit(0.0)))
     // fused native sketch: the per-bit literal-hyperplane form built a
     // ~4000-node expression whose planning + codegen compilation alone
     // cost ~1.2 s/run (measured, r4) — the kernel arithmetic is identical
     // (same Knuth constants, same fold order), so buckets don't move
+    // coalesce = nullability launder (r4 verdict): a nullable `sketch`
+    // lets InferFiltersFromConstraints push isnotnull(sign_sketch(...))
+    // below this Project from the chunk-join keys, re-inlining the kernel
+    // into per-branch Filters (4 plan evals where the fusion contract says
+    // 1). The base filter guarantees the 0L arm never fires (and a null
+    // ELEMENT would yield sketch 0 → candidates whose verify-stage cosine
+    // is null → filtered, same as the oracle's null-sim drop).
     val sketched = corpus.withColumn("sketch",
-      Native.signSketch(col("v"), SketchBits))
+      coalesce(Native.signSketch(col("v"), SketchBits), lit(0L)))
     // long_chunks, not array(struct(..sketch..)×4): the 4-reference array
     // form gets the sketch subtree inlined into the generator 4× (one
     // kernel eval per chunk, PlanSpec-measured); the single-expression

@@ -53,20 +53,34 @@ class MergeSpec extends SparkSpec {
   test("mergeWrite: the S7 sink write is idempotent on re-run") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-mergewrite").toString + "/sink"
-    val batch1 = kv(Seq(1L -> "a", 2L -> "b"))
-    Merge.mergeWrite(batch1.limit(0), batch1, "k", path)
+    // first run bootstraps the sink from the incoming batch's shape
+    Merge.mergeWrite(kv(Seq(1L -> "a", 2L -> "b")), "k", path)
     val incoming = kv(Seq(2L -> "XX", 3L -> "c"))
-    // `existing` is read FROM the path being republished — safe because
-    // writeAndSwap fully drains the merge to a temp dir before touching
-    // the target (no cache() dance needed)
-    def runIncremental(): Unit =
-      Merge.mergeWrite(spark.read.parquet(path), incoming, "k", path)
+    // mergeWrite reads `existing` FROM the path being republished — safe
+    // because writeAndSwap fully drains the merge to a temp dir before
+    // touching the target (no cache() dance needed)
+    def runIncremental(): Unit = Merge.mergeWrite(incoming, "k", path)
     runIncremental()
     val after1 = spark.read.parquet(path).as[(Long, String)].collect().sorted
     runIncremental() // E3: re-running the pass adds nothing
     val after2 = spark.read.parquet(path).as[(Long, String)].collect().sorted
     assert(after1 === Array(1L -> "a", 2L -> "b", 3L -> "c"))
     assert(after2 === after1)
+  }
+
+  test("mergeWrite heals a delete-rename crash BEFORE reading existing " +
+       "(ADVICE r4: no silent merge-against-empty)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-mergecrash").toString + "/sink"
+    // simulate death between delete and rename: the fully-written merge
+    // result survives only as an orphaned temp dir, target missing
+    kv(Seq(1L -> "a", 2L -> "b")).write.parquet(s"$path.tmp-merge")
+    Merge.mergeWrite(kv(Seq(3L -> "c")), "k", path)
+    // the accumulated rows must be adopted and merged against — a batch
+    // path that read `existing` before recovery would have bootstrapped
+    // empty and published only (3, c)
+    val out = spark.read.parquet(path).as[(Long, String)].collect().sorted
+    assert(out === Array(1L -> "a", 2L -> "b", 3L -> "c"))
   }
 
   test("writeAndSwap publishes exactly the dataframe and leaves no temp") {

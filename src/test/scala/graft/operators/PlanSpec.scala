@@ -17,6 +17,35 @@ class PlanSpec extends SparkSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** The FINAL adaptive plan — executes the query so AQE applies runtime
+    * exchange reuse, then keeps only the "== Final Plan ==" section (the
+    * toString also re-prints the pre-reuse initial plan below it). The
+    * final plan is the only honest place to count per-row kernel evals in
+    * a self-join: the two canonically-equal sides collapse to one map
+    * stage + a ReusedExchange only at execution time. */
+  private def finalPlan(df: DataFrame): String = {
+    df.queryExecution.toRdd.count()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  /** Run `body` with auto-broadcast off, giving small-SF plans the
+    * shuffle-join shape they would have at 100 TB — AQE broadcasts a tiny
+    * self-join side, and a broadcast BUILD side genuinely re-evaluates its
+    * projection, which is fine at sf0.001 but not the shape to audit. */
+  private def atScaleShape[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  /** Occurrences of `kernel(` on Filter operator lines — the r4 bug shape:
+    * an inferred isnotnull join-key constraint pushed below the defining
+    * Project re-inlines the whole kernel subtree into per-branch Filters. */
+  private def kernelInFilters(p: String, kernel: String): Int =
+    p.linesIterator.filter(_.contains("Filter"))
+      .map(l => s"$kernel\\(".r.findAllIn(l).length).sum
+
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sfDir)
 
@@ -109,25 +138,47 @@ class PlanSpec extends SparkSpec {
       "q52 regressed to the interpreted per-position HOF trigram lambda")
   }
 
-  test("q35: the sketch is one fused sign_sketch eval, not 60 dot products") {
-    // the unfused per-bit form built a ~4000-node tree whose planning +
-    // codegen compile alone cost ~1.2 s per run (r4 measurement)
-    val p = plan(q("q35_cosine_neardup"))
-    val sketches = "sign_sketch\\(".r.findAllIn(p).length
-    assert(sketches == 1, s"expected one fused sign_sketch eval, got $sketches")
-    val dots = "dot_product\\(".r.findAllIn(p).length
-    assert(dots <= 6, // norm + verify dots only, never the 60-dot sketch
-      s"q35 regressed toward per-bit hyperplane dots ($dots dot_products):\n$p")
+  test("q35: one fused sign_sketch eval per corpus row at the at-scale shape") {
+    // Three contracts, each a real regression caught in r2-r4:
+    //  (a) the sketch is the ONE fused kernel, not 60 per-bit dot products
+    //      (the unfused form's planning + codegen compile alone cost
+    //      ~1.2 s/run);
+    //  (b) the kernel never re-inlines into Filters (r4: a nullable sketch
+    //      attribute let InferFiltersFromConstraints push
+    //      isnotnull(sign_sketch(...)) below the Project — 2-3 evals/row);
+    //  (c) at the shuffle-join shape the self-join's second side is a
+    //      ReusedExchange, so the map stage computing the sketch runs ONCE.
+    // Counted on the FINAL adaptive plan: 2 Project occurrences = one per
+    // union branch over disjoint rows = 1 eval per corpus row.
+    atScaleShape {
+      val p = finalPlan(q("q35_cosine_neardup"))
+      assert(kernelInFilters(p, "sign_sketch") == 0,
+        s"sign_sketch re-inlined into a Filter (constraint pushdown):\n$p")
+      assert(p.contains("ReusedExchange"),
+        s"self-join side not reused — sketch map stage runs twice:\n$p")
+      val sketches = "sign_sketch\\(".r.findAllIn(p).length
+      assert(sketches <= 2, // one per union branch, disjoint rows
+        s"expected <=2 sign_sketch evals (1 per corpus row), got $sketches:\n$p")
+      val dots = "dot_product\\(".r.findAllIn(p).length
+      assert(dots <= 6, // norm + verify dots only, never the 60-dot sketch
+        s"q35 regressed toward per-bit hyperplane dots ($dots dot_products):\n$p")
+    }
   }
 
-  test("q54: the simhash kernel is evaluated at most twice per row") {
-    // explode(long_chunks(sh)) evaluates sh once in the generator; the
-    // pass-through `sh` output column may cost one more if the alias gets
-    // inlined — never the 4-refs-in-the-generator blowup of the HOF
-    // chunking form
-    val p = plan(q("q54_simhash_neardup"))
-    val n = "simhash60\\(".r.findAllIn(p).length
-    assert(n <= 2, s"q54 evaluates simhash60 $n times per row:\n$p")
+  test("q54: one simhash60 eval per corpus row at the at-scale shape") {
+    // same three contracts as q35 (see above) — r4's failure here was 12
+    // plan occurrences: Project + a pushed isnotnull Filter on each side
+    // of the self-join x the 2-branch variant-corpus union
+    atScaleShape {
+      val p = finalPlan(q("q54_simhash_neardup"))
+      assert(kernelInFilters(p, "simhash60") == 0,
+        s"simhash60 re-inlined into a Filter (constraint pushdown):\n$p")
+      assert(p.contains("ReusedExchange"),
+        s"self-join side not reused — simhash map stage runs twice:\n$p")
+      val n = "simhash60\\(".r.findAllIn(p).length
+      assert(n <= 2, // one per union branch, disjoint rows
+        s"expected <=2 simhash60 evals (1 per corpus row), got $n:\n$p")
+    }
   }
 
   test("q56/q57: media decode is one mapPartitions stage; binary never shuffles") {
