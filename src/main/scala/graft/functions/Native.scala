@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
@@ -121,8 +121,52 @@ object Native {
     call_function("dot_product", a, b)
 }
 
+/** Real codegen for the unary kernels WITHOUT hand-writing each loop in
+  * Java. `CodegenFallback` keeps the operator inside whole-stage codegen
+  * but evaluates the ENTIRE expression interpreted per call — including
+  * the child subtree, so q52's `char_ngrams(normText(text))` was paying
+  * an interpreted regex normalize per row, and every call crossed the
+  * megamorphic `eval(InternalRow)` dispatch. Here the CHILD is evaluated
+  * by whole-stage codegen (once, inline, shared with every other use of
+  * the column), and only the kernel body — already a tight primitive
+  * Scala loop, JIT-compiled once — is invoked through a bound reference.
+  * Same division of labor as Spark's own `StaticInvoke`/`Invoke` bridge
+  * expressions, built from the public `CodegenContext` API.
+  */
+trait KernelInvokeCodegen extends UnaryExpression {
+
+  /** Public bridge for generated code — `nullSafeEval` is protected. */
+  final def kernelEval(input: Any): Any = nullSafeEval(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", this, this.getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      // Janino autoboxing is not reliable — box primitive children by hand
+      val boxedIn =
+        if (CodeGenerator.isPrimitiveType(child.dataType))
+          s"${CodeGenerator.boxedType(child.dataType)}.valueOf($c)"
+        else c
+      val r = ctx.freshName("kres")
+      val assign =
+        if (CodeGenerator.isPrimitiveType(dataType))
+          s"${ev.value} = ((${CodeGenerator.boxedType(dataType)}) $r)" +
+            s".${CodeGenerator.javaType(dataType)}Value();"
+        else
+          s"${ev.value} = (${CodeGenerator.javaType(dataType)}) $r;"
+      if (nullable)
+        s"""Object $r = $ref.kernelEval($boxedIn);
+           |if ($r == null) { ${ev.isNull} = true; } else { $assign }
+           |""".stripMargin
+      else
+        s"""Object $r = $ref.kernelEval($boxedIn);
+           |$assign
+           |""".stripMargin
+    })
+  }
+}
+
 case class MinHashBandsExpr(child: Expression, k: Int, bands: Int, rows: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelInvokeCodegen {
   require(bands * rows == k, s"bands($bands) * rows($rows) must equal k($k)")
 
   private val P = Text.MinhashP
@@ -183,7 +227,7 @@ case class MinHashBandsExpr(child: Expression, k: Int, bands: Int, rows: Int)
 }
 
 case class WordNgramsExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelInvokeCodegen {
   require(n >= 1, "n must be >= 1")
 
   override def prettyName: String = "shingles_ngram"
@@ -226,7 +270,7 @@ case class WordNgramsExpr(child: Expression, n: Int)
   * `substring`'s (code-unit-per-char via UTF8String), so multi-byte text
   * grams identically to the HOF form. */
 case class CharNgramsExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelInvokeCodegen {
   require(n >= 1, "n must be >= 1")
 
   override def prettyName: String = "char_ngrams"
@@ -387,7 +431,7 @@ case class DotProductExpr(left: Expression, right: Expression)
   * complement), so the HOF parity holds for negative inputs too —
   * NativeSpec checks one. */
 case class LongChunksExpr(child: Expression, nChunks: Int, chunkBits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelInvokeCodegen {
   require(nChunks >= 1 && chunkBits >= 1 && nChunks * chunkBits <= 64,
     s"nChunks($nChunks) * chunkBits($chunkBits) must fit in 64 bits")
 
@@ -433,7 +477,7 @@ case class LongChunksExpr(child: Expression, nChunks: Int, chunkBits: Int)
   * cell) — allocation-free and exactly the doubles the literal-array form
   * folded into the plan, so sign decisions cannot drift. */
 case class SignSketchExpr(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelInvokeCodegen {
   require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
 
   override def prettyName: String = "sign_sketch"
@@ -484,7 +528,7 @@ case class SignSketchExpr(child: Expression, bits: Int)
 }
 
 case class SimHash60Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelInvokeCodegen {
 
   override def prettyName: String = "simhash60"
   override def dataType: DataType = LongType

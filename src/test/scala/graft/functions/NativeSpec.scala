@@ -116,6 +116,53 @@ class NativeSpec extends SparkSpec {
     out.foreach { case (a, b) => assert(a === b) }
   }
 
+  test("codegen path == interpreted path for every kernel (no silent fallback)") {
+    // KernelInvokeCodegen replaced CodegenFallback (r5): the child is
+    // evaluated by whole-stage codegen and the kernel loop invoked through
+    // a bound reference. Prove the two evaluation paths agree — and that
+    // the generated code actually compiles — by running identical
+    // projections with codegen FORCED (factory CODEGEN_ONLY + wholeStage
+    // fallback disabled, so a broken doGenCode fails loudly, never
+    // silently degrades) and with codegen fully OFF.
+    def kernelsOut(): Seq[String] = {
+      val t = (texts.map(Option(_)) :+ Option.empty[String]).toDF("text")
+        .select(col("text"), Text.toWords(col("text")).as("w"))
+        .select(
+          Native.shingles(col("w"), 3).as("sh"),
+          Native.simhash60(col("w")).as("h60"),
+          Native.minhashBands(Native.shingles(col("w"), 3), 16, 4, 4).as("mb"),
+          Native.charTrigrams(lower(col("text"))).as("cg"))
+        .collect().map(_.toString).toSeq
+      val vecs: Seq[Seq[Option[Double]]] = Seq(
+        Seq.tabulate(64)(i => Some(math.sin(i + 1))),
+        Seq.fill(64)(Some(0.0)),                          // all-bits-set sketch
+        Some(1.0) +: Seq.fill(63)(Option.empty[Double]))  // null element → nulls
+      val v = vecs.toDF("v").select(
+          Native.signSketch(col("v"), 60).as("ss"),
+          Native.dotProduct(col("v"), col("v")).as("dp"),
+          Native.longChunks(Native.signSketch(col("v"), 60), 4, 15).as("lc"))
+        .collect().map(_.toString).toSeq
+      t ++ v
+    }
+    def withConf[A](kv: (String, String)*)(body: => A): A = {
+      val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kv.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+    val gen = withConf(
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY",
+      "spark.sql.codegen.fallback"    -> "false")(kernelsOut())
+    val interp = withConf(
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN",
+      "spark.sql.codegen.wholeStage"  -> "false")(kernelsOut())
+    assert(gen.nonEmpty && gen === interp)
+    // the null-element vector row must null out on both paths
+    assert(gen.last === "[null,null,null]")
+  }
+
   test("kernels are SQL-callable through the registry") {
     val n = df.createOrReplaceTempView("t")
     val out = spark.sql(

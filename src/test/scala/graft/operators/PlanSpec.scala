@@ -181,6 +181,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q18: one minhash_bands eval per doc at the at-scale shape") {
+    // same contract family as q35/q54 (r4 verdict #8): the signature
+    // kernel must never re-inline into a Filter via inferred isnotnull
+    // join-key constraints, and the band self-join's second side must
+    // collapse to a ReusedExchange so the signature map stage runs once.
+    // (shingles_ngram legitimately appears again in the verify stage —
+    // recompute-for-candidates-only beats caching full shingle arrays —
+    // so only the banding kernel is pinned here.)
+    atScaleShape {
+      val p = finalPlan(q("q18_minhash_neardup"))
+      assert(kernelInFilters(p, "minhash_bands") == 0,
+        s"minhash_bands re-inlined into a Filter (constraint pushdown):\n$p")
+      assert(p.contains("ReusedExchange"),
+        s"band self-join side not reused — signature map stage runs twice:\n$p")
+      val n = "minhash_bands\\(".r.findAllIn(p).length
+      assert(n <= 1, s"expected <=1 minhash_bands eval, got $n:\n$p")
+    }
+  }
+
+  test("q19: simhash60 evaluates exactly once, never in a Filter") {
+    val p = plan(q("q19_simhash"))
+    assert(kernelInFilters(p, "simhash60") == 0,
+      s"simhash60 re-inlined into a Filter:\n$p")
+    val n = "simhash60\\(".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly one simhash60 eval, got $n:\n$p")
+  }
+
   test("q56/q57: media decode is one mapPartitions stage; binary never shuffles") {
     Seq("q56_media_resize", "q57_frame_sample").foreach { name =>
       // unwrap AQE: AdaptiveSparkPlanExec is a leaf to collect(), the real
