@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.etl.{Extract, Merge}
+import graft.etl.{Extract, Merge, Skew}
 
 /** Core relational surface — the reference's dataflow semantics (SURVEY.md
   * §2: S5/S7, F1–F2, D1–D3, U1, J1, A1–A3) recast as declarative Spark
@@ -257,6 +257,45 @@ object Relational {
       |  FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
       |ORDER BY c_custkey""".stripMargin
 
+  // ── q58: salted join under a deliberately hot FK key (skew handling) ───
+  /** The reference's latent `fights.fighter_a → fighters.Name` join
+    * (`fights_scraper.py:197-198` → `fighters_scraper.py:137`) develops a
+    * popular-fighter hot key at scale: a few names carry an outsized share
+    * of fight rows. Modeled here by collapsing 70% of orders onto one
+    * synthetic hot customer key, then joining the customer dimension
+    * through [[graft.etl.Skew.saltedJoin]] — the manual fix for the case
+    * AQE's skew split can't cover (a broadcast-ineligible dimension, or
+    * one key larger than an executor). The salted join is row-identical
+    * to the plain join (SkewSpec property + this oracle); only the
+    * physical distribution changes: the hot key's probe rows spread
+    * across `salt` tasks instead of one (SkewSpec measures the
+    * max-partition win on the real join output). */
+  def skewedSaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.orders(s, d)
+      .select(
+        when(col("o_custkey") % 10 <= 6, lit(1L)).otherwise(col("o_custkey"))
+          .as("k"),
+        col("o_orderkey"),
+        asCents(col("o_totalprice")).as("total_cents"))
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey").as("k"), col("c_nationkey"),
+              col("c_mktsegment"))
+    Skew.saltedJoin(big, dim, "k", salt = 8)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("total_cents")).as("rev_cents"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+  val skewedSaltedJoinSql: String =
+    """WITH big AS (
+      |  SELECT CASE WHEN o_custkey % 10 <= 6 THEN 1 ELSE o_custkey END AS k,
+      |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS total_cents
+      |  FROM orders)
+      |SELECT c_nationkey, c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(total_cents) AS BIGINT) AS rev_cents
+      |FROM big JOIN customer ON k = c_custkey
+      |GROUP BY c_nationkey, c_mktsegment
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   /** Registry fragment for SparkEntry. */
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary"     -> (pricingSummary _),
@@ -267,7 +306,8 @@ object Relational {
     "q06_union_by_name"       -> (unionByName _),
     "q07_distinct_frontier"   -> (distinctFrontier _),
     "q08_dedup_keep_first"    -> (dedupKeepFirst _),
-    "q09_active_customers"    -> (activeCustomers _))
+    "q09_active_customers"    -> (activeCustomers _),
+    "q58_skewed_join"         -> (skewedSaltedJoin _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q01_pricing_summary"      -> pricingSummarySql,
@@ -278,5 +318,6 @@ object Relational {
     "q06_union_by_name"        -> unionByNameSql,
     "q07_distinct_frontier"    -> distinctFrontierSql,
     "q08_dedup_keep_first"     -> dedupKeepFirstSql,
-    "q09_active_customers"     -> activeCustomersSql)
+    "q09_active_customers"     -> activeCustomersSql,
+    "q58_skewed_join"          -> skewedSaltedJoinSql)
 }
