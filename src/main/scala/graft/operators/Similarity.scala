@@ -75,8 +75,11 @@ object Similarity {
   }
 
   // ── q23: brute-force cosine top-k (exact baseline) ──────────────────────
-  def cosineTopK(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, d))
+  /** Core of the brute-force scan over an already-normalized corpus frame
+    * `(vec_id, label, v, nrm)` — factored out so the recall spec can drive
+    * the SAME operator over a constructed corpus (ground truth for the
+    * IVF recall gate). */
+  private[graft] def bruteTopK(e: DataFrame, k: Int): DataFrame = {
     val q = e.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
               col("nrm").as("qn"))
@@ -84,8 +87,11 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
-    rankTopK(pairs, 10)
+    rankTopK(pairs, k)
   }
+
+  def cosineTopK(s: SparkSession, d: String): DataFrame =
+    bruteTopK(withNorm(Tables.embeddings(s, d)), 10)
 
   private val normedSql: String =
     """n AS (
@@ -271,9 +277,17 @@ object Similarity {
     * shuffles of (cluster, dim) pairs; assignment is a broadcast of the
     * tiny centroid table; the probe joins each query against one cluster
     * — the IVF pruning that replaces the full-corpus scan. */
-  def ivfCentroidTopK(s: SparkSession, d: String): DataFrame = {
+  /** Core of the computed-centroid IVF probe over an already-normalized
+    * corpus frame `(vec_id, label, v, nrm)`. `nprobe` is the recall knob:
+    * each query scans its `nprobe` nearest clusters instead of one —
+    * multi-probe is the standard fix for the single-probe recall cliff
+    * (a query near a cluster boundary finds its cross-boundary neighbors
+    * in probe 2+). Cost scales linearly: nprobe/nlist of the corpus per
+    * query. IvfRecallSpec measures recall@k against [[bruteTopK]] ground
+    * truth on a clustered corpus with deliberate boundary queries. */
+  private[graft] def ivfCentroidProbe(e: DataFrame, nprobe: Int, k: Int)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = withNorm(Tables.embeddings(s, d))
     val q = e.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
               col("nrm").as("qn"))
@@ -295,16 +309,30 @@ object Similarity {
     val assigned = q.crossJoin(broadcast(cents))
       .withColumn("dist", l2)
       .withColumn("arank", row_number().over(wAssign))
-      .filter(col("arank") === 1)
+      .filter(col("arank") <= nprobe)
       .select(col("q_id"), col("qv"), col("qn"),
               col("label").as("probe_label"))
     val pairs = e.join(broadcast(assigned),
         col("label") === col("probe_label") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
-    rankTopK(pairs, 5)
+    rankTopK(pairs, k)
   }
-  val ivfCentroidTopKSql: String =
+
+  def ivfCentroidTopK(s: SparkSession, d: String): DataFrame =
+    ivfCentroidProbe(withNorm(Tables.embeddings(s, d)), nprobe = 1, k = 5)
+
+  // ── q59: multi-probe IVF (nprobe = 3) ───────────────────────────────────
+  /** Same computed-centroid IVF, probing the query's 3 nearest clusters.
+    * On the harness embeddings (labels are NOT cosine clusters — measured:
+    * same-label mean cosine ≈ cross-label ≈ 0) label-IVF recall is
+    * structurally nprobe/nlist, so the ≥0.95 recall gate lives in
+    * IvfRecallSpec over a corpus with real cluster structure; THIS query
+    * is the correctness pin — the probe set, per-cluster scan, and global
+    * re-rank must match the oracle exactly. */
+  def ivfMultiProbeTopK(s: SparkSession, d: String): DataFrame =
+    ivfCentroidProbe(withNorm(Tables.embeddings(s, d)), nprobe = 3, k = 5)
+  private def ivfCentroidSqlFor(nprobe: Int, k: Int): String =
     s"""WITH $normedSql,
        |perdim AS (
        |  SELECT label, i AS pos, CAST(floor(v[i + 1] * 1000.0 + 0.5) AS BIGINT) AS qx
@@ -324,7 +352,7 @@ object Similarity {
        |            i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))),
        |          (a, b) -> a + b) ASC, c.label ASC) AS arank
        |    FROM n q, cents c WHERE q.vec_id IN $queryIdsSql)
-       |  WHERE arank = 1),
+       |  WHERE arank <= $nprobe),
        |pairs AS (
        |  SELECT a.q_id, e.vec_id AS n_id,
        |    ${dotSql("q.v", "e.v")} / (q.nrm * e.nrm) AS sim
@@ -335,7 +363,10 @@ object Similarity {
        |FROM (SELECT *, row_number() OVER (
        |        PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
        |      FROM pairs)
-       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  val ivfCentroidTopKSql: String = ivfCentroidSqlFor(nprobe = 1, k = 5)
+  val ivfMultiProbeTopKSql: String = ivfCentroidSqlFor(nprobe = 3, k = 5)
 
   // ── q39: int8 embedding quantization with error-bound verification ─────
   /** Per-vector symmetric int8 quantization (scale = max|x|/127,
@@ -394,12 +425,14 @@ object Similarity {
     "q24_ivf_topk"      -> (ivfTopK _),
     "q35_cosine_neardup"-> (cosineNearDup _),
     "q38_ivf_centroids" -> (ivfCentroidTopK _),
-    "q39_quantize_int8" -> (quantizeInt8 _))
+    "q39_quantize_int8" -> (quantizeInt8 _),
+    "q59_ivf_multiprobe"-> (ivfMultiProbeTopK _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q23_cosine_topk"   -> cosineTopKSql,
     "q24_ivf_topk"      -> ivfTopKSql,
     "q35_cosine_neardup"-> cosineNearDupSql,
     "q38_ivf_centroids" -> ivfCentroidTopKSql,
-    "q39_quantize_int8" -> quantizeInt8Sql)
+    "q39_quantize_int8" -> quantizeInt8Sql,
+    "q59_ivf_multiprobe"-> ivfMultiProbeTopKSql)
 }
