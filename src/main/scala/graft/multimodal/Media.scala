@@ -8,12 +8,16 @@ import graft.Tables
 /** Multimodal-column plumbing — images/audio/video as opaque `binary`
   * columns with typed metadata, decoded batch-wise inside partitions.
   *
-  * The container has no media libraries, so [[MediaCodec.decodeStub]] is a
-  * clearly-marked deterministic FAKE standing in for a real decoder (JPEG
-  * dims, mel spectrogram, frame sampling, ...). Everything around it —
-  * schema, Dataset encoders, per-partition batch iteration, feature-column
-  * shape — is the real production plumbing: swap `decodeStub` for a real
-  * codec and nothing else changes.
+  * The codec dispatches on the record's mime type: `image/`-prefixed payloads go
+  * through a REAL decoder ([[MediaCodec.decodeImage]] /
+  * [[MediaCodec.resizeImage]], JDK `javax.imageio` — PNG and every other
+  * ImageIO-supported format, no external libs); everything else falls to
+  * [[MediaCodec.decodeStub]], a clearly-marked deterministic FAKE standing
+  * in for the decoders this container lacks (audio, video frames).
+  * Everything around the codec — schema, Dataset encoders, per-partition
+  * batch iteration, feature-column shape — is identical on both paths:
+  * MediaSpec drives real PNG bytes through the SAME operators the
+  * stub-backed oracle queries run.
   *
   * Scale notes: decode runs inside `mapPartitions` (the Scala analog of
   * mapInPandas batch UDFs) so per-record codec setup is amortized across a
@@ -49,7 +53,7 @@ object Media {
     records.mapPartitions { it =>
       val codec = MediaCodec.open() // per-partition setup, amortized
       it.map { r =>
-        val (w, h, feats) = codec.decodeStub(r.media)
+        val (w, h, feats) = codec.decode(r.media, r.mime)
         MediaFeatures(r.doc_id, r.media.length, w, h, feats)
       }
     }
@@ -60,16 +64,16 @@ object Media {
                           thumb_w: Int, thumb_h: Int, thumb: Array[Byte])
 
   /** Resize: per-partition batch op over decoded dims — aspect-preserving
-    * fit into a bounding box; the byte payload is the stub codec's
-    * deterministic re-encode. Same plumbing contract as
-    * [[extractFeatures]]: swap the stub for a real scaler and the
-    * Dataset shape is unchanged. */
+    * fit into a bounding box; the byte payload is mime-dispatched like the
+    * decode (real bilinear scale + PNG re-encode for images, the stub's
+    * deterministic digest otherwise). Same plumbing contract as
+    * [[extractFeatures]] on both paths. */
   def resize(records: Dataset[MediaRecord], maxSide: Int): Dataset[ResizedMedia] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       val codec = MediaCodec.open()
       it.map { r =>
-        val (w, h, _) = codec.decodeStub(r.media)
+        val (w, h, _) = codec.decode(r.media, r.mime)
         val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
         // floor(x + 0.5) with the add performed in IEEE double — the exact
         // op sequence the DuckDB oracle runs. (Math.round is NOT that: since
@@ -78,7 +82,7 @@ object Media {
         val (tw, th) = (math.max(1, math.floor(w * scale + 0.5).toInt),
                         math.max(1, math.floor(h * scale + 0.5).toInt))
         ResizedMedia(r.doc_id, w, h, tw, th,
-          codec.reencodeStub(r.media, tw, th))
+          codec.reencode(r.media, r.mime, tw, th))
       }
     }
   }
@@ -176,13 +180,72 @@ object Media {
     "q57_frame_sample"   -> frameSampleStatsSql)
 }
 
-/** The stubbed codec. A real implementation would hold native decoder
-  * state opened once per partition; the stub derives everything
-  * deterministically from the payload's MD5 so tests and oracles can
-  * reproduce it. */
+/** The per-partition codec. `image/`-prefixed payloads decode for REAL through
+  * JDK `javax.imageio` (public API, present in every JVM — PNG, GIF, BMP,
+  * JPEG); other mime types fall to the md5-derived stub so tests and
+  * oracles can reproduce them. Opened once per partition — ImageIO's
+  * plugin registry scan happens per JVM, not per record. */
 class MediaCodec private () {
-  /** STUB — stands in for a real image/audio decode (no media libs in this
-    * container). Deterministic: width/height/features are pure functions
+
+  /** Mime-dispatched decode: real image decode for `image/`-prefixed, stub
+    * otherwise. One return shape for both paths. */
+  def decode(bytes: Array[Byte], mime: String): (Int, Int, Array[Float]) =
+    if (mime.startsWith("image/")) decodeImage(bytes) else decodeStub(bytes)
+
+  /** Mime-dispatched re-encode at a target size. */
+  def reencode(bytes: Array[Byte], mime: String, w: Int, h: Int): Array[Byte] =
+    if (mime.startsWith("image/")) resizeImage(bytes, w, h)
+    else reencodeStub(bytes, w, h)
+
+  /** REAL image decode: dims + an 8-bin luma histogram (fractions summing
+    * to 1) as the fixed-width feature vector — the same `Array[Float]`
+    * shape the stub emits and [[graft.operators.Similarity]] consumes.
+    * Luma = integer Rec.601 ((299R + 587G + 114B) / 1000), binned into 8
+    * bands of 32 levels. Throws on corrupt/unsupported payloads — a
+    * production pipeline would wrap this in a parse-or-skip filter
+    * (SURVEY F4 semantics), which is a caller policy, not codec policy. */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "unsupported or corrupt image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val hist = new Array[Int](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                    (rgb & 0xff) * 114) / 1000
+        hist(luma >> 5) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toFloat
+    (w, h, hist.map(_ / n))
+  }
+
+  /** REAL image resize: bilinear scale into (w, h) via Graphics2D, then a
+    * PNG re-encode — output is itself a decodable image, which MediaSpec
+    * round-trips. */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "unsupported or corrupt image payload")
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", baos)
+    baos.toByteArray
+  }
+
+  /** STUB — stands in for the decoders this container lacks (audio, video
+    * frames). Deterministic: width/height/features are pure functions
     * of md5(payload). */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
     val d = digest(bytes)

@@ -59,6 +59,65 @@ class MediaSpec extends SparkSpec {
     assert(idxs.forall(_ % 4 == 0), "stride not respected")
   }
 
+  /** A real PNG: w×h gradient (x+y luma ramp), encoded through ImageIO —
+    * actual compressed image bytes, not a digest fake. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val lum = ((x + y) * 255) / (w + h - 2).max(1)
+        img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("real PNG bytes decode through the production operator (r4 verdict #6)") {
+    import spark.implicits._
+    // real compressed PNGs of known dimensions, driven through the SAME
+    // Dataset operator the stub-backed oracle queries use
+    val recs = Seq(
+      Media.MediaRecord(1L, pngBytes(320, 200), "image/png"),
+      Media.MediaRecord(2L, pngBytes(64, 64), "image/png"),
+      Media.MediaRecord(3L, pngBytes(1, 1), "image/png")).toDS()
+    val out = Media.extractFeatures(recs).collect().sortBy(_.doc_id)
+    assert(out.map(r => (r.doc_id, r.width, r.height)).toSeq ===
+      Seq((1L, 320, 200), (2L, 64, 64), (3L, 1, 1)))
+    out.foreach { r =>
+      // luma histogram: 8 fractions summing to 1
+      assert(r.features.length === 8)
+      assert(math.abs(r.features.map(_.toDouble).sum - 1.0) < 1e-5)
+      assert(r.n_bytes > 8, "payload should be real compressed bytes")
+    }
+    // the gradient spans the full luma range → every bin occupied
+    val grad = out.head
+    assert(grad.features.forall(_ > 0.0f), s"gradient histogram has empty bins")
+  }
+
+  test("real PNG resize round-trips: output is a decodable image at target dims") {
+    import spark.implicits._
+    val recs = Seq(
+      Media.MediaRecord(1L, pngBytes(320, 200), "image/png"),
+      Media.MediaRecord(2L, pngBytes(100, 400), "image/png")).toDS()
+    val out = Media.resize(recs, maxSide = 128).collect().sortBy(_.doc_id)
+    assert(out.map(r => (r.width, r.height, r.thumb_w, r.thumb_h)).toSeq ===
+      Seq((320, 200, 128, 80), (100, 400, 32, 128)))
+    out.foreach { r =>
+      // the thumb payload is itself a real PNG of exactly the target dims
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.thumb))
+      assert(back != null, "resized payload is not a decodable image")
+      assert((back.getWidth, back.getHeight) === ((r.thumb_w, r.thumb_h)))
+    }
+  }
+
   test("decode stub matches its spec (md5-derived dims)") {
     val codec = MediaCodec.open()
     val payload = "hello world".getBytes("UTF-8")
