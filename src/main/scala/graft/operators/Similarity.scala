@@ -163,8 +163,8 @@ object Similarity {
       (((j.toLong * 64 + i) * 2654435761L) % 1000L) / 1000.0 - 0.5)
 
   private val SketchBits = 60
-  private val ChunkBits  = 15
-  private val NChunks    = SketchBits / ChunkBits // 4 × 15-bit chunks
+  private val ChunkBits  = 20
+  private val NChunks    = SketchBits / ChunkBits // 3 × 20-bit chunks
 
   /** Near-duplicate vectors by cosine, found through a sign-bit sketch:
     * bit j = sign(v·h_j) over 60 fixed hyperplanes; the 60-bit sketch is
@@ -173,14 +173,21 @@ object Similarity {
     * become candidates (bucketed join — never all-pairs), then candidates
     * are verified with exact cosine >= 0.999.
     *
-    * Chunk width is the scale knob (round-2 verdict): 8-bit chunks gave
-    * only 256 buckets each, so random-pair chunk collisions were ~3/256
-    * and candidates grew O(N²/85). 15-bit chunks give 32768 buckets —
-    * P(random 64-dim pair shares a chunk) ≈ 4·(1/2)^15 ≈ 1.2e-4 under the
-    * random-hyperplane model, and the bucket count scales with sketch
-    * width, not a byte boundary. Pigeonhole still holds: Hamming(sketch)
-    * <= 3 ⇒ some chunk is identical, so near-dups (tiny angle ⇒ tiny
-    * Hamming) are never lost to banding.
+    * Chunk width is the scale knob (round-2 verdict; re-tuned round 5
+    * after the sf1 scale ladder): random-pair chunk collisions are
+    * NChunks/2^ChunkBits PER PAIR, so candidates grow quadratically in
+    * corpus size and the bucket count must scale ahead of N². 8-bit
+    * chunks (256 buckets) died at sf0.01; 15-bit chunks (32768) were fine
+    * to sf0.1 but BENCH_sf1 measured q35 at 20× the sf0.1 time on 10× the
+    * data — ~30M random candidate pairs at a 22k corpus. 20-bit chunks
+    * (1M buckets, 3 chunks) cut random collisions 42×. The pigeonhole
+    * guarantee narrows from Hamming(sketch) ≤ 3 to ≤ 2 — acceptable
+    * because candidates only FEED the exact cosine ≥ 0.999 verify, and a
+    * 0.999-cosine pair concentrates at Hamming ≈ 0 (the planted twins are
+    * scaled copies: IDENTICAL sketch, every chunk shared, unlosable under
+    * any split). At a true 100 TB corpus this knob keeps moving: buckets
+    * ∝ N²·P(collision) budget, i.e. widen chunks (or band PAIRS of
+    * chunks) as the corpus grows.
     *
     * The harness embeddings have no natural near-dups (all pairs < 0.8),
     * so every vec_id % 25 == 0 gains a SCALED twin (×1.0001, id+100000) —
