@@ -36,12 +36,16 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleUp <srcSfDir> <dstDir> [replicas]")
-    val (src, dst) = (args(0), args(1))
-    val reps = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "graft-scaleup")
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, args(0), args(1), args.lift(2).map(_.toInt).getOrElse(10))
+    spark.stop()
+  }
 
+  /** Session-borrowing core (main owns its session; ScaleUpSpec passes the
+    * shared test session). */
+  def run(spark: SparkSession, src: String, dst: String, reps: Int): Unit = {
     def replicate(t: String): DataFrame =
       Tables.load(spark, src, t)
         .withColumn("rep", explode(sequence(lit(0L), lit(reps - 1L))))
@@ -92,7 +96,5 @@ object ScaleUp {
             (x + (pmod(xxhash64(col("vec_id"), i, col("rep")), lit(1000L))
                     .cast("double") / 1000.0 - 0.5).cast("float") * 0.1f)
               .cast("float")))))
-
-    spark.stop()
   }
 }
