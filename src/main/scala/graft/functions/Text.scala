@@ -189,7 +189,8 @@ object Text {
   def tokenCount(c: Column): Column = size(toWords(c))
 
   /** Punctuation character count (single regexp_replace diff — O(len),
-    * no per-char lambda). */
+    * no per-char lambda; benched equal to `regexp_count` at sf1, so the
+    * form the DuckDB oracle mirrors 1:1 stays). */
   def punctCount(c: Column): Column =
     length(c) - length(regexp_replace(c, "[^a-zA-Z0-9\\s]", ""))
 
