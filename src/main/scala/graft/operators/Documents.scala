@@ -189,7 +189,16 @@ object Documents {
     * at ~1.2e-4 per chunk pair, so candidates stay O(near-dups), not
     * O(N²). Runs over the variant-augmented corpus (the case/whitespace
     * twins normalize to identical word streams ⇒ Hamming 0), so planted
-    * pairs exist alongside any organic ones. */
+    * pairs exist alongside any organic ones.
+    *
+    * Scale knob (r5 sf1 ladder lesson, and it differs from q35's): random
+    * chunk collisions grow N²·4/2^15, but here the Hamming ≤ 3 CONTRACT
+    * pins the geometry — 3 bit errors can dirty 3 of 4 chunks, so 4
+    * chunks is the minimum for zero false negatives and WIDENING chunks
+    * (q35's fix) would break exactness. The growth path that preserves
+    * the guarantee is a LONGER signature: e.g. a 128-bit simhash split
+    * 4×32 gives 2^32 buckets per chunk with the same pigeonhole. Fine
+    * through sf1 measured (~600k random candidates at a 100k corpus). */
   def simhashNearDup(s: SparkSession, d: String): DataFrame = {
     // the explicit null filter + coalesce is a NULLABILITY LAUNDER, not a
     // semantic change (r4 verdict "What's wrong" #1): with a nullable `sh`,
