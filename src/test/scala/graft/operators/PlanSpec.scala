@@ -181,6 +181,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q20: the normalize+split and the punct regex evaluate once each") {
+    // r5: words is staged as a multi-use column; the inline form re-ran
+    // the normalize+split once per referencing output column (3x/row) and
+    // paid a second punct regex inside n_tokens
+    val p = plan(q("q20_text_stats"))
+      .linesIterator.filterNot(_.contains("FileScan")).mkString("\n")
+    val splits = "split\\(".r.findAllIn(p).length
+    assert(splits == 1, s"q20 evaluates split $splits times:\n$p")
+    // 2 total: the normalize regex inside the one split + the punct scan
+    val regexes = "regexp_replace\\(".r.findAllIn(p).length
+    assert(regexes <= 2, s"q20 runs $regexes regexp_replace evals:\n$p")
+  }
+
   test("q18: one minhash_bands eval per doc at the at-scale shape") {
     // same contract family as q35/q54 (r4 verdict #8): the signature
     // kernel must never re-inline into a Filter via inferred isnotnull
