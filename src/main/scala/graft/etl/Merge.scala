@@ -107,9 +107,34 @@ object Merge {
       incoming.sparkSession.sparkContext.hadoopConfiguration)
     recoverSwap(fs, path)
     val existing =
-      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-        incoming.sparkSession.read.schema(incoming.schema).parquet(path)
-      else incoming.limit(0)
+      if (fs.exists(new org.apache.hadoop.fs.Path(path))) {
+        // Read the sink under its OWN footer schema, never a forced
+        // incoming.schema (ADVICE r5): forcing would silently null-fill a
+        // renamed/dropped on-disk column and the first-wins merge would
+        // key against a reshaped ghost of the sink. Drift is handled
+        // explicitly instead — the key column must exist with the same
+        // type (anything else makes "first wins" meaningless), and shared
+        // columns must agree on type; columns PRESENT on one side only
+        // flow through unionByNameTolerant's documented U1 null-fill.
+        val onDisk = incoming.sparkSession.read.parquet(path)
+        val diskKey = onDisk.schema.fields.find(_.name == key).getOrElse(
+          throw new IllegalStateException(
+            s"sink $path has no merge-key column '$key' " +
+            s"(on-disk columns: ${onDisk.columns.mkString(", ")})"))
+        val incomingTypes =
+          incoming.schema.fields.map(f => f.name -> f.dataType).toMap
+        require(incomingTypes.get(key).forall(_ == diskKey.dataType),
+          s"merge-key '$key' type drift: sink has ${diskKey.dataType}, " +
+          s"incoming has ${incomingTypes(key)}")
+        onDisk.schema.fields.foreach { f =>
+          incomingTypes.get(f.name).foreach { t =>
+            require(t == f.dataType,
+              s"sink column '${f.name}' type drift at $path: " +
+              s"on-disk ${f.dataType} vs incoming $t")
+          }
+        }
+        onDisk
+      } else incoming.limit(0)
     writeAndSwap(firstWinsMerge(existing, incoming, key), path, "merge")
   }
 

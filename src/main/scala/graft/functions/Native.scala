@@ -98,6 +98,20 @@ object Native {
   def signSketch(v: Column, bits: Int): Column =
     call_function("sign_sketch", v, lit(bits))
 
+  /** [[signSketch]] fused with [[longChunks]]: an `bits`-bit sign sketch
+    * emitted directly as `nChunks` disjoint band structs
+    * (`array<struct<band:int, bh:bigint>>`), bit j landing in chunk
+    * `j / (bits/nChunks)`. Two things the two-step form can't give:
+    * the sketch is NOT capped at 63 bits (no intermediate Long — the
+    * Hamming≤(nChunks−1) pigeonhole guarantee can keep 4 bands while the
+    * chunk width grows with the corpus, ADVICE r5), and the generator
+    * consumes ONE expression, so `explode` evaluates the kernel exactly
+    * once per row whatever pushdown inlines. Same hyperplane constants,
+    * same fold order: bits 0..59 are bit-identical to
+    * `long_chunks(sign_sketch(v, 60), …)` (NativeSpec pins it). */
+  def signSketchBands(v: Column, bits: Int, nChunks: Int): Column =
+    call_function("sign_sketch_bands", v, lit(bits), lit(nChunks))
+
   /** Split a long into `nChunks` disjoint `chunkBits`-wide band structs
     * (`array<struct<band:int, bh:bigint>>`) — semantics of
     * [[Text.simhashChunks]] as ONE expression. The point is not the
@@ -158,7 +172,17 @@ trait KernelInvokeCodegen extends UnaryExpression {
            |if ($r == null) { ${ev.isNull} = true; } else { $assign }
            |""".stripMargin
       else
+        // Still null-check even though the expression claims non-nullable:
+        // a kernel whose `nullable` override under-reports would otherwise
+        // NPE inside generated code while the interpreted path silently
+        // yields null — a codegen/interpreted divergence turned crash with
+        // no pointer to the offending kernel (ADVICE r5). Fail descriptive.
         s"""Object $r = $ref.kernelEval($boxedIn);
+           |if ($r == null) {
+           |  throw new IllegalStateException(
+           |    "kernel ${this.prettyName} declared non-nullable but returned null" +
+           |    " - fix its nullable override");
+           |}
            |$assign
            |""".stripMargin
     })
@@ -521,6 +545,74 @@ case class SignSketchExpr(child: Expression, bits: Int)
       j += 1
     }
     sketch
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** See [[Native.signSketchBands]]. Sign decisions are the exact
+  * [[SignSketchExpr]] arithmetic (same Knuth-hash hyperplane cells, same
+  * left-fold accumulation), only the destination differs: bit j sets bit
+  * `j % chunkBits` of chunk `j / chunkBits` instead of bit j of one Long,
+  * which is precisely the [[LongChunksExpr]] split — so the fused kernel
+  * equals the two-step composition wherever the two-step form is
+  * representable (≤63 bits), and extends it beyond. Null semantics match
+  * [[SignSketchExpr]]: null vector → null, null ELEMENT → null (pre-filter
+  * if rows must survive); empty vector → every accumulator 0.0 → all bits
+  * set in every chunk. */
+case class SignSketchBandsExpr(child: Expression, bits: Int, nChunks: Int)
+    extends UnaryExpression with KernelInvokeCodegen {
+  require(nChunks >= 1 && bits >= nChunks && bits % nChunks == 0,
+    s"bits($bits) must be a positive multiple of nChunks($nChunks)")
+  private val chunkBits = bits / nChunks
+  require(chunkBits <= 63, s"chunk width $chunkBits exceeds 63 bits")
+
+  override def prettyName: String = "sign_sketch_bands"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("band", IntegerType, nullable = false),
+      StructField("bh", LongType, nullable = false))),
+    containsNull = false)
+
+  /** Exact, like [[SignSketchExpr]] — a blanket `true` would let
+    * InferFiltersFromConstraints re-inline the kernel into join-key
+    * Filters below the defining Project. */
+  override def nullable: Boolean = child.nullable || (child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sign_sketch_bands needs array<double>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val d = v.numElements()
+    val chunks = new Array[Long](nChunks)
+    var j = 0
+    while (j < bits) {
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        if (v.isNullAt(i)) return null
+        val h = (((j.toLong * d + i) * 2654435761L) % 1000L) / 1000.0 - 0.5
+        acc += v.getDouble(i) * h
+        i += 1
+      }
+      if (acc >= 0) chunks(j / chunkBits) |= (1L << (j % chunkBits))
+      j += 1
+    }
+    val out = new Array[AnyRef](nChunks)
+    var c = 0
+    while (c < nChunks) { out(c) = InternalRow(c, chunks(c)); c += 1 }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

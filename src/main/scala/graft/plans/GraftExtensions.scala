@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 import graft.functions.{CharNgramsExpr, DotProductExpr, LongChunksExpr,
-  MinHashBandsExpr, SignSketchExpr, SimHash60Expr, WordNgramsExpr}
+  MinHashBandsExpr, SignSketchBandsExpr, SignSketchExpr, SimHash60Expr,
+  WordNgramsExpr}
 
 /** Engine extension point — registers the native dedup kernels with the
   * session's function registry via the PUBLIC `SparkSessionExtensions` API
@@ -70,6 +71,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "sign_sketch(v, bits) takes 2 args")
         SignSketchExpr(args.head, intArg(args(1), "bits"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sign_sketch_bands"),
+      new ExpressionInfo(classOf[SignSketchBandsExpr].getName,
+        "sign_sketch_bands"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "sign_sketch_bands(v, bits, nChunks) takes 3 args")
+        SignSketchBandsExpr(args.head, intArg(args(1), "bits"),
+          intArg(args(2), "nChunks"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("simhash60"),

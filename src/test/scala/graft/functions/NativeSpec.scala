@@ -106,6 +106,37 @@ class NativeSpec extends SparkSpec {
     assert(out(0) === out(1))
   }
 
+  test("native sign_sketch_bands == sign_sketch∘long_chunks, plus the 63-bit overflow bits") {
+    val vecs = Seq(
+      Seq.tabulate(64)(i => math.sin(i + 1)),
+      Seq.tabulate(64)(i => math.sin(i + 1) * 1.0001),   // scaled twin
+      Seq.tabulate(64)(i => -0.25 + (i % 7) * 0.1),
+      Seq.fill(64)(0.0))                                  // all acc=0 → all bits set
+    // chunks 0-2 (bits 0..59) must equal the two-step composition on the
+    // representable prefix: same hyperplanes, same fold, same 20-bit split
+    val both = vecs.toDF("v").select(
+        Native.signSketchBands(col("v"), 80, 4).as("a"),
+        Native.longChunks(Native.signSketch(col("v"), 60), 3, 20).as("b"))
+      .as[(Seq[(Int, Long)], Seq[(Int, Long)])].collect()
+    both.foreach { case (a, b) =>
+      assert(a.length === 4 && a.map(_._1) === Seq(0, 1, 2, 3))
+      assert(a.take(3) === b)
+    }
+    // chunk 3 (bits 60..79, beyond any single-Long sketch) must equal the
+    // unfused literal-hyperplane reconstruction bit for bit
+    val unfused = vecs.toDF("v").select(
+      (60 until 80).map { j =>
+        val h = array(graft.operators.Similarity.hyperplane(j).map(lit): _*)
+        when(Native.dotProduct(col("v"), h) >= 0, lit(1L << (j - 60)))
+          .otherwise(lit(0L))
+      }.reduce(_ + _).as("c3"))
+    val c3 = both.map(_._1(3)._2).toSeq
+    assert(c3 === unfused.as[Long].collect().toSeq)
+    // scaled twin: identical bands in every chunk (the q35 planted-pair
+    // invariant — all 4 buckets shared, unlosable under any split)
+    assert(both(0)._1 === both(1)._1)
+  }
+
   test("native long_chunks == HOF simhashChunks, negative longs included") {
     val xs = Seq(0L, 1L, (1L << 60) - 1, 0x7fffffffffffffffL, -1L,
       -123456789012345L, 0x123456789abcdefL)
@@ -140,7 +171,8 @@ class NativeSpec extends SparkSpec {
       val v = vecs.toDF("v").select(
           Native.signSketch(col("v"), 60).as("ss"),
           Native.dotProduct(col("v"), col("v")).as("dp"),
-          Native.longChunks(Native.signSketch(col("v"), 60), 4, 15).as("lc"))
+          Native.longChunks(Native.signSketch(col("v"), 60), 4, 15).as("lc"),
+          Native.signSketchBands(col("v"), 80, 4).as("sb"))
         .collect().map(_.toString).toSeq
       t ++ v
     }
@@ -160,7 +192,7 @@ class NativeSpec extends SparkSpec {
       "spark.sql.codegen.wholeStage"  -> "false")(kernelsOut())
     assert(gen.nonEmpty && gen === interp)
     // the null-element vector row must null out on both paths
-    assert(gen.last === "[null,null,null]")
+    assert(gen.last === "[null,null,null,null]")
   }
 
   test("kernels are SQL-callable through the registry") {

@@ -138,29 +138,30 @@ class PlanSpec extends SparkSpec {
       "q52 regressed to the interpreted per-position HOF trigram lambda")
   }
 
-  test("q35: one fused sign_sketch eval per corpus row at the at-scale shape") {
-    // Three contracts, each a real regression caught in r2-r4:
-    //  (a) the sketch is the ONE fused kernel, not 60 per-bit dot products
-    //      (the unfused form's planning + codegen compile alone cost
-    //      ~1.2 s/run);
+  test("q35: one fused sign_sketch_bands eval per corpus row at the at-scale shape") {
+    // Three contracts, each a real regression caught in r2-r5:
+    //  (a) the sketch is the ONE fused generator kernel, not 80 per-bit
+    //      dot products (the unfused form's planning + codegen compile
+    //      alone cost ~1.2 s/run) and not a sketch column + long_chunks
+    //      (whose nullable sketch attribute was the (b) bait);
     //  (b) the kernel never re-inlines into Filters (r4: a nullable sketch
     //      attribute let InferFiltersFromConstraints push
     //      isnotnull(sign_sketch(...)) below the Project — 2-3 evals/row);
     //  (c) at the shuffle-join shape the self-join's second side is a
     //      ReusedExchange, so the map stage computing the sketch runs ONCE.
-    // Counted on the FINAL adaptive plan: 2 Project occurrences = one per
+    // Counted on the FINAL adaptive plan: 2 Generate occurrences = one per
     // union branch over disjoint rows = 1 eval per corpus row.
     atScaleShape {
       val p = finalPlan(q("q35_cosine_neardup"))
-      assert(kernelInFilters(p, "sign_sketch") == 0,
-        s"sign_sketch re-inlined into a Filter (constraint pushdown):\n$p")
+      assert(kernelInFilters(p, "sign_sketch_bands") == 0,
+        s"sign_sketch_bands re-inlined into a Filter (constraint pushdown):\n$p")
       assert(p.contains("ReusedExchange"),
         s"self-join side not reused — sketch map stage runs twice:\n$p")
-      val sketches = "sign_sketch\\(".r.findAllIn(p).length
+      val sketches = "sign_sketch_bands\\(".r.findAllIn(p).length
       assert(sketches <= 2, // one per union branch, disjoint rows
-        s"expected <=2 sign_sketch evals (1 per corpus row), got $sketches:\n$p")
+        s"expected <=2 sign_sketch_bands evals (1 per corpus row), got $sketches:\n$p")
       val dots = "dot_product\\(".r.findAllIn(p).length
-      assert(dots <= 6, // norm + verify dots only, never the 60-dot sketch
+      assert(dots <= 6, // norm + verify dots only, never the 80-dot sketch
         s"q35 regressed toward per-bit hyperplane dots ($dots dot_products):\n$p")
     }
   }
