@@ -83,6 +83,39 @@ class MergeSpec extends SparkSpec {
     assert(out === Array(1L -> "a", 2L -> "b", 3L -> "c"))
   }
 
+  test("mergeWrite fails loudly on sink schema drift instead of null-filling " +
+       "(ADVICE r5)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-mergedrift").toString
+    // key column renamed away on disk → the merge key is gone: hard fail,
+    // never a silent merge against an all-null key column
+    val renamed = s"$base/renamed"
+    kv(Seq(1L -> "a")).withColumnRenamed("k", "kk").write.parquet(renamed)
+    val e1 = intercept[IllegalStateException] {
+      Merge.mergeWrite(kv(Seq(2L -> "b")), "k", renamed)
+    }
+    assert(e1.getMessage.contains("no merge-key column"))
+    // shared non-key column changed type on disk → hard fail
+    val drifted = s"$base/drifted"
+    Seq((1L, 7)).toDF("k", "v").write.parquet(drifted)
+    val e2 = intercept[IllegalArgumentException] {
+      Merge.mergeWrite(kv(Seq(2L -> "b")), "k", drifted)
+    }
+    assert(e2.getMessage.contains("type drift"))
+    // a column present on only one side is legitimate U1 evolution: the
+    // tolerant union null-fills it, first-wins still keyed correctly
+    val evolved = s"$base/evolved"
+    kv(Seq(1L -> "a")).write.parquet(evolved)
+    Merge.mergeWrite(
+      kv(Seq(1L -> "NEW", 2L -> "b"))
+        .withColumn("extra", org.apache.spark.sql.functions.lit(9L)),
+      "k", evolved)
+    val out = spark.read.parquet(evolved)
+      .select(col("k"), col("v"), col("extra")).as[(Long, String, Option[Long])]
+      .collect().sortBy(_._1)
+    assert(out === Array((1L, "a", None), (2L, "b", Some(9L))))
+  }
+
   test("writeAndSwap publishes exactly the dataframe and leaves no temp") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-swap").toString

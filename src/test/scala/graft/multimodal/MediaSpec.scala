@@ -118,6 +118,19 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("null/unknown mime dispatches to the stub, never NPEs (ADVICE r5)") {
+    val codec = MediaCodec.open()
+    val payload = "no mime attached".getBytes("UTF-8")
+    // null mime = a record scraped without a content-type header; the
+    // documented contract is "everything else falls to the stub"
+    def flat(t: (Int, Int, Array[Float])) = (t._1, t._2, t._3.toSeq)
+    assert(flat(codec.decode(payload, null)) === flat(codec.decodeStub(payload)))
+    assert(flat(codec.decode(payload, "application/octet-stream"))
+      === flat(codec.decodeStub(payload)))
+    assert(codec.reencode(payload, null, 10, 10).toSeq
+      === codec.reencodeStub(payload, 10, 10).toSeq)
+  }
+
   test("decode stub matches its spec (md5-derived dims)") {
     val codec = MediaCodec.open()
     val payload = "hello world".getBytes("UTF-8")
