@@ -51,6 +51,34 @@ object Analytics {
       |GROUP BY ROLLUP(r_name, n_name)
       |ORDER BY region, nation""".stripMargin
 
+  // ── q61: cube over order priority × status (A4, all grouping sets) ─────
+  /** Order count + revenue over EVERY grouping-set combination of
+    * (priority, status) — `cube` completes the A4 grouping family next to
+    * q28's `rollup` (rollup emits only the hierarchy's prefixes; cube
+    * emits all 2^k subsets, the general GROUPING SETS case). Same
+    * execution shape: ONE shuffle with partial aggregation per grouping
+    * set (Spark expands the cube before the exchange, so the map-side
+    * combine still eats the fact table). NULL group cells are labeled
+    * 'ALL' on both sides so ordering and hashing agree. */
+  def cubePriorityStatus(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("cents"))
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              col("n_orders"), col("rev_cents"))
+      .orderBy(col("priority"), col("status"))
+  val cubePriorityStatusSql: String =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COALESCE(o_orderstatus, 'ALL') AS status,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      |FROM orders
+      |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+
   // ── q29: ranking + analytic window functions over order sequences ───────
   /** Per-customer order timeline: row_number, gap-days since the previous
     * order (lag), and a running balance (sum over an explicit ROWS frame) —
@@ -448,6 +476,7 @@ object Analytics {
     "q45_kmv_distinct"    -> (kmvDistinct _),
     "q40_revenue_by_brand"-> (revenueByBrand _),
     "q28_rollup"          -> (rollupRegionNation _),
+    "q61_cube"            -> (cubePriorityStatus _),
     "q29_order_sequence"  -> (orderSequence _),
     "q30_top_orders"      -> (topOrders _),
     "q31_nation_setops"   -> (nationSetOps _),
@@ -464,6 +493,7 @@ object Analytics {
     "q45_kmv_distinct"    -> kmvDistinctSql,
     "q40_revenue_by_brand"-> revenueByBrandSql,
     "q28_rollup"          -> rollupRegionNationSql,
+    "q61_cube"            -> cubePriorityStatusSql,
     "q29_order_sequence"  -> orderSequenceSql,
     "q30_top_orders"      -> topOrdersSql,
     "q31_nation_setops"   -> nationSetOpsSql,

@@ -296,6 +296,76 @@ object Relational {
       |GROUP BY c_nationkey, c_mktsegment
       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
+  // ── q60: date-range (interval) join via bin bucketing (J2 range/theta) ──
+  /** Core of the binned range join: `fact` rows (one date column) matched
+    * to `windows` rows (`win_start`/`win_end` inclusive date bounds) where
+    * the date falls inside the window — `BETWEEN` is a theta predicate, so
+    * Spark's only direct plans are BroadcastNestedLoopJoin (every fact row
+    * compared against every window — tolerable only while the window side
+    * broadcasts) or, unhinted, a CartesianProduct. The scale path is the
+    * standard interval-binning rewrite: each window EXPLODES into the
+    * coarse `binDays`-day calendar bins it overlaps (⌈width/binDays⌉+1
+    * rows per window), each fact row computes its ONE bin, and the join
+    * becomes a hash EQUI-join on the bin with the BETWEEN as a residual
+    * filter. Both sides co-partition on the bin at any scale; a fact row
+    * carries exactly one bin, so no post-join dedup is needed. Pick
+    * `binDays` ≈ the typical window width: bins much wider inflate
+    * residual-filtered candidates, much narrower inflate the window-side
+    * explosion. PlanSpec pins the no-nested-loop shape. */
+  private[graft] def rangeJoinBinned(fact: DataFrame, factDate: String,
+                                     windows: DataFrame, binDays: Int)
+      : DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    def binOf(c: org.apache.spark.sql.Column) =
+      floor(datediff(c, epoch) / binDays.toDouble).cast("long")
+    val wb = windows.withColumn("bin",
+      explode(sequence(binOf(col("win_start")), binOf(col("win_end")))))
+    fact.withColumn("bin", binOf(col(factDate)))
+      .join(wb, Seq("bin"))
+      .filter(col(factDate).between(col("win_start"), col("win_end")))
+      .drop("bin")
+  }
+
+  /** 25 deterministic 45-day windows (one per nation, spaced 89 days from
+    * 1995-02-01 — spanning the orders date range) range-joined to orders:
+    * per-window order count and revenue. The window table stands in for
+    * the reference's event-calendar analytics (fights grouped into event
+    * windows, `fights_scraper.py:196`); at 100 TB the windows side is
+    * usually still small but the binned rewrite keeps the plan a hash
+    * join even when it isn't (per-user sessions, per-SKU promo calendars
+    * — window counts proportional to an entity dimension). */
+  def rangeJoinOrders(s: SparkSession, d: String): DataFrame = {
+    val windows = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("win_id"),
+        date_add(to_date(lit("1995-02-01")), col("n_nationkey") * 89)
+          .as("win_start"))
+      .withColumn("win_end", date_add(col("win_start"), 45))
+    val fact = Tables.orders(s, d)
+      .select(col("o_orderdate").cast("date").as("od"),
+        asCents(col("o_totalprice")).as("cents"))
+    rangeJoinBinned(fact, "od", windows, binDays = 45)
+      .groupBy(col("win_id"), col("win_start"), col("win_end"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+      .select(col("win_id"),
+        date_format(col("win_start"), "yyyy-MM-dd").as("win_start"),
+        date_format(col("win_end"), "yyyy-MM-dd").as("win_end"),
+        col("n_orders"), col("rev_cents"))
+      .orderBy(col("win_id"))
+  }
+  val rangeJoinOrdersSql: String =
+    """WITH w AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS win_id,
+      |    DATE '1995-02-01' + n_nationkey * 89 AS ws,
+      |    DATE '1995-02-01' + n_nationkey * 89 + 45 AS we
+      |  FROM nation)
+      |SELECT win_id, strftime(ws, '%Y-%m-%d') AS win_start,
+      |  strftime(we, '%Y-%m-%d') AS win_end,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      |FROM w JOIN orders ON CAST(o_orderdate AS DATE) BETWEEN ws AND we
+      |GROUP BY win_id, ws, we
+      |ORDER BY win_id""".stripMargin
+
   /** Registry fragment for SparkEntry. */
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary"     -> (pricingSummary _),
@@ -307,7 +377,8 @@ object Relational {
     "q07_distinct_frontier"   -> (distinctFrontier _),
     "q08_dedup_keep_first"    -> (dedupKeepFirst _),
     "q09_active_customers"    -> (activeCustomers _),
-    "q58_skewed_join"         -> (skewedSaltedJoin _))
+    "q58_skewed_join"         -> (skewedSaltedJoin _),
+    "q60_range_join"          -> (rangeJoinOrders _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q01_pricing_summary"      -> pricingSummarySql,
@@ -319,5 +390,6 @@ object Relational {
     "q07_distinct_frontier"    -> distinctFrontierSql,
     "q08_dedup_keep_first"     -> dedupKeepFirstSql,
     "q09_active_customers"     -> activeCustomersSql,
-    "q58_skewed_join"          -> skewedSaltedJoinSql)
+    "q58_skewed_join"          -> skewedSaltedJoinSql,
+    "q60_range_join"           -> rangeJoinOrdersSql)
 }

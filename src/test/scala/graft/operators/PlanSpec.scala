@@ -182,6 +182,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q60: the range join is a hash equi-join on bins, never a nested loop") {
+    // BETWEEN is a theta predicate: Spark's direct plans are
+    // BroadcastNestedLoopJoin (O(N·W) compares) or CartesianProduct. The
+    // binned rewrite must keep it an equi-join — at the at-scale shape
+    // (no auto-broadcast) that means a shuffled hash/sort-merge join on
+    // the bin key, the plan that co-partitions both sides at any scale.
+    atScaleShape {
+      val p = plan(q("q60_range_join"))
+      assert(!p.contains("CartesianProduct"),
+        s"range join degenerated to a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"range join fell back to a nested loop:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join on the bin key:\n$p")
+      assert(p.contains("bin"), s"bin join key missing from plan:\n$p")
+    }
+  }
+
   test("q20: the normalize+split and the punct regex evaluate once each") {
     // r5: words is staged as a multi-use column; the inline form re-ran
     // the normalize+split once per referencing output column (3x/row) and
