@@ -100,6 +100,33 @@ object Streams {
                    key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(profile), Seq(key))
 
+  /** Stream–stream interval join with bounded state on BOTH sides: clicks
+    * attributed to a view by the same user within `horizonMinutes` —
+    * the streaming form of the as-of/attribution family (q36) and the one
+    * stateful join shape a large pipeline genuinely runs continuously
+    * (impression→conversion attribution). Spark buffers both streams in
+    * state; WITHOUT a watermark on each side plus a time-range predicate
+    * tying the two event times together it cannot ever evict, and state
+    * grows with the full history. With them, the view side holds at most
+    * `horizon + watermark` of events and the click side `watermark` —
+    * constant in stream length, the property that survives at 100 TB/day.
+    * Inner join: unmatched rows on either side simply expire. */
+  def viewClickAttribution(views: DataFrame, clicks: DataFrame,
+                           horizonMinutes: Int): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "2 hours")
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    c.join(v,
+      col("c_user") === col("v_user") &&
+      col("c_ts") >= col("v_ts") &&
+      col("c_ts") <= col("v_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("v_ts"), col("c_ts"))
+  }
+
   /** Streaming exact-dedup on a key with bounded state: duplicates arriving
     * within the watermark horizon are dropped; state for keys older than
     * the watermark is evicted (unbounded-state dedup is the classic

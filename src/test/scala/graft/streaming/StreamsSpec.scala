@@ -116,6 +116,45 @@ class StreamsSpec extends SparkSpec {
     assert(recovered.select("event_id").distinct().count() === nA + nB)
   }
 
+  test("stream-stream interval join == batch interval join (view→click attribution)") {
+    val out = tmp("graft-ssjoin-out")
+    val events = Streams.readEvents(spark, eventsDir)
+    val q = Streams.viewClickAttribution(
+        events.filter(col("event_type") === "view"),
+        events.filter(col("event_type") === "click"),
+        horizonMinutes = 30)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmp("graft-ssjoin-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(out)
+      .select("user_id", "click_id", "view_id")
+    val b = Tables.events(spark, sfDir)
+    val bv = b.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+              col("event_id").as("view_id"))
+    val bc = b.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+              col("event_id").as("click_id"))
+    val batch = bc.join(bv,
+        col("c_user") === col("v_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"))
+    // single-file dir => one micro-batch => the inner join must emit the
+    // complete batch-equal match set (no eviction can precede arrival)
+    assert(streamed.count() > 0, "stream emitted no attributions")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0
+        && batch.exceptAll(streamed).count() === 0,
+      "stream-stream interval join diverged from the batch join")
+  }
+
   test("streaming dedup emits each key exactly once") {
     val out = tmp("graft-dedup-out")
     // duplicate the stream by reading the same file twice via two symlinks
