@@ -165,4 +165,28 @@ object Tables {
     df.write.mode("overwrite")
       .option("ignoreNullFields", "false")
       .json(path)
+
+  /** Hive-layout partitioned parquet sink — how every one of these tables
+    * would actually land on a 100 TB lake. `partitionBy` turns the
+    * partition columns into directory keys (`month=2020-01/…`), so a read
+    * filtered on them prunes at PLANNING time: the scan's
+    * `PartitionFilters` section lists the predicate and unlisted
+    * directories are never opened — file pruning, strictly cheaper than
+    * the row-group pushdown non-partition predicates get. Choose LOW
+    * cardinality keys (date/month, region): one directory per value, and
+    * a per-value output task — a high-cardinality partitionBy produces
+    * millions of tiny files (the classic lake mistake; bucket instead,
+    * see BucketingSpec). SinkLayoutSpec proves the pruning on a real
+    * plan. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Read a [[writePartitioned]] sink with its declared schema. Partition
+    * columns come back typed from the directory keys; `basePath` keeps
+    * them visible even when a subtree is read directly. */
+  def loadPartitioned(s: SparkSession, path: String): DataFrame =
+    s.read.option("basePath", path).parquet(path)
 }
