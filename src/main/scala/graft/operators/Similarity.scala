@@ -204,10 +204,19 @@ object Similarity {
       .filter(col("embedding").isNotNull)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-    val corpus = base.unionByName(
+    nearDupPairs(base.unionByName(
       base.filter(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 100000L).as("vec_id"),
-          transform(col("v"), x => x * 1.0001).as("v")))
+          transform(col("v"), x => x * 1.0001).as("v"))))
+  }
+
+  /** Core of the sketch-bucketed near-dup scan over a `(vec_id, v)` corpus
+    * frame — factored out so NearDupRecallSpec can drive the SAME operator
+    * over a corpus with ORGANIC near-dup pairs (sketches differing in 1–3
+    * bits), the false-negative scenario the 4-chunk geometry exists for
+    * (r5 advice, medium). */
+  private[graft] def nearDupPairs(corpus0: DataFrame): DataFrame = {
+    val corpus = corpus0
       // coalesce: same nullability launder as the sketch below — without
       // it the verify join's sim predicate infers isnotnull(nrm) and
       // pushes a Filter that re-inlines a SECOND 64-mult dot_product per
