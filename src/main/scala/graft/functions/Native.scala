@@ -125,6 +125,20 @@ object Native {
   def longChunks(x: Column, nChunks: Int, chunkBits: Int): Column =
     call_function("long_chunks", x, lit(nChunks), lit(chunkBits))
 
+  /** 128-bit SimHash emitted directly as 4 disjoint 32-bit band structs
+    * (`array<struct<band:int, bh:bigint>>`) — the [[simhash60]] growth
+    * path the q54 scaladoc promises: random chunk-bucket collisions grow
+    * N²·nChunks/2^chunkBits and Hamming≤3 pins nChunks at 4, so the ONLY
+    * scale lever is a longer signature — 4×32 gives 2^32 buckets per
+    * chunk (131072× the 4×15 layout) with the identical pigeonhole
+    * guarantee. Bit j of the signature is the majority vote over words of
+    * bit j%32 of md5 word j/32, where word k is hex chars [8k+1, 8k+8]
+    * big-endian (= `conv(substr(md5(w), 1+8k, 8), 16, 10)`, each < 2^32 so
+    * the DuckDB oracle stays in BIGINT). Null elements are skipped like
+    * [[simhash60]]; chunk c's value is bits [32c, 32c+32). */
+  def simhash128Bands(words: Column): Column =
+    call_function("simhash128_bands", words)
+
   /** Sequential-fold dot product of two double arrays — bit-identical to
     * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` (the (((0+x₁)+x₂)+…) order
     * the DuckDB oracle's `list_reduce(list_prepend(0.0, …))` replays), but
@@ -612,6 +626,75 @@ case class SignSketchBandsExpr(child: Expression, bits: Int, nChunks: Int)
     val out = new Array[AnyRef](nChunks)
     var c = 0
     while (c < nChunks) { out(c) = InternalRow(c, chunks(c)); c += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** See [[Native.simhash128Bands]]. */
+case class SimHash128BandsExpr(child: Expression)
+    extends UnaryExpression with KernelInvokeCodegen {
+
+  override def prettyName: String = "simhash128_bands"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("band", IntegerType, nullable = false),
+      StructField("bh", LongType, nullable = false))),
+    containsNull = false)
+
+  /** Exact: null elements are skipped (like [[SimHash60Expr]]), so the
+    * result is null only for a null input array — keeps inferred
+    * isnotnull join-key constraints foldable (the r4 re-inline trap). */
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash128_bands needs array<string>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](128)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        // word k = md5 bytes [4k, 4k+4) big-endian — hex chars [8k+1, 8k+8]
+        var k = 0
+        while (k < 4) {
+          val w = ((d(4 * k) & 0xffL) << 24) | ((d(4 * k + 1) & 0xffL) << 16) |
+                  ((d(4 * k + 2) & 0xffL) << 8) | (d(4 * k + 3) & 0xffL)
+          var p = 0
+          while (p < 32) {
+            votes(32 * k + p) += (if (((w >> p) & 1L) == 1L) 1 else -1)
+            p += 1
+          }
+          k += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[AnyRef](4)
+    var c = 0
+    while (c < 4) {
+      var bh = 0L
+      var p = 0
+      while (p < 32) {
+        if (votes(32 * c + p) >= 0) bh |= (1L << p)
+        p += 1
+      }
+      out(c) = InternalRow(c, bh)
+      c += 1
+    }
     new GenericArrayData(out)
   }
 

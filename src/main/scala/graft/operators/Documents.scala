@@ -192,67 +192,88 @@ object Documents {
     * pairs exist alongside any organic ones.
     *
     * Scale knob (r5 sf1 ladder lesson, and it differs from q35's): random
-    * chunk collisions grow N²·4/2^15, but here the Hamming ≤ 3 CONTRACT
-    * pins the geometry — 3 bit errors can dirty 3 of 4 chunks, so 4
-    * chunks is the minimum for zero false negatives and WIDENING chunks
-    * (q35's fix) would break exactness. The growth path that preserves
-    * the guarantee is a LONGER signature: e.g. a 128-bit simhash split
-    * 4×32 gives 2^32 buckets per chunk with the same pigeonhole. Fine
-    * through sf1 measured (~600k random candidates at a 100k corpus). */
+    * chunk collisions grow N²·4/2^chunkBits, but here the Hamming ≤ 3
+    * CONTRACT pins the chunk COUNT — 3 bit errors can dirty 3 of 4
+    * chunks, so 4 chunks is the minimum for zero false negatives and
+    * merely widening chunks of a fixed sketch (q35's first fix) would
+    * break exactness. The growth path that preserves the guarantee is a
+    * LONGER signature, and round 6 takes it: the fused
+    * `simhash128_bands` kernel votes over all 128 md5 bits and emits 4
+    * disjoint 32-bit chunks directly — 2^32 buckets per chunk (131072×
+    * the r5 4×15 layout), the same pigeonhole, one kernel eval per row
+    * (nothing for constraint pushdown or a multi-reference generator to
+    * re-inline — the r4 trap class, PlanSpec-pinned). */
   def simhashNearDup(s: SparkSession, d: String): DataFrame = {
-    // the explicit null filter + coalesce is a NULLABILITY LAUNDER, not a
-    // semantic change (r4 verdict "What's wrong" #1): with a nullable `sh`,
-    // InferFiltersFromConstraints derives isnotnull(sh) from the candidate
-    // join keys and pushes it below this Project — re-inlining the whole
-    // simhash kernel into a Filter on every union branch and join side
-    // (12 plan occurrences, ~2-3 kernel evals per row). coalesce makes the
-    // attribute non-nullable so the constraint is never created; the null
-    // filter keeps values identical (no null text ever reaches the 0L arm,
-    // and the oracle's NULL signatures drop out of its join the same way).
+    // the explicit null filter keeps the oracle's NULL signatures
+    // dropping out identically; the kernel's nullability is exact
+    // (null only for null input), so no coalesce launder is needed and
+    // inferred isnotnull join-key constraints fold away
     val docs = corpusWithVariants(s, d)
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
-        coalesce(Native.simhash60(Text.toWords(col("text"))), lit(0L))
-          .as("sh"))
-    // native long_chunks so the generator evaluates the simhash ONCE per
-    // row — the HOF simhashChunks form carries 4 references to `sh` and
-    // the optimizer inlines the whole per-word kernel into each
+        Native.simhash128Bands(Text.toWords(col("text"))).as("bands"))
+    // `bands` is a MULTI-USE column (generator + carried signature), so
+    // CollapseProject keeps the staging Project and the kernel runs once.
+    // The coalesce wrapper is load-bearing: InferFiltersFromGenerate
+    // infers `size(e) > 0 AND isnotnull(e)` below a Generate whose
+    // explode child is a BARE ATTRIBUTE, and predicate pushdown then
+    // substitutes the alias — re-inlining the whole kernel into per-branch
+    // Filters (5 plan evals, the r4 trap through a different rule). A
+    // non-attribute child falls outside the rule's cheapness guard (the
+    // same reason q35's inline-kernel generator was never rewritten), and
+    // coalesce-with-empty is semantically identical here: explode emits
+    // nothing for null and empty alike.
+    val emptyBands = array().cast("array<struct<band:int,bh:bigint>>")
     val chunks = docs
-      .select(col("doc_id"), col("sh"),
-        explode(Native.longChunks(col("sh"), 4, 15)).as("c"))
-      .select(col("doc_id"), col("sh"),
+      .select(col("doc_id"), col("bands"),
+        explode(coalesce(col("bands"), emptyBands)).as("c"))
+      .select(col("doc_id"), col("bands"),
         col("c.band").as("band"), col("c.bh").as("bh"))
     val cand = chunks.as("x").join(chunks.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("x.sh").as("a_sh"),
-              col("y.doc_id").as("b_id"), col("y.sh").as("b_sh"))
+      .select(col("x.doc_id").as("a_id"), col("x.bands").as("a_bands"),
+              col("y.doc_id").as("b_id"), col("y.bands").as("b_bands"))
       .distinct()
+    // Hamming over the 4 chunk words; the zip_with/aggregate HOF is
+    // interpreted but runs only per CANDIDATE pair (≈ near-dups +
+    // rare 1/2^32 collisions), not per corpus row
+    val hamming = aggregate(
+      zip_with(col("a_bands"), col("b_bands"),
+        (x, y) => bit_count(x.getField("bh").bitwiseXOR(y.getField("bh")))),
+      lit(0), (acc, n) => acc + n)
     cand
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).as("hamming"))
+      .select(col("a_id"), col("b_id"), hamming.as("hamming"))
       .filter(col("hamming") <= 3)
       .orderBy(col("a_id"), col("b_id"))
   }
-  /** Oracle: exact 60-bit Hamming over ALL pairs of the augmented corpus
+  /** Oracle: exact 128-bit Hamming over ALL pairs of the augmented corpus
     * (sf0.01 is small enough); the engine must find the same set through
-    * chunk bucketing. */
+    * chunk bucketing. Signature word k is `conv(substr(md5(w), 1+8k, 8))`
+    * — each < 2^32, so DuckDB stays in BIGINT; sh_k is the per-word
+    * majority vote over word k's 32 bits, exactly the kernel's layout. */
   val simhashNearDupSql: String = {
-    val bitTerms = (0 until 60).map { j =>
-      s"""CASE WHEN list_sum(list_transform(hw,
-         |    h -> CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
-         |  THEN CAST(${1L << j} AS BIGINT) ELSE 0 END""".stripMargin
+    def bitTerms(k: Int): String = (0 until 32).map { p =>
+      s"""CASE WHEN list_sum(list_transform(hw$k,
+         |    h -> CASE WHEN ((h >> $p) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+         |  THEN CAST(${1L << p} AS BIGINT) ELSE 0 END""".stripMargin
     }.mkString(" +\n  ")
+    val hwCols = (0 until 4).map { k =>
+      s"""list_transform($wordsSql,
+         |    wd -> CAST(concat('0x', substr(md5(wd), ${1 + 8 * k}, 8)) AS BIGINT)) AS hw$k""".stripMargin
+    }.mkString(",\n  ")
+    val shCols = (0 until 4).map(k => s"${bitTerms(k)} AS sh$k").mkString(",\n  ")
+    val hammingSql = (0 until 4)
+      .map(k => s"bit_count(xor(a.sh$k, b.sh$k))").mkString(" + ")
     s"""WITH $corpusSql,
        |hw AS (
-       |  SELECT doc_id, list_transform($wordsSql,
-       |    wd -> CAST(concat('0x', substr(md5(wd), 1, 15)) AS BIGINT)) AS hw
+       |  SELECT doc_id, $hwCols
        |  FROM corpus),
-       |sh AS (SELECT doc_id, $bitTerms AS sh FROM hw)
+       |sh AS (SELECT doc_id, $shCols FROM hw)
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       |  CAST($hammingSql AS INT) AS hamming
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |WHERE $hammingSql <= 3
        |ORDER BY a_id, b_id""".stripMargin
   }
 

@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 import graft.functions.{CharNgramsExpr, DotProductExpr, LongChunksExpr,
-  MinHashBandsExpr, SignSketchBandsExpr, SignSketchExpr, SimHash60Expr,
-  WordNgramsExpr}
+  MinHashBandsExpr, SignSketchBandsExpr, SignSketchExpr, SimHash128BandsExpr,
+  SimHash60Expr, WordNgramsExpr}
 
 /** Engine extension point — registers the native dedup kernels with the
   * session's function registry via the PUBLIC `SparkSessionExtensions` API
@@ -88,6 +88,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash60(words) takes 1 arg")
         SimHash60Expr(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash128_bands"),
+      new ExpressionInfo(classOf[SimHash128BandsExpr].getName,
+        "simhash128_bands"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash128_bands(words) takes 1 arg")
+        SimHash128BandsExpr(args.head)
       }))
   }
 }

@@ -37,6 +37,40 @@ class NativeSpec extends SparkSpec {
     out.foreach { case (a, b) => assert(a === b) }
   }
 
+  test("native simhash128_bands == independent md5 vote reconstruction") {
+    // rebuild the signature from first principles: word k of each md5 is
+    // hex chars [8k+1, 8k+8] big-endian, bit j of chunk k is the majority
+    // vote of bit j across words — the documented oracle layout
+    def reference(words: Seq[String]): Seq[(Int, Long)] = {
+      val votes = Array.fill(128)(0)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      words.foreach { w =>
+        md.reset()
+        val d = md.digest(w.getBytes("UTF-8"))
+        for (k <- 0 until 4; p <- 0 until 32) {
+          val hex = d.map("%02x".format(_)).mkString.substring(8 * k, 8 * k + 8)
+          val word = java.lang.Long.parseLong(hex, 16)
+          votes(32 * k + p) += (if (((word >> p) & 1L) == 1L) 1 else -1)
+        }
+      }
+      (0 until 4).map { k =>
+        k -> (0 until 32).foldLeft(0L) { (acc, p) =>
+          if (votes(32 * k + p) >= 0) acc | (1L << p) else acc
+        }
+      }
+    }
+    val out = df.select(col("w"), Native.simhash128Bands(col("w")).as("b"))
+      .as[(Seq[String], Seq[(Int, Long)])].collect()
+    out.foreach { case (words, bands) =>
+      assert(bands === reference(words), s"mismatch for $words")
+    }
+    // null elements are skipped, not poisoning (the simhash60 contract)
+    val withNull = Seq(Seq(Some("alpha"), None, Some("beta")))
+      .toDF("w").select(Native.simhash128Bands(col("w")).as("b"))
+      .as[Seq[(Int, Long)]].collect()
+    assert(withNull.head === reference(Seq("alpha", "beta")))
+  }
+
   test("native minhash bands: near-identical docs share a band, unrelated don't") {
     val bands = df.select(
         Native.minhashBands(Native.shingles(col("w"), 3), 128, 32, 4).as("b"))
@@ -161,6 +195,7 @@ class NativeSpec extends SparkSpec {
         .select(
           Native.shingles(col("w"), 3).as("sh"),
           Native.simhash60(col("w")).as("h60"),
+          Native.simhash128Bands(col("w")).as("h128"),
           Native.minhashBands(Native.shingles(col("w"), 3), 16, 4, 4).as("mb"),
           Native.charTrigrams(lower(col("text"))).as("cg"))
         .collect().map(_.toString).toSeq

@@ -166,19 +166,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q54: one simhash60 eval per corpus row at the at-scale shape") {
+  test("q54: one simhash128_bands eval per corpus row at the at-scale shape") {
     // same three contracts as q35 (see above) — r4's failure here was 12
     // plan occurrences: Project + a pushed isnotnull Filter on each side
     // of the self-join x the 2-branch variant-corpus union
     atScaleShape {
       val p = finalPlan(q("q54_simhash_neardup"))
-      assert(kernelInFilters(p, "simhash60") == 0,
-        s"simhash60 re-inlined into a Filter (constraint pushdown):\n$p")
+      assert(kernelInFilters(p, "simhash128_bands") == 0,
+        s"simhash128_bands re-inlined into a Filter (constraint pushdown):\n$p")
       assert(p.contains("ReusedExchange"),
         s"self-join side not reused — simhash map stage runs twice:\n$p")
-      val n = "simhash60\\(".r.findAllIn(p).length
+      val n = "simhash128_bands\\(".r.findAllIn(p).length
       assert(n <= 2, // one per union branch, disjoint rows
-        s"expected <=2 simhash60 evals (1 per corpus row), got $n:\n$p")
+        s"expected <=2 simhash128_bands evals (1 per corpus row), got $n:\n$p")
     }
   }
 
