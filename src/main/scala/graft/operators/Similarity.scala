@@ -382,6 +382,78 @@ object Similarity {
   val ivfCentroidTopKSql: String = ivfCentroidSqlFor(nprobe = 1, k = 5)
   val ivfMultiProbeTopKSql: String = ivfCentroidSqlFor(nprobe = 3, k = 5)
 
+  // ── q62: LSH-bucketed ANN top-k (sign-sketch buckets + exact rerank) ────
+  /** The LSH-bucketed similarity-search path, complementing IVF: corpus
+    * and queries sketch into 10 disjoint 8-BIT sign chunks
+    * (`sign_sketch_bands(v, 80, 10)`), a query's candidates are the rows
+    * sharing ANY chunk (≈ 10/2^8 ≈ 4% of a random corpus, concentrated on
+    * angular neighbors), and candidates are exactly reranked to cosine
+    * top-5. No training step (vs IVF's centroid fit) and no full scan per
+    * query (vs brute force) — the trade is recall tuned by chunk width:
+    * NARROW 8-bit chunks here (vs q35's 20-bit) because search wants
+    * moderate-cosine neighbors recalled, while near-dup wants only
+    * 0.999-pairs and minimal candidates. Scale shape: the bucket join
+    * ships (vec_id, chunk, cv) triples, never vectors; the rerank joins
+    * fetch vectors for candidate pairs only. The oracle reconstructs the
+    * sketch from the same integer hyperplane arithmetic and same fold
+    * order, so buckets — and therefore the candidate SET — are
+    * bit-identical cross-engine. */
+  private val LshSearchBits = 80
+  private val LshSearchChunks = 10
+  def lshTopK(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val chunks = e.select(col("vec_id"),
+        explode(Native.signSketchBands(col("v"), LshSearchBits,
+          LshSearchChunks)).as("ch"))
+      .select(col("vec_id"), col("ch.band").as("chunk"), col("ch.bh").as("cv"))
+    val cand = chunks
+      .join(chunks.filter(isQuery)
+        .select(col("vec_id").as("q_id"), col("chunk"), col("cv")),
+        Seq("chunk", "cv"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+      .distinct()
+    val pairs = cand
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn")), Seq("q_id"))
+      .join(e.select(col("vec_id").as("n_id"), col("v"), col("nrm")),
+        Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    rankTopK(pairs, 5)
+  }
+  val lshTopKSql: String = {
+    // the sign of hyperplane j against v, as the oracle-exact fold:
+    // h_j[i] = (((j*64 + i) * 2654435761) % 1000) / 1000 - 0.5, i 0-based
+    def dotHyper(j: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list_transform(range(1, 65), i -> v[i] *
+         |            (CAST((($j * 64 + (i - 1)) * 2654435761) % 1000 AS DOUBLE)
+         |              / 1000.0 - 0.5))), (a, b) -> a + b)""".stripMargin
+    s"""WITH $normedSql,
+       |sk AS (
+       |  SELECT vec_id, CAST(t.c AS INT) AS chunk,
+       |    CAST(list_sum(list_transform(range(0, 8), p ->
+       |      CASE WHEN ${dotHyper("(t.c * 8 + p)")} >= 0
+       |        THEN 1 << p ELSE 0 END)) AS BIGINT) AS cv
+       |  FROM n, range(0, $LshSearchChunks) t(c)),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, e.vec_id AS n_id
+       |  FROM sk q JOIN sk e ON q.chunk = e.chunk AND q.cv = e.cv
+       |  WHERE q.vec_id IN $queryIdsSql AND e.vec_id <> q.vec_id),
+       |pairs AS (
+       |  SELECT c.q_id, c.n_id,
+       |    ${dotSql("q.v", "e.v")} / (q.nrm * e.nrm) AS sim
+       |  FROM cand c
+       |  JOIN n q ON q.vec_id = c.q_id
+       |  JOIN n e ON e.vec_id = c.n_id)
+       |SELECT q_id, rank, n_id, CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+       |      FROM pairs)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   // ── q39: int8 embedding quantization with error-bound verification ─────
   /** Per-vector symmetric int8 quantization (scale = max|x|/127,
     * q = round-half-up(x/scale)) — the compression step before an ANN
@@ -440,7 +512,8 @@ object Similarity {
     "q35_cosine_neardup"-> (cosineNearDup _),
     "q38_ivf_centroids" -> (ivfCentroidTopK _),
     "q39_quantize_int8" -> (quantizeInt8 _),
-    "q59_ivf_multiprobe"-> (ivfMultiProbeTopK _))
+    "q59_ivf_multiprobe"-> (ivfMultiProbeTopK _),
+    "q62_lsh_topk"      -> (lshTopK _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q23_cosine_topk"   -> cosineTopKSql,
@@ -448,5 +521,6 @@ object Similarity {
     "q35_cosine_neardup"-> cosineNearDupSql,
     "q38_ivf_centroids" -> ivfCentroidTopKSql,
     "q39_quantize_int8" -> quantizeInt8Sql,
-    "q59_ivf_multiprobe"-> ivfMultiProbeTopKSql)
+    "q59_ivf_multiprobe"-> ivfMultiProbeTopKSql,
+    "q62_lsh_topk"      -> lshTopKSql)
 }
