@@ -182,6 +182,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q62: bucket join on sign chunks; kernel only in Generates; top-k group-limited") {
+    val p = plan(q("q62_lsh_topk"))
+    assert(!p.contains("CartesianProduct"),
+      s"LSH search degenerated to all-pairs:\n$p")
+    assert(kernelInFilters(p, "sign_sketch_bands") == 0,
+      s"sketch kernel re-inlined into a Filter:\n$p")
+    // exactly 2 kernel evals: one Generate per side (corpus + query set)
+    val n = "sign_sketch_bands\\(".r.findAllIn(p).length
+    assert(n == 2, s"expected 2 sign_sketch_bands Generates, got $n:\n$p")
+    // the query side is the literal bounded ID set, pruned at the scan
+    assert(p.contains("In(vec_id") || p.contains("INSET"),
+      s"query-side scan not pruned to the literal ID set:\n$p")
+    // rank<=k is pushed into the window (no full per-partition sort spill)
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k not group-limited before the window:\n$p")
+  }
+
   test("q60: the range join is a hash equi-join on bins, never a nested loop") {
     // BETWEEN is a theta predicate: Spark's direct plans are
     // BroadcastNestedLoopJoin (O(N·W) compares) or CartesianProduct. The
