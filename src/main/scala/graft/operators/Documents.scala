@@ -134,6 +134,90 @@ object Documents {
       .filter(col("jaccard_bp") >= 8000L)
       .orderBy(col("a_id"), col("b_id"))
   }
+  // ── q63: near-dup clusters → the dedup DECISION (connected components) ──
+  /** Near-dup PAIRS don't dedup a corpus — CLUSTERS do: when doc A pairs
+    * with B and B with C, exactly one of {A,B,C} may survive, which no
+    * per-pair filter can decide. Components of the q18 near-dup graph via
+    * iterative min-label propagation (each round: every doc takes the min
+    * label among itself and its neighbors), the standard distributed-CC
+    * shape (GraphX/GraphFrames run the same loop underneath): per round
+    * one join + one partial-aggregated shuffle, rounds = component
+    * diameter (tiny for dup clusters — transitive near-dup chains are
+    * short). Output: every doc, its cluster representative (= component
+    * min id), and the keep/drop decision.
+    *
+    * Two scale notes baked in: `localCheckpoint(eager)` after every round
+    * truncates the lineage — without it the plan DOUBLES per iteration
+    * and planning cost alone goes exponential (the classic iterative-
+    * Spark trap); convergence is detected from sum(lbl), a strictly
+    * decreasing witness under min-propagation, so the loop's driver-side
+    * footprint is ONE aggregated long per round — never a collect of the
+    * labels themselves. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashNearDup(s, d).select(col("a_id"), col("b_id"))
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    connectedComponents(nodes, pairs)
+      .select(col("doc_id"), col("lbl").as("cluster_rep"),
+        (col("doc_id") === col("lbl")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Min-label propagation to fixpoint over an undirected pair list —
+    * the CC core of [[dedupClusters]], factored so DedupClusterSpec can
+    * prove TRANSITIVITY on constructed chains/cycles (the harness's
+    * planted near-dups are disjoint twins, so the oracle never exercises
+    * a >2-doc component). `nodes` = one `doc_id` per row; `pairs` =
+    * (a_id, b_id) in any orientation. Returns (doc_id, lbl = component
+    * min id). */
+  private[graft] def connectedComponents(nodes: DataFrame,
+                                         pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val msgs = labels.join(edges, col("doc_id") === col("src"))
+        .select(col("dst").as("doc_id"), col("lbl"))
+      labels = labels.unionByName(msgs)
+        .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val s2 = labels.agg(sum(col("lbl"))).head.getLong(0)
+      converged = s2 == prevSum
+      prevSum = s2
+      rounds += 1
+    }
+    labels
+  }
+  /** Oracle: exact all-pairs Jaccard edges + a recursive CTE propagating
+    * min labels to the transitive closure — DuckDB's declarative twin of
+    * the engine's iterative fixpoint. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, $shinglesSql AS s
+       |  FROM (SELECT doc_id, $wordsSql AS w FROM documents)),
+       |ok AS (SELECT * FROM sh WHERE len(s) > 0),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM ok a JOIN ok b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 10000
+       |      // CAST(len(list_distinct(a.s || b.s)) AS BIGINT) >= 8000),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+       |cc(doc_id, lbl) AS (
+       |  SELECT doc_id, doc_id AS lbl FROM documents
+       |  UNION
+       |  SELECT e.dst AS doc_id, cc.lbl
+       |  FROM cc JOIN edges e ON cc.doc_id = e.src)
+       |SELECT doc_id, CAST(min(lbl) AS BIGINT) AS cluster_rep,
+       |  (doc_id = min(lbl)) AS keep
+       |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Oracle: sf0.01 is small enough to brute-force ALL pairs exactly; the
     * engine must find the same >= 0.8 set through LSH. */
   val minhashNearDupSql: String =
@@ -578,6 +662,7 @@ object Documents {
     "q42_train_test_split"-> (trainTestSplit _),
     "q17_exact_dedup"     -> (exactDedup _),
     "q18_minhash_neardup" -> (minhashNearDup _),
+    "q63_dedup_clusters"  -> (dedupClusters _),
     "q19_simhash"         -> (simhashSign _),
     "q54_simhash_neardup" -> (simhashNearDup _),
     "q20_text_stats"      -> (textStats _),
@@ -593,6 +678,7 @@ object Documents {
     "q42_train_test_split"-> trainTestSplitSql,
     "q17_exact_dedup"     -> exactDedupSql,
     "q18_minhash_neardup" -> minhashNearDupSql,
+    "q63_dedup_clusters"  -> dedupClustersSql,
     "q19_simhash"         -> simhashSignSql,
     "q54_simhash_neardup" -> simhashNearDupSql,
     "q20_text_stats"      -> textStatsSql,

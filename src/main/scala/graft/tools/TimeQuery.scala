@@ -26,10 +26,11 @@ object TimeQuery {
       (1 to repeats).foreach { pass =>
         // fresh plan per pass: re-counting one RDD would let Spark reuse
         // the shuffle map outputs ("skipped stages") and time only the
-        // final stage
-        val df = fn(spark, sfDir)
+        // final stage. Construction is INSIDE the timing, matching Bench —
+        // iterative queries (q63's eager-checkpointed CC loop) do their
+        // work at construction time
         val t0 = System.nanoTime()
-        val rows = df.queryExecution.toRdd.count() // plan-as-written, no count pruning
+        val rows = fn(spark, sfDir).queryExecution.toRdd.count() // plan-as-written, no count pruning
         println(f"TIMEQ $n%-24s pass=$pass rows=$rows%-8d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
     }
