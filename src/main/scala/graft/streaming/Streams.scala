@@ -112,19 +112,41 @@ object Streams {
     * constant in stream length, the property that survives at 100 TB/day.
     * Inner join: unmatched rows on either side simply expire. */
   def viewClickAttribution(views: DataFrame, clicks: DataFrame,
-                           horizonMinutes: Int): DataFrame = {
+                           horizonMinutes: Int): DataFrame =
+    viewClickJoin(views, clicks, horizonMinutes, "inner")
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("v_ts"), col("c_ts"))
+
+  /** LEFT OUTER variant: every view eventually emits — matched within the
+    * horizon, or null-padded once the watermark passes `v_ts + horizon`
+    * and the view's state is evicted (the "no conversion" row an
+    * attribution report needs; an inner join silently drops it). Same
+    * bounded state as the inner form — the outer row is a free byproduct
+    * of the eviction that was happening anyway. Caveat inherent to the
+    * semantics: unmatched views younger than the final watermark are
+    * still pending at stream end (they'd emit on the next trigger),
+    * so a drained AvailableNow run reports unmatched only for the
+    * watermark-expired prefix — StreamsSpec pins exactly that contract. */
+  def viewClickAttributionOuter(views: DataFrame, clicks: DataFrame,
+                                horizonMinutes: Int): DataFrame =
+    viewClickJoin(views, clicks, horizonMinutes, "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"), col("v_ts"),
+        col("click_id"), col("c_ts"))
+
+  private def viewClickJoin(views: DataFrame, clicks: DataFrame,
+                            horizonMinutes: Int, joinType: String): DataFrame = {
     val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
         col("event_id").as("view_id"))
       .withWatermark("v_ts", "2 hours")
     val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("click_id"))
       .withWatermark("c_ts", "2 hours")
-    c.join(v,
+    val cond =
       col("c_user") === col("v_user") &&
       col("c_ts") >= col("v_ts") &&
-      col("c_ts") <= col("v_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
-      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
-        col("v_ts"), col("c_ts"))
+      col("c_ts") <= col("v_ts") + expr(s"INTERVAL $horizonMinutes MINUTES")
+    if (joinType == "inner") c.join(v, cond)
+    else v.join(c, cond, joinType)
   }
 
   /** Streaming exact-dedup on a key with bounded state: duplicates arriving

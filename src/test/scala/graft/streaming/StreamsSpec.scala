@@ -155,6 +155,60 @@ class StreamsSpec extends SparkSpec {
       "stream-stream interval join diverged from the batch join")
   }
 
+  test("left-outer stream-stream join: matches == batch; unmatched views " +
+       "emit after watermark eviction") {
+    val out = tmp("graft-ssouter-out")
+    val events = Streams.readEvents(spark, eventsDir)
+    val q = Streams.viewClickAttributionOuter(
+        events.filter(col("event_type") === "view"),
+        events.filter(col("event_type") === "click"),
+        horizonMinutes = 30)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmp("graft-ssouter-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(out)
+    val b = Tables.events(spark, sfDir)
+    val bv = b.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+              col("event_id").as("view_id"))
+    val bc = b.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+              col("event_id").as("click_id"))
+    val batchInner = bv.join(bc,
+        col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("view_id"), col("click_id"))
+
+    // matched rows must equal the batch inner join exactly
+    val streamedMatched = streamed.filter(col("click_id").isNotNull)
+      .select(col("view_id"), col("click_id"))
+    assert(streamedMatched.exceptAll(batchInner).count() === 0
+        && batchInner.exceptAll(streamedMatched).count() === 0,
+      "outer join's matched part diverged from the batch inner join")
+
+    // null-padded rows must be genuinely unmatched in batch terms...
+    val streamedUnmatched = streamed.filter(col("click_id").isNull)
+      .select(col("view_id"))
+    assert(streamedUnmatched.count() > 0,
+      "no unmatched views emitted — watermark eviction never fired")
+    assert(streamedUnmatched
+      .join(batchInner.select(col("view_id")), Seq("view_id"), "left_semi")
+      .count() === 0,
+      "a view emitted as unmatched despite having a batch match")
+    // ...and no view may appear both matched and unmatched
+    assert(streamed.select(col("view_id")).distinct().count()
+      === streamed.count()
+      - streamedMatched.count() + streamedMatched.select("view_id").distinct().count(),
+      "a view appeared both matched and null-padded")
+  }
+
   test("streaming dedup emits each key exactly once") {
     val out = tmp("graft-dedup-out")
     // duplicate the stream by reading the same file twice via two symlinks
