@@ -187,13 +187,16 @@ object Media {
   * plugin registry scan happens per JVM, not per record. */
 class MediaCodec private () {
 
-  /** Mime-dispatched decode: real image decode for `image/`-prefixed, stub
-    * otherwise — INCLUDING a null mime (ADVICE r5: an unchecked
-    * `mime.startsWith` NPE'd inside mapPartitions on records with no mime,
-    * where the documented contract is "everything else falls to the
-    * stub"). One return shape for both paths. */
+  /** Mime-dispatched decode: real image decode for `image/`-prefixed,
+    * real audio decode for `audio/`-prefixed (JDK `javax.sound.sampled`
+    * — WAV/AIFF/AU PCM, no external libs), stub otherwise — INCLUDING a
+    * null mime (ADVICE r5: an unchecked `mime.startsWith` NPE'd inside
+    * mapPartitions on records with no mime, where the documented contract
+    * is "everything else falls to the stub"). One return shape for all
+    * paths. */
   def decode(bytes: Array[Byte], mime: String): (Int, Int, Array[Float]) =
     if (mime != null && mime.startsWith("image/")) decodeImage(bytes)
+    else if (mime != null && mime.startsWith("audio/")) decodeAudio(bytes)
     else decodeStub(bytes)
 
   /** Mime-dispatched re-encode at a target size; null/unknown mime falls
@@ -249,8 +252,61 @@ class MediaCodec private () {
     baos.toByteArray
   }
 
-  /** STUB — stands in for the decoders this container lacks (audio, video
-    * frames). Deterministic: width/height/features are pure functions
+  /** REAL audio decode via JDK `javax.sound.sampled` (WAV/AIFF/AU
+    * containers, PCM): returns (sample_rate, frame_count) as the dims
+    * slot and an 8-bin per-eighth RMS loudness profile (each in [0, 1])
+    * as the fixed-width feature vector — the same `Array[Float]` shape
+    * the image path and stub emit, so decoded audio flows into the same
+    * downstream columns. 16-bit signed PCM, either endianness, channels
+    * averaged. Throws on unsupported payloads — parse-or-skip is caller
+    * policy, like [[decodeImage]]. */
+  def decodeAudio(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16,
+        s"unsupported audio format: $fmt (need 16-bit signed PCM)")
+      val raw = in.readAllBytes()
+      val ch = fmt.getChannels
+      val nFrames = raw.length / (2 * ch)
+      // per-frame mean over channels, decoded per the container endianness
+      val mono = new Array[Double](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0.0
+        var c = 0
+        while (c < ch) {
+          val o = (f * ch + c) * 2
+          val s =
+            if (fmt.isBigEndian) ((raw(o) << 8) | (raw(o + 1) & 0xff)).toShort
+            else ((raw(o + 1) << 8) | (raw(o) & 0xff)).toShort
+          acc += s / 32768.0
+          c += 1
+        }
+        mono(f) = acc / ch
+        f += 1
+      }
+      val feats = Array.tabulate(8) { b =>
+        val from = (nFrames.toLong * b / 8).toInt
+        val until = (nFrames.toLong * (b + 1) / 8).toInt
+        if (until <= from) 0.0f
+        else {
+          var ss = 0.0
+          var i = from
+          while (i < until) { ss += mono(i) * mono(i); i += 1 }
+          math.sqrt(ss / (until - from)).toFloat
+        }
+      }
+      (fmt.getSampleRate.toInt, nFrames, feats)
+    } finally in.close()
+  }
+
+  /** STUB — stands in for the decoders this container lacks (video
+    * frames; audio formats beyond what `javax.sound.sampled` ships).
+    * Deterministic: width/height/features are pure functions
     * of md5(payload). */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
     val d = digest(bytes)

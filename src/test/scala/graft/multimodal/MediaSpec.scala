@@ -118,6 +118,45 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  /** A 16-bit mono PCM WAV: first half a full-scale-ish sine, second half
+    * silence — the RMS profile then has a known shape. */
+  private def wavBytes(sampleRate: Int, nFrames: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    var f = 0
+    while (f < nFrames / 2) {
+      val s = (math.sin(2 * math.Pi * 440.0 * f / sampleRate) * 30000).toShort
+      pcm(2 * f) = (s & 0xff).toByte
+      pcm(2 * f + 1) = ((s >> 8) & 0xff).toByte
+      f += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("real WAV bytes decode through the production operator") {
+    import spark.implicits._
+    val recs = Seq(
+      Media.MediaRecord(1L, wavBytes(8000, 8000), "audio/wav"),
+      Media.MediaRecord(2L, wavBytes(16000, 4000), "audio/wav")).toDS()
+    val out = Media.extractFeatures(recs).collect().sortBy(_.doc_id)
+    // dims slot carries (sample_rate, frame_count)
+    assert(out.map(r => (r.doc_id, r.width, r.height)).toSeq ===
+      Seq((1L, 8000, 8000), (2L, 16000, 4000)))
+    out.foreach { r =>
+      assert(r.features.length === 8)
+      // sine half: RMS ≈ amplitude/√2 ≈ 0.65; silent half: exactly 0
+      r.features.take(4).foreach(v => assert(v > 0.5f && v < 0.8f,
+        s"sine-half RMS out of range: $v"))
+      r.features.drop(4).foreach(v => assert(v === 0.0f,
+        s"silent-half RMS nonzero: $v"))
+    }
+  }
+
   test("null/unknown mime dispatches to the stub, never NPEs (ADVICE r5)") {
     val codec = MediaCodec.open()
     val payload = "no mime attached".getBytes("UTF-8")
