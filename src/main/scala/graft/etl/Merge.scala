@@ -123,6 +123,12 @@ object Merge {
             s"(on-disk columns: ${onDisk.columns.mkString(", ")})"))
         val incomingTypes =
           incoming.schema.fields.map(f => f.name -> f.dataType).toMap
+        // Without this, a keyless incoming frame vacuously passes the
+        // type-drift forall below and fails later as an opaque analysis
+        // error inside firstWinsMerge (ADVICE r6).
+        require(incomingTypes.contains(key),
+          s"incoming batch has no merge-key column '$key' " +
+          s"(incoming columns: ${incoming.columns.mkString(", ")})")
         require(incomingTypes.get(key).forall(_ == diskKey.dataType),
           s"merge-key '$key' type drift: sink has ${diskKey.dataType}, " +
           s"incoming has ${incomingTypes(key)}")

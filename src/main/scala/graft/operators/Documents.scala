@@ -177,22 +177,38 @@ object Documents {
     var labels = nodes
       .select(col("doc_id"), col("doc_id").as("lbl"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+    // coalesce: sum over zero rows is NULL — an empty corpus must
+    // converge immediately, not NPE (ADVICE r6).
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
+    while (!converged && rounds < maxCcRounds) {
       val msgs = labels.join(edges, col("doc_id") === col("src"))
         .select(col("dst").as("doc_id"), col("lbl"))
       labels = labels.unionByName(msgs)
         .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(true)
-      val s2 = labels.agg(sum(col("lbl"))).head.getLong(0)
+      val s2 = labelSum(labels)
       converged = s2 == prevSum
       prevSum = s2
       rounds += 1
     }
+    // Hitting the cap means a component's diameter exceeds it and the
+    // labels are NOT a fixpoint — returning them would be silently wrong
+    // cluster assignments (ADVICE r6). Fail loudly; the cap is sized for
+    // near-dup chains (diameter 2-3 measured), so this firing means the
+    // edge set isn't the one this operator was designed for.
+    require(converged,
+      s"connectedComponents did not converge within $maxCcRounds rounds — " +
+      "component diameter exceeds the cap; labels would be wrong")
     labels
   }
+
+  /** Round cap for [[connectedComponents]]: rounds = component diameter,
+    * 2-3 measured for near-dup clusters; 50 is two orders of headroom. */
+  private[graft] val maxCcRounds = 50
   /** Oracle: exact all-pairs Jaccard edges + a recursive CTE propagating
     * min labels to the transitive closure — DuckDB's declarative twin of
     * the engine's iterative fixpoint. */

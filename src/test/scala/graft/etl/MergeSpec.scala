@@ -102,6 +102,15 @@ class MergeSpec extends SparkSpec {
       Merge.mergeWrite(kv(Seq(2L -> "b")), "k", drifted)
     }
     assert(e2.getMessage.contains("type drift"))
+    // incoming batch lacking the key entirely must fail with the same
+    // descriptive message, not an opaque analysis error downstream
+    // (ADVICE r6: the forall-based type check passes vacuously)
+    val keyless = s"$base/keyless"
+    kv(Seq(1L -> "a")).write.parquet(keyless)
+    val e3 = intercept[IllegalArgumentException] {
+      Merge.mergeWrite(Seq(("b", 2L)).toDF("v", "other"), "k", keyless)
+    }
+    assert(e3.getMessage.contains("no merge-key column"))
     // a column present on only one side is legitimate U1 evolution: the
     // tolerant union null-fills it, first-wins still keyed correctly
     val evolved = s"$base/evolved"

@@ -50,4 +50,9 @@ class DedupClusterSpec extends SparkSpec {
     val out = cc(1L to 3L, Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)))
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
+
+  test("an empty corpus converges immediately instead of NPE-ing on the " +
+       "null sum witness (ADVICE r6)") {
+    assert(cc(Seq.empty, Seq.empty) === Map.empty)
+  }
 }
