@@ -17,8 +17,16 @@ package graft
   *
   * Output schema: `"queries"` stays `{name: seconds}` (the min — the
   * driver's documented contract), and `"queries_detail"` carries
-  * `{name: {"min","mean","prev"}}` per query (`"prev"` null when the
-  * query is new or no prior bench file exists).
+  * `{name: {"min","mean","prev","load","reruns"}}` per query (`"prev"`
+  * null when the query is new or no prior bench file exists; `"load"` =
+  * /proc/loadavg 1-min at the start of the min-producing pass; `"reruns"`
+  * = extra passes granted by the outlier re-run rule). Top level adds
+  * `"loadavg_start"`/`"loadavg_end"`/`"wall_sec"` so a contaminated run
+  * is diagnosable from the artifact alone (r7 VERDICT item 1: two rounds
+  * of poisoned media numbers). A query whose min still sits
+  * >[[RerunFactor]]× above prev after [[RerunPasses]] extra passes is a
+  * REAL regression — the re-run rule makes the artifact self-adjudicating
+  * in both directions.
   *
   * An untimed warm-up pass runs first so q01 doesn't absorb session init /
   * codegen / parquet-footer costs — r1 showed 6.9 s for a ~1 s query purely
@@ -31,20 +39,50 @@ object Bench {
     * driver budget while making a single contended pass non-fatal. */
   val Passes = 3
 
+  /** Extra passes granted to a query whose min regressed >[[RerunFactor]]×
+    * vs its previous round (r7 VERDICT item 1: two consecutive rounds
+    * shipped load-contaminated media numbers because a 3-pass min under a
+    * busy co-tenant can still be 2-3× the idle time; re-running later in
+    * the run usually lands on a quieter window). Re-runs stop early the
+    * moment the min drops back under the factor. */
+  val RerunPasses = 4
+  val RerunFactor = 2.0
+
+  /** 1-minute load average from /proc/loadavg (Linux); -1 when
+    * unreadable. Recorded before every timed pass so a contaminated
+    * number carries its own evidence in the artifact instead of needing a
+    * by-hand re-timing to adjudicate. */
+  def loadavg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   /** Per-query seconds out of a bench-file's text. The known flat shape
     * (`"queries":{"qNN_name":sec,…}`) is parsed with a regex — query keys
     * are the only `"qNN_…":number` pairs in the file — so no JSON
     * dependency. The driver's file embeds our stdout line as an ESCAPED
     * string (`\"qNN\":sec`), so the quotes may carry a backslash — `\\?`
     * accepts both framings (BenchSpec pins both). In our own output the
-    * per-query DETAIL entries (`"qNN":{"min":…}`) don't re-match: their
-    * value starts with `{`, not a digit. */
-  def parseQueryTimes(txt: String): Map[String, Double] =
-    """"(q\d+[A-Za-z0-9_]*)\\?"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r
-      .findAllMatchIn(txt)
-      .map(m => m.group(1) -> m.group(2).toDouble)
-      .filter(_._2 >= 0) // a failed (-1) prev is no baseline
-      .toMap
+    * per-query DETAIL entries (`"qNN":{"min":…}`) don't match the flat
+    * pattern (their value starts with `{`, not a digit) — they are parsed
+    * SEPARATELY as a fallback, because the driver's wrapper TRUNCATES the
+    * embedded stdout line from the front (BENCH_r07's tail starts
+    * mid-detail and has lost the whole flat section — r8: prev silently
+    * parsed empty and the outlier re-run rule had no baseline). The flat
+    * value wins when both framings survive. */
+  def parseQueryTimes(txt: String): Map[String, Double] = {
+    def pairs(rx: scala.util.matching.Regex) =
+      rx.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter(_._2 >= 0) // a failed (-1) prev is no baseline
+        .toVector
+    val detail = pairs(
+      """"(q\d+[A-Za-z0-9_]*)\\?"\s*:\s*\{\\?"min\\?"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r)
+    val flat = pairs(
+      """"(q\d+[A-Za-z0-9_]*)\\?"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r)
+    (detail ++ flat).toMap // toMap keeps the last duplicate → flat wins
+  }
 
   /** [[parseQueryTimes]] over the newest `BENCH_r{N}.json` in cwd, if any.
     * A malformed/missing file degrades to "no prev", never a bench
@@ -82,45 +120,71 @@ object Bench {
     spark.read.format("graft.sources.FrontierSource")
       .option("mode", "letters").load().count()
 
+    val benchT0 = System.nanoTime()
+    val loadStart = loadavg()
     val prev = prevQueryTimes()
     var errors = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to Passes).iterator.map { _ =>
+      // each pass = (seconds, loadavg-at-start); seconds -1 on failure
+      def pass(): (Double, Double) = {
+        val ld = loadavg()
         val t0 = System.nanoTime()
         // toRdd executes the query's physical plan AS WRITTEN — df.count()
         // would let the optimizer prune every projected column and time an
         // empty scan instead of the actual kernels
         try { fn(spark, sfDir).queryExecution.toRdd.count()
-              (System.nanoTime() - t0) / 1e9 }
+              ((System.nanoTime() - t0) / 1e9, ld) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
+          (-1.0, ld)
         }
-      }.takeWhile(_ >= 0).toVector // a failing query fails fast, once
-      val ok = times.length == Passes
+      }
+      var passes = (1 to Passes).iterator.map(_ => pass())
+        .takeWhile(_._1 >= 0).toVector // a failing query fails fast, once
+      val ok = passes.length == Passes
+      // load self-defense: a min that regressed >RerunFactor× vs prev is
+      // more likely co-tenant contamination than a real regression (both
+      // have happened; the artifact must distinguish them) — grant extra
+      // passes until the min recovers or the budget is spent
+      var reruns = 0
+      if (ok) {
+        val base = prev.get(name)
+        while (reruns < RerunPasses &&
+               base.exists(p => passes.map(_._1).min > RerunFactor * p)) {
+          val extra = pass()
+          reruns += 1
+          if (extra._1 >= 0) passes :+= extra
+        }
+      }
       if (!ok) errors ::= name
+      val times = passes.map(_._1)
       val mn = if (ok) times.min else -1.0
-      val mean = if (ok) times.sum / Passes else -1.0
+      val mean = if (ok) times.sum / times.length else -1.0
+      // loadavg recorded at the start of the pass that produced the min —
+      // the number a reader needs to trust (or distrust) the headline
+      val minLoad = if (ok) passes.minBy(_._1)._2 else -1.0
       val prevStr = prev.get(name).map(p => f"prev $p%7.2f s").getOrElse("prev     n/a")
       System.err.println(
-        if (ok) f"[bench] $name%-24s min $mn%7.2f s  mean $mean%7.2f s  $prevStr"
+        if (ok) f"[bench] $name%-24s min $mn%7.2f s  mean $mean%7.2f s  $prevStr  load $minLoad%5.1f" +
+                (if (reruns > 0) s"  reruns $reruns" else "")
         else    f"[bench] $name%-24s FAILED")
-      name -> (mn, mean)
+      name -> (mn, mean, minLoad, reruns)
     }
     def jnum(d: Double) = if (d < 0) "-1" else f"$d%.4f"
-    val qs = results.map { case (k, (mn, _)) => "\"" + k + "\":" + jnum(mn) }
+    val qs = results.map { case (k, (mn, _, _, _)) => "\"" + k + "\":" + jnum(mn) }
       .mkString("{", ",", "}")
-    val detail = results.map { case (k, (mn, mean)) =>
+    val detail = results.map { case (k, (mn, mean, ld, rr)) =>
       val p = prev.get(k).map(v => f"$v%.4f").getOrElse("null")
-      s""""$k":{"min":${jnum(mn)},"mean":${jnum(mean)},"prev":$p}"""
+      s""""$k":{"min":${jnum(mn)},"mean":${jnum(mean)},"prev":$p,"load":${jnum(ld)},"reruns":$rr}"""
     }.mkString("{", ",", "}")
     val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     // round-over-round continuity: the round-1 bench covered only q01-q09,
     // so report that subset's total alongside the full-surface total
     val core9 = results.collect {
-      case (k, (mn, _)) if mn >= 0 && k.matches("q0[1-9].*") => mn }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_detail":$detail,"passes":$Passes,"n_queries":${results.size},"core9_total":$core9,"errors":$errJson,"sf":"$sfDir"}""")
+      case (k, (mn, _, _, _)) if mn >= 0 && k.matches("q0[1-9].*") => mn }.sum
+    val wall = (System.nanoTime() - benchT0) / 1e9
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_detail":$detail,"passes":$Passes,"n_queries":${results.size},"core9_total":$core9,"errors":$errJson,"loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadavg())},"wall_sec":${jnum(wall)},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

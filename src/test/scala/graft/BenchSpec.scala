@@ -24,14 +24,34 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("failed (-1) entries are dropped, detail objects don't double-count") {
-    val txt = """{"queries":{"q01_a":-1,"q02_b":0.5},"queries_detail":{"q01_a":{"min":-1,"mean":-1,"prev":null},"q02_b":{"min":0.5,"mean":0.7,"prev":0.9}}}"""
+    val txt = """{"queries":{"q01_a":-1,"q02_b":0.5},"queries_detail":{"q01_a":{"min":-1,"mean":-1,"prev":null},"q02_b":{"min":0.4,"mean":0.7,"prev":0.9}}}"""
     val m = Bench.parseQueryTimes(txt)
-    // q01_a failed → no baseline; q02_b's flat 0.5 wins (the detail's
-    // value starts with '{' and never matches the number pattern)
+    // q01_a failed → no baseline; q02_b's FLAT 0.5 wins over the detail's
+    // min when both framings are present
     assert(m === Map("q02_b" -> 0.5))
+  }
+
+  test("front-truncated tail falls back to the detail {\"min\":…} framing") {
+    // the driver's wrapper truncates the embedded stdout line from the
+    // FRONT — BENCH_r07 shipped with the whole flat section cut off, and
+    // round 8's prev-baseline silently parsed empty from it
+    val txt = """{"n":7,"rc":0,"tail":"469,\"prev\":null},\"q24_ivf_topk\":{\"min\":0.2700,\"mean\":0.3264,\"prev\":null},\"q35_cosine_neardup\":{\"min\":0.6707,\"mean\":0.8391,\"prev\":null}"}"""
+    val m = Bench.parseQueryTimes(txt)
+    assert(m === Map("q24_ivf_topk" -> 0.27, "q35_cosine_neardup" -> 0.6707))
   }
 
   test("garbage degrades to empty, not an exception") {
     assert(Bench.parseQueryTimes("not json at all { : ") === Map.empty)
+  }
+
+  test("loadavg reads a non-negative 1-min load on this box") {
+    // /proc/loadavg exists on every Linux the bench runs on; the method
+    // must never throw and must parse the first field
+    assert(Bench.loadavg() >= 0.0)
+  }
+
+  test("detail entries with load/reruns fields still don't double-count") {
+    val txt = """{"queries":{"q02_b":0.5},"queries_detail":{"q02_b":{"min":0.5,"mean":0.7,"prev":0.9,"load":3.2,"reruns":1}},"loadavg_start":2.1}"""
+    assert(Bench.parseQueryTimes(txt) === Map("q02_b" -> 0.5))
   }
 }
