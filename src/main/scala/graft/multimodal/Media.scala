@@ -9,11 +9,14 @@ import graft.Tables
   * columns with typed metadata, decoded batch-wise inside partitions.
   *
   * The codec dispatches on the record's mime type: `image/`-prefixed payloads go
-  * through a REAL decoder ([[MediaCodec.decodeImage]] /
-  * [[MediaCodec.resizeImage]], JDK `javax.imageio` — PNG and every other
-  * ImageIO-supported format, no external libs); everything else falls to
-  * [[MediaCodec.decodeStub]], a clearly-marked deterministic FAKE standing
-  * in for the decoders this container lacks (audio, video frames).
+  * through REAL decoders ([[MediaCodec.decodeImage]] /
+  * [[MediaCodec.resizeImage]] / [[MediaCodec.decodeFrames]], JDK
+  * `javax.imageio` — PNG, animated GIF and every other ImageIO-supported
+  * format, no external libs), `audio/`-prefixed through
+  * [[MediaCodec.decodeAudio]] (JDK `javax.sound.sampled`); everything else
+  * falls to [[MediaCodec.decodeStub]], a clearly-marked deterministic FAKE
+  * standing in for the decoders this container lacks (true video
+  * containers — the JDK ships no MP4/WebM codec).
   * Everything around the codec — schema, Dataset encoders, per-partition
   * batch iteration, feature-column shape — is identical on both paths:
   * MediaSpec drives real PNG bytes through the SAME operators the
@@ -90,18 +93,21 @@ object Media {
   /** One sampled frame: index + its feature vector. */
   case class Frame(doc_id: Long, frame_idx: Int, features: Array[Float])
 
-  /** Frame sampling: every `stride`-th frame of a (stub-decoded) video
-    * payload, each frame feature-extracted — the 1→N expansion runs
-    * INSIDE the partition iterator, so a million-frame payload never
-    * materializes as a driver-side list. */
+  /** Frame sampling: every `stride`-th frame of a multi-frame payload,
+    * each frame feature-extracted — the 1→N expansion runs INSIDE the
+    * partition iterator, so a million-frame payload never materializes as
+    * a driver-side list. `image/`-prefixed payloads decode for REAL
+    * ([[MediaCodec.decodeFrames]], `javax.imageio` sequence reading —
+    * animated GIF's every frame, single-frame formats as one frame);
+    * other mimes (true video containers, which no JDK codec decodes)
+    * fall to the md5 stub, same dispatch contract as [[extractFeatures]]. */
   def sampleFrames(records: Dataset[MediaRecord], stride: Int): Dataset[Frame] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       val codec = MediaCodec.open()
       it.flatMap { r =>
-        val n = codec.frameCountStub(r.media)
-        Iterator.range(0, n, stride).map { f =>
-          Frame(r.doc_id, f, codec.frameFeaturesStub(r.media, f))
+        codec.frames(r.media, r.mime, stride).map { case (i, feats) =>
+          Frame(r.doc_id, i, feats)
         }
       }
     }
@@ -215,6 +221,12 @@ class MediaCodec private () {
   def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, "unsupported or corrupt image payload")
+    (img.getWidth, img.getHeight, lumaHistogram(img))
+  }
+
+  /** 8-bin luma-histogram features of one decoded frame — shared by the
+    * single-image and frame-sequence paths. */
+  private def lumaHistogram(img: java.awt.image.BufferedImage): Array[Float] = {
     val (w, h) = (img.getWidth, img.getHeight)
     val hist = new Array[Int](8)
     var y = 0
@@ -230,7 +242,51 @@ class MediaCodec private () {
       y += 1
     }
     val n = (w.toLong * h).toFloat
-    (w, h, hist.map(_ / n))
+    hist.map(_ / n)
+  }
+
+  /** Mime-dispatched frame sampling: every `stride`-th frame's features.
+    * `image/`-prefixed payloads go through [[decodeFrames]] (REAL,
+    * `javax.imageio` — an animated GIF yields one entry per stored frame,
+    * a PNG/JPEG/BMP yields exactly one); anything else — true video
+    * containers, for which the JDK ships no codec — falls to the
+    * deterministic md5 stub, the same everything-else contract as
+    * [[decode]]. */
+  def frames(bytes: Array[Byte], mime: String,
+             stride: Int): Iterator[(Int, Array[Float])] =
+    if (mime != null && mime.startsWith("image/")) decodeFrames(bytes, stride)
+    else {
+      val n = frameCountStub(bytes)
+      Iterator.range(0, n, stride).map(f => (f, frameFeaturesStub(bytes, f)))
+    }
+
+  /** REAL frame-sequence decode via the `javax.imageio` reader API:
+    * `getNumImages(true)` counts the stored frames (the animated-GIF
+    * case; 1 for single-frame formats), `read(i)` decodes each sampled
+    * frame, [[lumaHistogram]] reduces it to the fixed-width feature
+    * vector. Sampled features are drained eagerly per payload (8 floats
+    * per frame, never the pixels) so the reader can be disposed before
+    * the iterator escapes — a lazily-captured reader would leak its
+    * stream if a downstream `take` stopped early. Throws on
+    * corrupt/unsupported payloads; parse-or-skip is caller policy, like
+    * [[decodeImage]]. */
+  def decodeFrames(bytes: Array[Byte],
+                   stride: Int): Iterator[(Int, Array[Float])] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) {
+      iis.close()
+      throw new IllegalArgumentException("unsupported or corrupt image payload")
+    }
+    val reader = readers.next()
+    try {
+      // seekForwardOnly=false: getNumImages(true) must scan ahead
+      reader.setInput(iis, false)
+      val n = reader.getNumImages(true)
+      Iterator.range(0, n, stride)
+        .map(i => (i, lumaHistogram(reader.read(i)))).toVector.iterator
+    } finally { reader.dispose(); iis.close() }
   }
 
   /** REAL image resize: bilinear scale into (w, h) via Graphics2D, then a
