@@ -71,6 +71,29 @@ object Merge {
                             key: String, order: Seq[Column]): DataFrame =
     firstWinsMerge(existing, dedupKeepFirst(incoming, Seq(key), order), key)
 
+  /** Keyed UPSERT — the other half of a lakehouse MERGE
+    * (`WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`):
+    * incoming WINS on key collision, existing rows with no incoming match
+    * survive unchanged. The exact dual of [[firstWinsMerge]]:
+    * `(existing ⟕anti incoming) ∪ incoming` — the anti-join keeps only
+    * the untouched old rows, then every incoming row lands. The reference
+    * itself never updates (old rows always win,
+    * `fighters_scraper.py:190-191`), but its BASELINE north star names
+    * Delta-style writes, and re-scrape-with-corrections is the first
+    * thing a real deployment adds.
+    *
+    * Contract mirrors [[firstWinsMerge]]: `incoming` must be key-unique
+    * (pre-apply [[dedupKeepFirst]] otherwise) and NULL-key rows are
+    * dropped from BOTH sides — same strict NOT-IN null semantic as
+    * [[incrementalSkip]], oracle-aligned. Scale: one key-shuffle
+    * anti-join (broadcast when the incoming batch is small — the common
+    * correction-batch case); bucketing the sink by the key makes it
+    * shuffle-free on a real lake, same as the insert-only path. */
+  def upsertMerge(existing: DataFrame, incoming: DataFrame,
+                  key: String): DataFrame =
+    unionByNameTolerant(incrementalSkip(existing, incoming, key),
+                        incoming.filter(col(key).isNotNull))
+
   /** D3 within one batch, made deterministic: keep, per key, the row that is
     * first under an EXPLICIT total order (the reference's implicit
     * encounter order has no distributed meaning — SURVEY §2 D2/D3). */
@@ -106,6 +129,15 @@ object Merge {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       incoming.sparkSession.sparkContext.hadoopConfiguration)
     recoverSwap(fs, path)
+    val incomingTypes =
+      incoming.schema.fields.map(f => f.name -> f.dataType).toMap
+    // Guard BOTH branches (ADVICE r7): a keyless incoming batch on a
+    // first run (no sink yet) would otherwise fail later as an opaque
+    // 'cannot resolve' analysis error inside firstWinsMerge — exactly the
+    // failure this check exists to name.
+    require(incomingTypes.contains(key),
+      s"incoming batch has no merge-key column '$key' " +
+      s"(incoming columns: ${incoming.columns.mkString(", ")})")
     val existing =
       if (fs.exists(new org.apache.hadoop.fs.Path(path))) {
         // Read the sink under its OWN footer schema, never a forced
@@ -121,15 +153,7 @@ object Merge {
           throw new IllegalStateException(
             s"sink $path has no merge-key column '$key' " +
             s"(on-disk columns: ${onDisk.columns.mkString(", ")})"))
-        val incomingTypes =
-          incoming.schema.fields.map(f => f.name -> f.dataType).toMap
-        // Without this, a keyless incoming frame vacuously passes the
-        // type-drift forall below and fails later as an opaque analysis
-        // error inside firstWinsMerge (ADVICE r6).
-        require(incomingTypes.contains(key),
-          s"incoming batch has no merge-key column '$key' " +
-          s"(incoming columns: ${incoming.columns.mkString(", ")})")
-        require(incomingTypes.get(key).forall(_ == diskKey.dataType),
+        require(incomingTypes(key) == diskKey.dataType,
           s"merge-key '$key' type drift: sink has ${diskKey.dataType}, " +
           s"incoming has ${incomingTypes(key)}")
         onDisk.schema.fields.foreach { f =>

@@ -207,7 +207,11 @@ object Documents {
   }
 
   /** Round cap for [[connectedComponents]]: rounds = component diameter,
-    * 2-3 measured for near-dup clusters; 50 is two orders of headroom. */
+    * 2-3 measured for near-dup clusters; 50 is two orders of headroom.
+    * Off-by-one note (ADVICE r7): convergence detection needs one extra
+    * unchanged round after the labels reach fixpoint, so the usable
+    * diameter is effectively `maxCcRounds - 1` — immaterial at 50-vs-3,
+    * but size any retuned cap as diameter + 1. */
   private[graft] val maxCcRounds = 50
   /** Oracle: exact all-pairs Jaccard edges + a recursive CTE propagating
     * min labels to the transitive closure — DuckDB's declarative twin of

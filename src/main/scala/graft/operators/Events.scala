@@ -161,15 +161,62 @@ object Events {
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin
 
+  // ── q65: batch LEFT OUTER interval join (view→click, null-padded) ───────
+  /** Every view joined to the same user's clicks inside the 30-minute
+    * attribution horizon, LEFT OUTER — views with NO click in the horizon
+    * survive null-padded, the "no conversion" rows an attribution report
+    * needs (an inner join silently drops them). This is the batch twin of
+    * [[graft.streaming.Streams.viewClickAttributionOuter]], registered so
+    * the unmatched-side semantic has a DuckDB oracle, not only a
+    * StreamsSpec equivalence (r7 VERDICT item 5).
+    *
+    * Scale: the predicate has an EQUI component (user_id), so Spark plans
+    * a sort-merge join on user with the time range as a residual — never
+    * a nested loop. Per-user cost is views×clicks inside that user's
+    * partition; the streaming form bounds it by the horizon window, and a
+    * pathological hot user would take the q58 salting treatment. */
+  def intervalJoinOuter(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("v_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    v.join(c,
+        col("user_id") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("view_id"), col("user_id"),
+        unix_micros(col("v_ts")).as("view_us"),
+        col("click_id"), unix_micros(col("c_ts")).as("click_us"))
+      .orderBy(col("view_id"), col("click_id"))
+  }
+  val intervalJoinOuterSql: String =
+    """WITH v AS (
+      |  SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS v_ts
+      |  FROM events WHERE event_type = 'view'),
+      |c AS (
+      |  SELECT event_id AS click_id, user_id AS c_user, CAST(ts AS TIMESTAMP) AS c_ts
+      |  FROM events WHERE event_type = 'click')
+      |SELECT view_id, user_id, epoch_us(v_ts) AS view_us,
+      |  click_id, epoch_us(c_ts) AS click_us
+      |FROM v LEFT JOIN c ON user_id = c_user
+      |  AND c_ts BETWEEN v_ts AND v_ts + INTERVAL 30 MINUTE
+      |ORDER BY view_id, click_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q25_json_props"      -> (jsonProps _),
     "q26_tumbling_hourly" -> (tumblingHourly _),
     "q27_session_windows" -> (sessionWindows _),
-    "q36_asof_attribution"-> (asofClickAttribution _))
+    "q36_asof_attribution"-> (asofClickAttribution _),
+    "q65_interval_join_outer" -> (intervalJoinOuter _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q25_json_props"      -> jsonPropsSql,
     "q26_tumbling_hourly" -> tumblingHourlySql,
     "q27_session_windows" -> sessionWindowsSql,
-    "q36_asof_attribution"-> asofClickAttributionSql)
+    "q36_asof_attribution"-> asofClickAttributionSql,
+    "q65_interval_join_outer" -> intervalJoinOuterSql)
 }

@@ -177,6 +177,35 @@ object Relational {
       |SELECT * FROM incoming WHERE c_custkey NOT IN (SELECT c_custkey FROM existing)
       |ORDER BY c_custkey""".stripMargin
 
+  // ── q64: keyed upsert merge (the UPDATE half of a lakehouse MERGE) ──────
+  /** existing = ALL customers tagged 'old'; incoming = a correction batch
+    * (negative-balance customers, re-stated balances) tagged 'new'.
+    * Incoming must WIN for exactly those keys; everyone else keeps their
+    * old row — `WHEN MATCHED THEN UPDATE` semantics, the dual of q05. */
+  def upsertMerge(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val existing = c.select(col("c_custkey"), lit("old").as("src"),
+              asCents(col("c_acctbal")).as("bal_cents"))
+    val incoming = c.filter(col("c_acctbal") < 0)
+      .select(col("c_custkey"), lit("new").as("src"),
+              asCents(col("c_acctbal") + 1000.0).as("bal_cents"))
+    Merge.upsertMerge(existing, incoming, "c_custkey")
+      .orderBy(col("c_custkey"))
+  }
+  val upsertMergeSql: String =
+    """WITH existing AS (
+      |  SELECT c_custkey, 'old' AS src,
+      |    CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_cents
+      |  FROM customer),
+      |incoming AS (
+      |  SELECT c_custkey, 'new' AS src,
+      |    CAST(floor((c_acctbal+1000.0)*100 + 0.5) AS BIGINT) AS bal_cents
+      |  FROM customer WHERE c_acctbal < 0)
+      |SELECT * FROM existing WHERE c_custkey NOT IN (SELECT c_custkey FROM incoming)
+      |UNION ALL
+      |SELECT * FROM incoming
+      |ORDER BY c_custkey""".stripMargin
+
   // ── q06: union-by-name with missing columns (U1) ────────────────────────
   def unionByName(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
@@ -366,6 +395,56 @@ object Relational {
       |GROUP BY win_id, ws, we
       |ORDER BY win_id""".stripMargin
 
+  // ── q66: bucketed co-located fact⋈fact join (zero-shuffle-join plan) ────
+  /** The orderkey fact⋈fact join — the ONE unavoidable shuffle q03's
+    * scaladoc documents — run over bucketed+sorted copies of both facts:
+    * each side's scan emits bucket-partitioned, key-sorted rows, so the
+    * sort-merge join consumes co-located buckets directly (zero Exchange,
+    * zero Sort under the join — PlanSpec pins it with broadcast disabled)
+    * and the per-order aggregate rides the same partitioning. This is the
+    * lake layout every merge-sink scaladoc points at ("bucket the sink by
+    * the key"), promoted from BucketingSpec to a registered, oracle-checked
+    * query (r7 VERDICT item 6). The bucketed copies are materialized once
+    * per (warehouse, sfDir) into the session warehouse and reused; at
+    * 100 TB that write is the one-time cost that deletes the shuffle from
+    * every downstream run. */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    // table names carry the sf dir (verify and bench hit different SFs in
+    // one warehouse) — hex of the hash keeps them catalog-legal
+    val tag = Integer.toHexString(d.hashCode)
+    val bo = s"graft_bkt_orders_$tag"
+    val bl = s"graft_bkt_lineitem_$tag"
+    // The in-memory catalog dies with the session but the warehouse dir
+    // persists: a table absent from the catalog may still have an orphaned
+    // location a previous session wrote, and CTAS validates the location
+    // is free. The orphan's provenance is unknowable (no catalog entry) —
+    // delete and rebuild rather than adopt blind.
+    def ensureBucketed(name: String, key: String,
+                       df: => DataFrame): Unit =
+      if (!s.catalog.tableExists(name)) {
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), name)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        df.write.bucketBy(8, key).sortBy(key)
+          .mode("overwrite").saveAsTable(name)
+      }
+    ensureBucketed(bo, "o_orderkey", Tables.orders(s, d))
+    ensureBucketed(bl, "l_orderkey", Tables.lineitem(s, d))
+    s.table(bo).join(s.table(bl), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(asCents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("rev_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+  val bucketedJoinSql: String =
+    """SELECT o_orderkey, count(*) AS n_lines,
+      |  CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Registry fragment for SparkEntry. */
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary"     -> (pricingSummary _),
@@ -378,7 +457,9 @@ object Relational {
     "q08_dedup_keep_first"    -> (dedupKeepFirst _),
     "q09_active_customers"    -> (activeCustomers _),
     "q58_skewed_join"         -> (skewedSaltedJoin _),
-    "q60_range_join"          -> (rangeJoinOrders _))
+    "q60_range_join"          -> (rangeJoinOrders _),
+    "q64_upsert_merge"        -> (upsertMerge _),
+    "q66_bucketed_join"       -> (bucketedJoin _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q01_pricing_summary"      -> pricingSummarySql,
@@ -391,5 +472,7 @@ object Relational {
     "q08_dedup_keep_first"     -> dedupKeepFirstSql,
     "q09_active_customers"     -> activeCustomersSql,
     "q58_skewed_join"          -> skewedSaltedJoinSql,
-    "q60_range_join"           -> rangeJoinOrdersSql)
+    "q60_range_join"           -> rangeJoinOrdersSql,
+    "q64_upsert_merge"         -> upsertMergeSql,
+    "q66_bucketed_join"        -> bucketedJoinSql)
 }

@@ -83,6 +83,51 @@ class MergeSpec extends SparkSpec {
     assert(out === Array(1L -> "a", 2L -> "b", 3L -> "c"))
   }
 
+  test("upsertMerge: incoming wins on collision, unmatched old rows survive") {
+    val existing = kv(Seq(1L -> "old1", 2L -> "old2", 3L -> "old3"))
+    val incoming = kv(Seq(2L -> "NEW2", 4L -> "new4"))
+    val out = Merge.upsertMerge(existing, incoming, "k")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out === Array(1L -> "old1", 2L -> "NEW2", 3L -> "old3", 4L -> "new4"))
+  }
+
+  test("upsertMerge drops null-key rows on both sides (strict NOT-IN contract)") {
+    val existing = Seq((Some(1L), "old1"), (None, "oldnull")).toDF("k", "v")
+    val incoming = Seq((Some(1L), "NEW1"), (None, "newnull")).toDF("k", "v")
+    val out = Merge.upsertMerge(existing, incoming, "k")
+      .as[(Option[Long], String)].collect()
+    assert(out.toSet === Set(Some(1L) -> "NEW1"))
+  }
+
+  test("property: upsertMerge is last-write-wins and key-complete") {
+    // against random existing/incoming batches: every incoming key carries
+    // the incoming row, every other existing key its old row, and
+    // re-applying the same batch is a no-op (idempotence)
+    val gen = for {
+      ex <- Gen.mapOf(Gen.zip(Gen.choose(0L, 30L), Gen.alphaStr.map("E" + _)))
+      in <- Gen.mapOf(Gen.zip(Gen.choose(0L, 30L), Gen.alphaStr.map("I" + _)))
+    } yield (ex, in)
+    (1 to 20).foreach { i =>
+      val (ex, in) = gen(Gen.Parameters.default, Seed(i.toLong)).get
+      val once = Merge.upsertMerge(kv(ex.toSeq), kv(in.toSeq), "k")
+      val got = once.as[(Long, String)].collect().toMap
+      assert(got === ex ++ in, s"seed $i: upsert != map-merge")
+      val twice = Merge.upsertMerge(once, kv(in.toSeq), "k")
+        .as[(Long, String)].collect().toMap
+      assert(twice === got, s"seed $i: re-apply not idempotent")
+    }
+  }
+
+  test("mergeWrite rejects a keyless incoming batch on a FIRST run too " +
+       "(ADVICE r7: the guard must not live only in the sink-exists branch)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-keyless-first").toString
+    val e = intercept[IllegalArgumentException] {
+      Merge.mergeWrite(Seq(("b", 2L)).toDF("v", "other"), "k", s"$base/fresh")
+    }
+    assert(e.getMessage.contains("no merge-key column"))
+  }
+
   test("mergeWrite fails loudly on sink schema drift instead of null-filling " +
        "(ADVICE r5)") {
     val base = java.nio.file.Files

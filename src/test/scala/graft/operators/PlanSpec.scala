@@ -277,6 +277,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q66: bucketed fact⋈fact join plans zero hash Exchange and rides " +
+       "bucket order into the aggregate") {
+    // the registered query's whole point: both scans emit bucketed,
+    // key-sorted rows, so neither the SMJ nor the per-order aggregate
+    // shuffles — the only Exchange left is the final ORDER BY's range
+    // partitioning. Broadcast disabled so the assertion is about
+    // co-location, not the small-SF broadcast fallback.
+    atScaleShape {
+      val p = plan(q("q66_bucketed_join"))
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join/aggregate still hash-shuffles:\n$p")
+    }
+  }
+
+  test("q63's CC loop: the loop re-plans from a localCheckpoint scan each " +
+       "round (bounded lineage)") {
+    import spark.implicits._
+    // a 5-node chain forces ~5 min-propagation rounds; without the
+    // per-round eager localCheckpoint the returned frame's plan would
+    // nest one join+aggregate layer PER ROUND (the exponential-lineage
+    // trap documented in Documents.connectedComponents — here
+    // machine-pinned: the final labels must be a bare checkpoint scan,
+    // which is also exactly what every round's NEXT iteration reads)
+    val nodes = (0L to 4L).toDF("doc_id")
+    val pairs = (0L until 4L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = Documents.connectedComponents(nodes, pairs)
+    val tree = labels.queryExecution.executedPlan
+    val size = tree.collect { case n => n }.length
+    assert(size <= 4,
+      s"CC result plan has $size nodes — per-round lineage not truncated:\n$tree")
+    assert(tree.toString.contains("ExistingRDD"),
+      s"CC result is not a checkpoint scan:\n$tree")
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sfDir))
