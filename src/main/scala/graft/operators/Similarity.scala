@@ -162,36 +162,45 @@ object Similarity {
     (0 until 64).map(i =>
       (((j.toLong * 64 + i) * 2654435761L) % 1000L) / 1000.0 - 0.5)
 
-  private val SketchBits = 80
-  private val NChunks    = 4
-  private val ChunkBits  = SketchBits / NChunks // 4 × 20-bit chunks
+  // private[graft]: NearDupRecallSpec reconstructs the sketch from the
+  // same constants so the geometry can't silently drift from its spec
+  private[graft] val SketchBits = 120
+  private[graft] val NChunks    = 5
+  private val ChunkBits  = SketchBits / NChunks // 5 × 24-bit chunks
 
   /** Near-duplicate vectors by cosine, found through a sign-bit sketch:
-    * bit j = sign(v·h_j) over 80 fixed hyperplanes; the 80-bit sketch is
-    * split into 4 disjoint 20-bit chunks (pigeonhole banding); vectors
-    * sharing ANY chunk become candidates (bucketed join — never
-    * all-pairs), then candidates are verified with exact cosine >= 0.999.
+    * bit j = sign(v·h_j) over [[SketchBits]] fixed hyperplanes; the sketch
+    * is split into [[NChunks]] disjoint [[ChunkBits]]-bit chunks
+    * (pigeonhole banding); vectors sharing ANY chunk become candidates
+    * (bucketed join — never all-pairs), then candidates are verified with
+    * exact cosine >= 0.999.
     *
     * Geometry is the scale knob, and BOTH axes matter (r2 verdict, r5
-    * sf1 ladder, r5 advice):
+    * sf1 ladder, r5 advice, r8 sf10 ladder):
     *  - CHUNK WIDTH bounds random collisions: NChunks/2^ChunkBits per
     *    pair, so candidates grow quadratically in corpus size and the
     *    bucket count must scale ahead of N². 8-bit chunks (256 buckets)
     *    died at sf0.01; 15-bit were fine to sf0.1 but BENCH_sf1 measured
     *    q35 at 20× the sf0.1 time on 10× the data (~30M random candidate
-    *    pairs at a 22k corpus). 20-bit chunks (1M buckets) cut that 42×.
+    *    pairs at a 22k corpus). 20-bit chunks (1M buckets) cut that 42×,
+    *    then hit the same wall one decade up: the r8 sf10 spot-bench
+    *    (1M-vector corpus) measured 22× on 10× the data — ~2M random
+    *    collisions at 4/2^20 per pair, right on the law's prediction.
     *  - CHUNK COUNT bounds false negatives: NChunks disjoint chunks
-    *    guarantee a shared chunk whenever Hamming(sketch) ≤ NChunks−1.
-    *    A genuine 0.999-cosine pair has per-bit flip probability
-    *    arccos(0.999)/π ≈ 1.4% — ~1.1 expected flips over 80 bits — so
-    *    Hamming ≤ 3 covers it but Hamming ≤ 2 (the r5 interim 3×20 over
-    *    60 bits) silently dropped the few-percent Hamming=3 tail that an
-    *    exact oracle WOULD report (r5 advice, medium).
-    * Holding 4 chunks while widening them needs a sketch LONGER than one
-    * Long — the fused [[graft.functions.Native.signSketchBands]] kernel
-    * emits band structs directly, so the 63-bit cap is gone: at a true
-    * 100 TB corpus, keep NChunks at the Hamming budget and grow
-    * ChunkBits (buckets ∝ N²·P(collision) budget) by growing SketchBits.
+    *    guarantee a shared chunk whenever Hamming(sketch) ≤ NChunks−1 —
+    *    and the needed budget GROWS with the sketch: a genuine
+    *    0.999-cosine pair flips each bit with probability
+    *    arccos(0.999)/π ≈ 1.4%, i.e. ~SketchBits/70 expected flips, so
+    *    widening chunks without adding one risks exactly the silent
+    *    Hamming-tail drop the r5 3×20 interim shipped.
+    * Current 5×24 geometry (r8): 16.8M buckets/band cuts sf10's random
+    * collisions ~13×, and the 5th chunk raises the guarantee to
+    * Hamming ≤ 4, covering the ~1.7 expected flips over 120 bits with
+    * the same margin the 80-bit/4-chunk shape had. The fused
+    * [[graft.functions.Native.signSketchBands]] kernel emits band structs
+    * directly (no 63-bit Long cap), so the next decade is the same move
+    * again: grow ChunkBits ahead of N², add a chunk when expected flips
+    * approach the budget.
     *
     * The harness embeddings have no natural near-dups (all pairs < 0.8),
     * so every vec_id % 25 == 0 gains a SCALED twin (×1.0001, id+100000) —

@@ -1,0 +1,44 @@
+package graft.tools
+
+import graft.{Bench, Sessions, SparkEntry}
+
+/** Spot-bench a named subset of registered queries at one SF dir and print
+  * ONE JSON line — the scale-ladder evidence runner (r7 verdict item 3).
+  * A full [[graft.Bench]] at sf10 would time all 66 queries × 3 passes;
+  * the 100 TB scaling question only needs the shuffle-heavy handful, timed
+  * the same way Bench times (plan-as-written via `toRdd.count()`,
+  * construction inside the clock, min of passes, loadavg recorded).
+  *
+  * Usage: runMain graft.tools.SpotBench <sfDir> <q1,q2,...> [passes=3]
+  */
+object SpotBench {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: SpotBench <sfDir> <q1,q2,..> [passes]")
+    val sfDir = args(0)
+    val names = args(1).split(",").toIndexedSeq
+    val passes = args.lift(2).map(_.toInt).getOrElse(3)
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "graft-spotbench")
+    spark.sparkContext.setLogLevel("WARN")
+    val loadStart = Bench.loadavg()
+    val t0All = System.nanoTime()
+    val results = names.map { n =>
+      val fn = SparkEntry.queries(n)
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = fn(spark, sfDir).queryExecution.toRdd.count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val mn = times.map(_._1).min
+      System.err.println(
+        f"[spot] $n%-24s min $mn%8.2f s  rows ${times.head._2}")
+      n -> (mn, times.map(_._1).sum / passes, times.head._2)
+    }
+    val qs = results.map { case (n, (mn, mean, rows)) =>
+      f""""$n":{"min":$mn%.4f,"mean":$mean%.4f,"rows":$rows}"""
+    }.mkString("{", ",", "}")
+    val wall = (System.nanoTime() - t0All) / 1e9
+    println(s"""{"metric":"spot","sf":"$sfDir","passes":$passes,"loadavg_start":$loadStart,"loadavg_end":${Bench.loadavg()},"wall_sec":${f"$wall%.1f"},"queries":$qs}""")
+    spark.stop()
+  }
+}

@@ -5,9 +5,11 @@ import graft.{Sessions, SparkEntry}
 /** Dev harness: time one registered query (or all, with "all") at a given
   * SF dir and print the physical plan on request.
   *
-  * Usage: runMain graft.tools.TimeQuery <queryName|all> [sfDir] [explain|repeatN]
+  * Usage: runMain graft.tools.TimeQuery <queryName|all> [sfDir] [explain|repeatN] [nobc]
   * `repeat3` times the query 3× and prints every pass — pass 2+ are the
-  * warm (JIT'd, footers-cached) numbers, the ones comparable across runs. */
+  * warm (JIT'd, footers-cached) numbers, the ones comparable across runs.
+  * `nobc` disables auto-broadcast, showing the shuffle-join shape a small
+  * SF would have at 100 TB (the same toggle PlanSpec's atScaleShape uses). */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("all")
@@ -18,6 +20,8 @@ object TimeQuery {
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "graft-timequery")
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.contains("nobc"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val targets =
       if (name == "all") SparkEntry.queries.toSeq
       else Seq(name -> SparkEntry.queries(name))

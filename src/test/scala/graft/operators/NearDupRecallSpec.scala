@@ -4,7 +4,7 @@ import graft.SparkSpec
 
 /** Zero-false-negative contract of the q35 near-dup operator on ORGANIC
   * near-dups (r5 advice, medium): a genuine cosine ≥ 0.999 pair flips
-  * ~1.1 sketch bits in expectation, so pairs at sketch-Hamming 1–3 are
+  * ~SketchBits/70 bits in expectation, so pairs at sketch-Hamming 1–3 are
   * the NORMAL case, not an edge — and the r5-interim 3-chunk geometry
   * silently dropped the Hamming-3 tail while the exact oracle reported
   * it. This spec builds a corpus of perturbed twins straddling the 0.999
@@ -53,10 +53,11 @@ class NearDupRecallSpec extends SparkSpec {
     dot / math.sqrt(na) / math.sqrt(nb)
   }
 
-  /** 80-bit sign sketch from the executable hyperplane spec — independent
-    * reconstruction, not the kernel under test. */
+  /** Sign sketch from the executable hyperplane spec at the PRODUCTION
+    * geometry (Similarity.SketchBits) — independent reconstruction, not
+    * the kernel under test. */
   private def sketchBits(v: Array[Double]): Array[Boolean] =
-    Array.tabulate(80) { j =>
+    Array.tabulate(Similarity.SketchBits) { j =>
       val hp = Similarity.hyperplane(j)
       var acc = 0.0
       var i = 0
@@ -88,7 +89,10 @@ class NearDupRecallSpec extends SparkSpec {
     Seq(1, 2, 3).foreach { d =>
       assert(hs.contains(d), s"no truth pair at Hamming $d (got ${hs.sorted})")
     }
-    assert(hs.max <= 3,
+    // budget = NChunks - 1, the pigeonhole guarantee at the production
+    // geometry (flip expectation grows with SketchBits — see the q35
+    // scaladoc's chunk-count bullet)
+    assert(hs.max <= Similarity.NChunks - 1,
       s"fixture exceeds the guarantee budget: Hamming ${hs.max}")
   }
 
