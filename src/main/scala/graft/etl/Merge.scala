@@ -125,7 +125,20 @@ object Merge {
     * empty set and silently dropping every previously accumulated row. A
     * missing path AFTER recovery genuinely means first run → bootstrap
     * from the incoming batch's own (empty) shape. */
-  def mergeWrite(incoming: DataFrame, key: String, path: String): Unit = {
+  def mergeWrite(incoming: DataFrame, key: String, path: String): Unit =
+    mergedWrite(incoming, key, path, firstWinsMerge)
+
+  /** S7's upsert twin — the sink form of [[upsertMerge]]: re-stated keys
+    * REPLACE their on-disk rows, new keys insert, untouched keys survive.
+    * Same crash-safe swap, same recovery-first ordering, same schema-drift
+    * checks as [[mergeWrite]]; re-running the same batch is a no-op
+    * (last-write-wins is absorbing), so the sink stays idempotent under
+    * at-least-once delivery — E3's invariant for correction batches. */
+  def upsertWrite(incoming: DataFrame, key: String, path: String): Unit =
+    mergedWrite(incoming, key, path, upsertMerge)
+
+  private def mergedWrite(incoming: DataFrame, key: String, path: String,
+      merge: (DataFrame, DataFrame, String) => DataFrame): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       incoming.sparkSession.sparkContext.hadoopConfiguration)
     recoverSwap(fs, path)
@@ -165,7 +178,7 @@ object Merge {
         }
         onDisk
       } else incoming.limit(0)
-    writeAndSwap(firstWinsMerge(existing, incoming, key), path, "merge")
+    writeAndSwap(merge(existing, incoming, key), path, "merge")
   }
 
   /** Crash-safe publish of a dataframe to `path`: drain to

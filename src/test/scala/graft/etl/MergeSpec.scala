@@ -118,6 +118,23 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("upsertWrite: corrections replace on-disk rows; re-run is a no-op") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-upsertwrite").toString + "/sink"
+    Merge.mergeWrite(kv(Seq(1L -> "a", 2L -> "b")), "k", path)
+    // a correction batch: restate key 2, add key 3
+    Merge.upsertWrite(kv(Seq(2L -> "B2", 3L -> "c")), "k", path)
+    def read() = spark.read.parquet(path).as[(Long, String)]
+      .collect().sortBy(_._1)
+    assert(read() === Array(1L -> "a", 2L -> "B2", 3L -> "c"))
+    // idempotence under at-least-once redelivery of the same batch
+    Merge.upsertWrite(kv(Seq(2L -> "B2", 3L -> "c")), "k", path)
+    assert(read() === Array(1L -> "a", 2L -> "B2", 3L -> "c"))
+    // and the insert-only sink still refuses to clobber after an upsert
+    Merge.mergeWrite(kv(Seq(3L -> "IGNORED", 4L -> "d")), "k", path)
+    assert(read() === Array(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d"))
+  }
+
   test("mergeWrite rejects a keyless incoming batch on a FIRST run too " +
        "(ADVICE r7: the guard must not live only in the sink-exists branch)") {
     val base = java.nio.file.Files
