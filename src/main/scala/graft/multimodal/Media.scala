@@ -113,6 +113,77 @@ object Media {
     }
   }
 
+  /** A real animated GIF: one solid-gray frame per entry of `grays`,
+    * written through ImageIO's sequence API. Lives in main (not test)
+    * code because q67 generates its corpus with it; MediaSpec reuses it.
+    * Solid colors survive GIF palettization exactly, which is what makes
+    * decoded-pixel outputs oracle-predictable. */
+  def syntheticGif(w: Int, h: Int, grays: Seq[Int]): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    grays.foreach { g =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gr = img.createGraphics()
+      try { gr.setColor(new java.awt.Color(g, g, g)); gr.fillRect(0, 0, w, h) }
+      finally gr.dispose()
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    baos.toByteArray
+  }
+
+  /** q67: the REAL frame-decode path, oracle-checked end-to-end. Each doc
+    * becomes an animated GIF of `doc_id % 7 + 1` solid-gray frames (gray
+    * of frame f = `(doc_id*31 + f*17) % 256` — pure integer formulas), the
+    * GIF is ENCODED then DECODED through the production [[sampleFrames]]
+    * operator (stride 2, `javax.imageio` sequence reader), and each
+    * decoded frame's feature spike is folded back to its dominant luma
+    * bin. DuckDB predicts every output from the generation formulas alone
+    * — so a wrong pixel anywhere in the encode→decode→histogram chain
+    * hash-mismatches. The GIF bytes are born and die inside one partition
+    * (generate → decode in consecutive mapPartitions; only 8-float
+    * features and ints survive), the same no-binary-shuffle contract as
+    * q56/q57. */
+  def gifFrameStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val recs = Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (id % 7 + 1).toInt
+          val grays = (0 until n).map(f => ((id * 31 + f * 17) % 256).toInt)
+          MediaRecord(id, syntheticGif(16, 12, grays), "image/gif")
+        }
+      }
+    sampleFrames(recs, stride = 2)
+      .select(col("doc_id"), col("frame_idx"),
+        // a solid frame's histogram is a single 1.0 spike → its index IS
+        // the gray's luma bin (gray >> 5), exact under GIF palettization
+        (array_position(col("features"), array_max(col("features"))) - 1)
+          .as("dominant_bin"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+           sum(col("frame_idx")).as("sum_idx"),
+           sum(col("dominant_bin")).as("sum_bin"))
+      .orderBy(col("doc_id"))
+  }
+  val gifFrameStatsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 7 + 1 AS n FROM documents),
+      |f AS (
+      |  SELECT doc_id, unnest(range(0, n, 2)) AS fi FROM d)
+      |SELECT doc_id, count(*) AS n_sampled,
+      |  CAST(sum(fi) AS BIGINT) AS sum_idx,
+      |  CAST(sum(((doc_id*31 + fi*17) % 256) // 32) AS BIGINT) AS sum_bin
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q34: the decode pipeline's integer outputs, oracle-checked — the stub
     * is md5-determined, so DuckDB re-derives width/height from the hex
     * digest (floats are covered by MediaSpec, not hash-compared). */
@@ -178,12 +249,14 @@ object Media {
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q34_media_features" -> (mediaFeatures _),
     "q56_media_resize"   -> (resizedDims _),
-    "q57_frame_sample"   -> (frameSampleStats _))
+    "q57_frame_sample"   -> (frameSampleStats _),
+    "q67_gif_frames"     -> (gifFrameStats _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q34_media_features" -> mediaFeaturesSql,
     "q56_media_resize"   -> resizedDimsSql,
-    "q57_frame_sample"   -> frameSampleStatsSql)
+    "q57_frame_sample"   -> frameSampleStatsSql,
+    "q67_gif_frames"     -> gifFrameStatsSql)
 }
 
 /** The per-partition codec. `image/`-prefixed payloads decode for REAL through

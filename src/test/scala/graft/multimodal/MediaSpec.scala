@@ -157,29 +157,10 @@ class MediaSpec extends SparkSpec {
     }
   }
 
-  /** A real animated GIF: one solid-gray frame per entry of `lums`,
-    * written through ImageIO's sequence API — actual multi-frame image
-    * bytes, not a digest fake. */
-  private def gifBytes(w: Int, h: Int, lums: Seq[Int]): Array[Byte] = {
-    val baos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
-    val writer =
-      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-    writer.setOutput(ios)
-    writer.prepareWriteSequence(null)
-    lums.foreach { lum =>
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = img.createGraphics()
-      try { g.setColor(new java.awt.Color(lum, lum, lum)); g.fillRect(0, 0, w, h) }
-      finally g.dispose()
-      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-    }
-    writer.endWriteSequence()
-    writer.dispose()
-    ios.close()
-    baos.toByteArray
-  }
+  /** Delegates to the production builder (q67 generates its corpus with
+    * the same code; this spec checks the decode side independently). */
+  private def gifBytes(w: Int, h: Int, lums: Seq[Int]): Array[Byte] =
+    Media.syntheticGif(w, h, lums)
 
   test("real animated-GIF frames decode through sampleFrames (r7 verdict #2)") {
     import spark.implicits._
