@@ -312,6 +312,39 @@ class PlanSpec extends SparkSpec {
       s"CC result is not a checkpoint scan:\n$tree")
   }
 
+  test("q65: the outer interval join extracts the user equi-key (SMJ, " +
+       "never a nested loop)") {
+    atScaleShape {
+      val p = plan(q("q65_interval_join_outer"))
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+             !p.contains("CartesianProduct"),
+        s"interval join lost its equi component:\n$p")
+      // toString format: "SortMergeJoin [lkeys], [rkeys], LeftOuter, cond"
+      assert((p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+             && p.contains("LeftOuter"),
+        s"expected a shuffled left-outer equi-join on user_id:\n$p")
+    }
+  }
+
+  test("q67: generate and decode are back-to-back MapPartitions; GIF bytes " +
+       "never shuffle") {
+    val planTree = q("q67_gif_frames").queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val mps = planTree.collect {
+      case p if p.nodeName.contains("MapPartitions") => p }
+    assert(mps.length == 2,
+      s"expected generate+decode MapPartitions stages, got ${mps.length}")
+    // nothing below the TOP MapPartitions (the decode) may shuffle — the
+    // synthetic GIF payloads must be born and consumed map-side
+    val shufflesBelow = mps.head.collect {
+      case e if e.nodeName.contains("Exchange") => e }
+    assert(shufflesBelow.isEmpty,
+      s"an Exchange below the decode would shuffle the GIF payloads")
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sfDir))
