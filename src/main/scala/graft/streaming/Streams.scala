@@ -72,6 +72,24 @@ object Streams {
     * crash-recovery case replays exactly that death. */
   def mergeSink(events: DataFrame, key: String, path: String,
                 checkpoint: String): StreamingQuery =
+    mergingSink(events, key, path, checkpoint,
+      graft.etl.Merge.firstWinsMerge)
+
+  /** [[mergeSink]]'s last-write-wins twin — each micro-batch UPSERTS into
+    * the sink ([[graft.etl.Merge.upsertMerge]]): re-stated keys replace
+    * their sink rows, the correction-stream semantic. Exactly-once holds
+    * under the same contract as mergeSink: the checkpoint replays only an
+    * uncommitted batch (batches apply in order, so a replay never
+    * re-applies an OLDER value over a newer one), and re-applying the
+    * same batch is absorbing. Same crash-safe swap + recovery-first
+    * ordering. */
+  def upsertSink(events: DataFrame, key: String, path: String,
+                 checkpoint: String): StreamingQuery =
+    mergingSink(events, key, path, checkpoint, graft.etl.Merge.upsertMerge)
+
+  private def mergingSink(events: DataFrame, key: String, path: String,
+      checkpoint: String,
+      merge: (DataFrame, DataFrame, String) => DataFrame): StreamingQuery =
     events.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -83,9 +101,11 @@ object Streams {
         graft.etl.Merge.recoverSwap(fs, path) // BEFORE reading existing
         val existing =
           if (fs.exists(target))
+            // batch.schema IS the stream's fixed schema — unlike the batch
+            // sinks, drift cannot arise within one stream run
             s.read.schema(batch.schema).parquet(path)
           else batch.limit(0)
-        val merged = graft.etl.Merge.firstWinsMerge(existing, batch.toDF(), key)
+        val merged = merge(existing, batch.toDF(), key)
         graft.etl.Merge.writeAndSwap(merged, path, batchId.toString)
         ()
       }

@@ -71,6 +71,37 @@ class StreamsSpec extends SparkSpec {
     assert(after2 === after1, "replaying the stream changed the sink")
   }
 
+  test("upsertSink: a correction stream replaces sink rows; replay is a no-op") {
+    // seed the sink with first-wins rows, then stream a correction batch
+    // through the upsert sink: re-stated keys must carry the NEW values
+    val sink = tmp("graft-upsert-sink") + "/data"
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), lit("orig").as("src"))
+    graft.etl.Merge.mergeWrite(base, "event_id", sink)
+    val corrDir = Files.createTempDirectory("graft-upsert-corr")
+    val corrections = Tables.events(spark, sfDir)
+      .filter(col("event_id") % 3 === 0)
+      .select(col("event_id"), lit("fixed").as("src"))
+    corrections.coalesce(1).write.mode("overwrite")
+      .parquet(corrDir.resolve("batch").toString)
+    def runOnce(ckpt: String): Unit = {
+      val q = Streams.upsertSink(
+        spark.readStream.schema(corrections.schema)
+          .parquet(corrDir.resolve("batch").toString),
+        "event_id", sink, ckpt)
+      q.awaitTermination(120000)
+    }
+    runOnce(tmp("graft-upsert-ckpt1"))
+    def counts() = spark.read.parquet(sink).groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = base.count()
+    val fixed = corrections.count()
+    assert(counts() === Map("orig" -> (total - fixed), "fixed" -> fixed))
+    // full replay on a fresh checkpoint: absorbing, nothing changes
+    runOnce(tmp("graft-upsert-ckpt2"))
+    assert(counts() === Map("orig" -> (total - fixed), "fixed" -> fixed))
+  }
+
   test("mergeSink survives a kill between delete and rename (orphan recovery)") {
     import java.nio.file.{Paths, StandardCopyOption}
     // two disjoint slices of events, staged as separate files so the
