@@ -134,6 +134,91 @@ object Documents {
       .filter(col("jaccard_bp") >= 8000L)
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  // ── q68: EXACT n-gram Jaccard join via prefix filtering ─────────────────
+  /** Exact 3-gram Jaccard near-dup join at tau = 0.8 — the guaranteed-
+    * complete dual of q18. MinHash-LSH recall is probabilistic (at j = 0.9
+    * the 32x4 banding misses with P ~ 1.5e-15, but the guarantee decays
+    * toward the threshold and is never literally 1.0); the prefix filter
+    * (the SSJoin/PPJoin family from the set-similarity-join literature)
+    * misses NOTHING at any j >= tau, which is the contract a legal /
+    * contamination dedup pass actually needs.
+    *
+    * Candidate generation is an inverted index over each document's PREFIX
+    * tokens only: order every shingle set by ascending global document
+    * frequency (rarest first, shingle text breaks ties so the order is
+    * total); a pair with Jaccard >= tau shares >= ceil(tau*max(|a|,|b|))
+    * shingles, so under a common total order the first
+    * |x| - ceil(tau*|x|) + 1 shingles of each side must collide on at
+    * least one token (prefix-filter lemma). At tau = 0.8 the index holds
+    * ~20% of each document's tokens, and it is SELF-TUNING at scale:
+    * prefixes are by construction the corpus-RAREST shingles, so inverted-
+    * index buckets stay small exactly where a naive token index explodes —
+    * a stop-phrase-like hot shingle sorts last and never enters a prefix
+    * unless its document consists almost entirely of hot shingles, in
+    * which case its collisions are real near-dups, not noise.
+    *
+    * Shuffle ledger (every stage an equi-join or partial-agg'd aggregate,
+    * never all-pairs): df count (hash by shingle) → rank join (by
+    * shingle) → per-doc prefix sort (window by doc_id) → candidate
+    * self-join (by shingle, prefix rows only, with the tau-length filter
+    * 4|a| <= 5|b| <= 25/4|a| as a join residual) → exact verify (shingle
+    * arrays re-joined for surviving candidates only, by doc id). At
+    * 100 TB the wide shuffles carry (shingle, id, len) tokens and
+    * (id, id) pairs — document text never shuffles. */
+  def prefixJaccardNearDup(s: SparkSession, d: String): DataFrame =
+    prefixJaccardPairs(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Native.shingles(Text.toWords(col("text")), 3).as("sh"))
+        .filter(size(col("sh")) > 0))
+
+  /** Core of the prefix-filtered exact join over a `(doc_id, sh)` frame —
+    * factored so PrefixJaccardSpec can drive the production path over
+    * constructed corpora (threshold-straddling pairs, prefix-boundary
+    * lengths) and prove completeness against brute force. */
+  private[graft] def prefixJaccardPairs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), size(col("sh")).as("len"),
+      explode(col("sh")).as("t"))
+    val dfreq = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // ceil(0.8*len) in EXACT integer arithmetic, (4*len+4) div 5: the
+    // double literal 0.8 rounds UP (0x3FE999...A > 4/5), so
+    // ceil(len * 0.8D) overshoots by one at every multiple of 5 and would
+    // silently SHORTEN the prefix — a completeness hole the oracle would
+    // only catch on a corpus that happens to plant a near-threshold pair
+    // at one of those lengths. floor of an exact-integer-valued double
+    // quotient is safe (numerator < 2^50, margin 1/5 >> ulp).
+    val needed = floor((col("len") * 4 + 4) / 5).cast("long")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))
+    val prefix = toks.join(dfreq, "t")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("len") - needed + 1)
+      .select(col("doc_id"), col("len"), col("t"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.t") === col("y.t") && col("x.doc_id") < col("y.doc_id") &&
+        col("x.len") * 4 <= col("y.len") * 5 &&
+        col("y.len") * 4 <= col("x.len") * 5)
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+        Seq("a_id"))
+      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bpRatio(size(array_intersect(col("a_sh"), col("b_sh"))),
+                size(array_union(col("a_sh"), col("b_sh"))))
+          .as("jaccard_bp"))
+      .filter(col("jaccard_bp") >= 8000L)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  /** Oracle: brute-force exact all-pairs Jaccard — identical text to q18's
+    * oracle, and that is the point: q18 must REACH the exact answer
+    * through LSH luck (quantified above), q68 must reach it by
+    * construction. Both engines' paths meet at the same ground truth. */
+  def prefixJaccardSql: String = minhashNearDupSql // def: defined below
+
   // ── q63: near-dup clusters → the dedup DECISION (connected components) ──
   /** Near-dup PAIRS don't dedup a corpus — CLUSTERS do: when doc A pairs
     * with B and B with C, exactly one of {A,B,C} may survive, which no
@@ -682,6 +767,7 @@ object Documents {
     "q42_train_test_split"-> (trainTestSplit _),
     "q17_exact_dedup"     -> (exactDedup _),
     "q18_minhash_neardup" -> (minhashNearDup _),
+    "q68_prefix_jaccard"  -> (prefixJaccardNearDup _),
     "q63_dedup_clusters"  -> (dedupClusters _),
     "q19_simhash"         -> (simhashSign _),
     "q54_simhash_neardup" -> (simhashNearDup _),
@@ -698,6 +784,7 @@ object Documents {
     "q42_train_test_split"-> trainTestSplitSql,
     "q17_exact_dedup"     -> exactDedupSql,
     "q18_minhash_neardup" -> minhashNearDupSql,
+    "q68_prefix_jaccard"  -> prefixJaccardSql,
     "q63_dedup_clusters"  -> dedupClustersSql,
     "q19_simhash"         -> simhashSignSql,
     "q54_simhash_neardup" -> simhashNearDupSql,

@@ -1,0 +1,96 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** Completeness contract of the q68 prefix-filtered EXACT Jaccard join —
+  * the one property that separates it from q18's MinHash-LSH: on ANY
+  * corpus, the operator returns exactly the brute-force all-pairs answer
+  * at tau = 0.8, no probabilistic recall argument required.
+  *
+  * The fixture deliberately parks documents on the completeness
+  * boundaries:
+  *   - shingle-set sizes that are exact multiples of 5, where
+  *     ceil(0.8 * len) computed in DOUBLE arithmetic overshoots by one
+  *     (0.8D > 4/5) and would shorten the prefix — the silent hole the
+  *     operator's integer formula exists to close;
+  *   - pairs with Jaccard just above AND just below 0.8, so both the
+  *     keep and the drop side of the threshold are exercised;
+  *   - an exact duplicate (j = 1.0, prefix length 1 — the shortest legal
+  *     prefix must still collide).
+  * A seeded random sweep then compares operator vs brute force on corpora
+  * with no constructed structure at all. */
+class PrefixJaccardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def shingleSet(words: Seq[String]): Set[String] =
+    words.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+
+  private def bruteTruth(corpus: Seq[(Long, Set[String])])
+      : Set[(Long, Long, Long)] =
+    (for {
+      (ai, as) <- corpus; (bi, bs) <- corpus if ai < bi
+      inter = (as & bs).size.toLong
+      uni = (as | bs).size.toLong
+      bp = math.floorDiv(inter * 10000L, uni) if bp >= 8000L
+    } yield (ai, bi, bp)).toSet
+
+  private def run(corpus: Seq[(Long, Set[String])]): Set[(Long, Long, Long)] = {
+    val df: DataFrame = corpus
+      .map { case (id, s) => (id, s.toSeq.sorted) }
+      .toDF("doc_id", "sh")
+      .filter(col("sh").isNotNull) // keep frame shape; sizes are > 0 here
+    Documents.prefixJaccardPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  /** Family f's base doc: n fresh words; its twin replaces the last k
+    * words with fresh ones → shared shingles n-k-2 of n-2, a dial that
+    * sweeps Jaccard across the 0.8 threshold. */
+  private def family(f: Int, n: Int, k: Int): Seq[(Long, Set[String])] = {
+    val base = (1 to n).map(j => s"f${f}w$j")
+    val twin = base.dropRight(k) ++ (1 to k).map(j => s"f${f}x$j")
+    Seq((f * 10L, shingleSet(base)), (f * 10L + 1, shingleSet(twin)))
+  }
+
+  test("boundary corpus: operator == brute force, both sides of tau") {
+    // sh sizes n-2 in {5, 10, 20, 25, 50} — all multiples of 5, the
+    // double-ceil overshoot lengths. k chosen to straddle: for equal-size
+    // twins j = (n-k-2)/(n-2+k).
+    val corpus =
+      family(1, 7, 0) ++ // j = 1.0 exact dup, prefix length 1
+      family(2, 12, 1) ++ // j = 9/11  = 0.818 → keep
+      family(3, 12, 3) ++ // j = 7/13  = 0.538 → drop
+      family(4, 22, 2) ++ // j = 18/22 = 0.818 → keep
+      family(5, 22, 3) ++ // j = 17/23 = 0.739 → drop
+      family(6, 27, 2) ++ // j = 23/27 = 0.851 → keep
+      family(7, 52, 5) ++ // j = 45/55 = 0.818 → keep
+      family(8, 52, 7)    // j = 43/57 = 0.754 → drop
+    val truth = bruteTruth(corpus)
+    assert(truth.map(_._1).toSeq.sorted == Seq(10L, 20L, 40L, 60L, 70L),
+      "fixture lost its intended keep/drop split")
+    assert(run(corpus) == truth)
+  }
+
+  test("seeded random corpora: operator == brute force") {
+    val rnd = new Random(42)
+    (1 to 3).foreach { trial =>
+      val vocab = (1 to 40).map(j => s"v$j")
+      val corpus = (1L to 24L).map { id =>
+        val n = 5 + rnd.nextInt(30)
+        // random walks over a small shared vocab → organic overlap at
+        // every similarity level, not just constructed twins
+        id -> shingleSet(Seq.fill(n)(vocab(rnd.nextInt(vocab.size))))
+      }.filter(_._2.nonEmpty)
+      assert(run(corpus) == bruteTruth(corpus), s"trial $trial diverged")
+    }
+  }
+
+  test("empty corpus yields an empty result, not a crash") {
+    assert(run(Seq.empty).isEmpty)
+  }
+}
