@@ -219,6 +219,72 @@ object Documents {
     * construction. Both engines' paths meet at the same ground truth. */
   def prefixJaccardSql: String = minhashNearDupSql // def: defined below
 
+  // ── q69: test-set DECONTAMINATION — benchmark n-gram containment scan ───
+  val DecontamGramN = 8
+
+  /** Training-corpus decontamination: flag every document that contains
+    * ANY word 8-gram from a benchmark (eval) document set — the
+    * asymmetric CONTAINMENT scan every serious LLM training pipeline
+    * runs before training, and a different shape from q18/q68's
+    * symmetric whole-document similarity: a 10k-word page that embeds
+    * one 8-gram of an eval question has Jaccard ~ 0 against it but is
+    * still contaminated.
+    *
+    * The benchmark set is carved deterministically from the corpus
+    * (doc_id % 17 = 3, ~6%) so both engines build the identical eval
+    * side; benchmark docs flag themselves by construction (the training
+    * corpus CONTAINS the eval copies — finding them is the point), and
+    * the planted near-dup twins surface as cross-document hits whenever
+    * one twin landed in the benchmark.
+    *
+    * Scale shape: the benchmark side is THE canonical broadcast — a real
+    * eval suite is a few thousand documents (<< 1 GB of grams) against a
+    * 100 TB corpus, so the gram join ships the dictionary to every
+    * executor and the corpus NEVER shuffles its grams; the only shuffle
+    * is the final per-doc count-distinct aggregate (partial-agg'd,
+    * carries (doc_id, gram-hit) pairs for contaminated docs only). Output
+    * per contaminated doc: how many distinct benchmark grams it trips
+    * and how many distinct benchmark docs those grams implicate. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    decontamScan(docs, col("doc_id") % 17 === 3)
+  }
+
+  /** Core over a `(doc_id, text)` frame + benchmark-membership predicate,
+    * factored for DecontamSpec (exact 8-gram window hit vs 7-gram miss). */
+  private[graft] def decontamScan(docs: DataFrame, isBench: Column)
+      : DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(Native.shingles(Text.toWords(col("text")), DecontamGramN))
+        .as("gram"))
+    val bench = grams.filter(isBench)
+      .select(col("doc_id").as("bench_id"), col("gram"))
+    grams.join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_grams_hit"),
+           countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: identical gram construction (normalized words → distinct
+    * 8-gram windows) + containment join, declaratively. */
+  val decontaminateSql: String = {
+    val k = DecontamGramN
+    val concat8 = (0 until k).map(o => s"w[i+$o]").mkString(" || ' ' || ")
+    s"""WITH ww AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(w) - ${k - 1}, 0) + 1),
+       |    i -> $concat8))) AS gram
+       |  FROM ww),
+       |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 17 = 3)
+       |SELECT g.doc_id,
+       |  CAST(count(DISTINCT g.gram) AS BIGINT) AS n_grams_hit,
+       |  CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+       |FROM g JOIN b USING (gram)
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+  }
+
   // ── q63: near-dup clusters → the dedup DECISION (connected components) ──
   /** Near-dup PAIRS don't dedup a corpus — CLUSTERS do: when doc A pairs
     * with B and B with C, exactly one of {A,B,C} may survive, which no
@@ -768,6 +834,7 @@ object Documents {
     "q17_exact_dedup"     -> (exactDedup _),
     "q18_minhash_neardup" -> (minhashNearDup _),
     "q68_prefix_jaccard"  -> (prefixJaccardNearDup _),
+    "q69_decontaminate"   -> (decontaminate _),
     "q63_dedup_clusters"  -> (dedupClusters _),
     "q19_simhash"         -> (simhashSign _),
     "q54_simhash_neardup" -> (simhashNearDup _),
@@ -785,6 +852,7 @@ object Documents {
     "q17_exact_dedup"     -> exactDedupSql,
     "q18_minhash_neardup" -> minhashNearDupSql,
     "q68_prefix_jaccard"  -> prefixJaccardSql,
+    "q69_decontaminate"   -> decontaminateSql,
     "q63_dedup_clusters"  -> dedupClustersSql,
     "q19_simhash"         -> simhashSignSql,
     "q54_simhash_neardup" -> simhashNearDupSql,
