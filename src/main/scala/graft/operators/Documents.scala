@@ -646,6 +646,70 @@ object Documents {
        |ORDER BY n_occurrences DESC, term ASC
        |LIMIT 50""".stripMargin
 
+  // ── q70: TF-IDF top-k keywords per document ─────────────────────────────
+  /** Per-document top-5 keywords by smoothed TF-IDF — the feature-
+    * engineering pass that turns a raw corpus into sparse document
+    * features: tf = term count within the doc, idf = ln((N+1)/(df+1))
+    * over the whole corpus, score in integer basis points
+    * (floor(tf * 10000 * idf), the repo's cross-engine float-determinism
+    * convention — ln is not correctly-rounded in either engine, but the
+    * floor'd product sits > 1e9 ulps from integer boundaries at these
+    * magnitudes).
+    *
+    * Scale shape: tf is a partial-agg'd groupBy (doc_id, term) — the
+    * map-side combine eats the token explosion before anything shuffles;
+    * df is a partial-agg'd groupBy term over tf's output (one row per
+    * (doc, term), not per token); N is ONE aggregated long crossed in via
+    * a single-row broadcast (a bounded BroadcastNestedLoop — one row, by
+    * construction); the tf⋈df join is an equi-join on term; the final
+    * top-5 is a window by doc_id. Every shuffle carries (term, counts) —
+    * never text. */
+  def tfidfKeywords(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.toWords(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = tf.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df_, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf_bp",
+        floor(col("tf") * lit(10000) *
+          log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
+          .cast("long"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_bp").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tfidf_bp"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+  val tfidfKeywordsSql: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM terms
+       |  WHERE length(term) > 0 GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    CAST(floor(tf.tf * 10000 *
+       |      ln((n.n_docs + 1.0) / (df.df + 1))) AS BIGINT) AS tfidf_bp
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, term, tfidf_bp,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY tfidf_bp DESC, term ASC) AS rank
+       |  FROM scored)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf_bp
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY doc_id, rank""".stripMargin
+
   // ── q41: deterministic per-group sampling ───────────────────────────────
   /** Per-source k-sample by portable-hash order — consistent sampling:
     * the sample is a pure function of the data (no rand()), so re-runs,
@@ -835,6 +899,7 @@ object Documents {
     "q18_minhash_neardup" -> (minhashNearDup _),
     "q68_prefix_jaccard"  -> (prefixJaccardNearDup _),
     "q69_decontaminate"   -> (decontaminate _),
+    "q70_tfidf_keywords"  -> (tfidfKeywords _),
     "q63_dedup_clusters"  -> (dedupClusters _),
     "q19_simhash"         -> (simhashSign _),
     "q54_simhash_neardup" -> (simhashNearDup _),
@@ -853,6 +918,7 @@ object Documents {
     "q18_minhash_neardup" -> minhashNearDupSql,
     "q68_prefix_jaccard"  -> prefixJaccardSql,
     "q69_decontaminate"   -> decontaminateSql,
+    "q70_tfidf_keywords"  -> tfidfKeywordsSql,
     "q63_dedup_clusters"  -> dedupClustersSql,
     "q19_simhash"         -> simhashSignSql,
     "q54_simhash_neardup" -> simhashNearDupSql,
