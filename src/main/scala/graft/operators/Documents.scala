@@ -738,6 +738,58 @@ object Documents {
       |WHERE rk <= 3
       |ORDER BY source, rk""".stripMargin
 
+  // ── q71: training-shard packing by cumulative token budget ──────────────
+  val PackBudgetTokens = 2048L
+
+  /** Deterministic sequence packing: lay documents end-to-end per source in
+    * portable-hash order and cut 2048-token shards — the op that turns a
+    * filtered corpus into fixed-budget training rows. True greedy first-fit
+    * bin packing is inherently sequential (each placement depends on every
+    * bin's fill); the distributed-sane form is CONTIGUOUS packing: a doc
+    * belongs to the shard where its start offset lands
+    * (floor(start / budget)), which is a pure function of the data — a
+    * window cumulative sum in hash order, no driver state, re-runs and
+    * retries land every doc in the same shard. Shards overfill by at most
+    * one straddling doc, the same slack real packers accept.
+    *
+    * One shuffle (window by source); at 100 TB the window key widens to
+    * (source, hash-prefix) so no single source serializes into one
+    * partition — the bin id is offset-based either way. Division by 2048
+    * (2^11) is exact in doubles, so floor is portable. */
+  def sequencePack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        Text.portableHash(col("doc_id").cast("string")).as("h"),
+        size(Text.toWords(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n_tokens")) / lit(PackBudgetTokens.toDouble))
+          .cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("source"), col("bin"))
+  }
+  val sequencePackSql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+       |    len($wordsSql) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT source,
+       |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM c GROUP BY source, bin
+       |ORDER BY source, bin""".stripMargin
+
   // ── q42: reproducible hash-bucket train/test split ──────────────────────
   /** Split assignment as a pure function of the key (hash mod 100:
     * <80 train, <90 valid, else test) — the canonical reproducible split:
@@ -895,6 +947,7 @@ object Documents {
     "q44_repetition"      -> (repetitionRatio _),
     "q41_group_sample"    -> (groupSample _),
     "q42_train_test_split"-> (trainTestSplit _),
+    "q71_sequence_pack"   -> (sequencePack _),
     "q17_exact_dedup"     -> (exactDedup _),
     "q18_minhash_neardup" -> (minhashNearDup _),
     "q68_prefix_jaccard"  -> (prefixJaccardNearDup _),
@@ -914,6 +967,7 @@ object Documents {
     "q44_repetition"      -> repetitionRatioSql,
     "q41_group_sample"    -> groupSampleSql,
     "q42_train_test_split"-> trainTestSplitSql,
+    "q71_sequence_pack"   -> sequencePackSql,
     "q17_exact_dedup"     -> exactDedupSql,
     "q18_minhash_neardup" -> minhashNearDupSql,
     "q68_prefix_jaccard"  -> prefixJaccardSql,
