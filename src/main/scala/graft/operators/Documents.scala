@@ -790,6 +790,51 @@ object Documents {
        |FROM c GROUP BY source, bin
        |ORDER BY source, bin""".stripMargin
 
+  // ── q72: weighted corpus mixing — per-source epoch weights ──────────────
+  /** Deterministic mixture resampling: each source gets an epoch weight
+    * (how many times its documents appear in the training mix — here
+    * 0.75 / 1.5 / 2.25 / 3.0 cycling by source id, standing in for the
+    * tiny hand-tuned weights table a real run broadcasts). A weight of
+    * 2.25 means two full copies plus a 25% hash-selected third — the
+    * fractional copy is chosen by portable doc hash, NOT rand(), so the
+    * mix is a pure function of the data: re-runs, retries, and both
+    * engines produce the identical training set.
+    *
+    * Scale shape: map-only — a per-row weight lookup, an integer copy
+    * count, and an explode; no shuffle anywhere (the output sort is
+    * presentation). Upsampling never materializes text N times in the
+    * shuffle because there IS no shuffle — the copies fan out at scan
+    * site, which is exactly where a writer would consume them. */
+  def sourceMix(s: SparkSession, d: String): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("long")
+    val wBp = (lit(1L) + srcNum % 4L) * lit(7500L) // weight in basis points
+    val whole = floor(wBp / lit(10000.0)).cast("long")
+    val frac = wBp % 10000L
+    val extra = (Text.portableHash(
+      concat(col("doc_id").cast("string"), lit("mix"))) % 10000L < frac)
+      .cast("long")
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        (whole + extra).as("n_copies"))
+      .filter(col("n_copies") >= 1L)
+      .select(col("source"), col("doc_id"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+      .orderBy(col("source"), col("doc_id"), col("copy"))
+  }
+  val sourceMixSql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    (1 + CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 4) * 7500 AS w_bp,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 15)) AS BIGINT) % 10000 AS h
+      |  FROM documents),
+      |n AS (
+      |  SELECT source, doc_id,
+      |    (w_bp // 10000) + CASE WHEN h < w_bp % 10000 THEN 1 ELSE 0 END AS n_copies
+      |  FROM t)
+      |SELECT source, doc_id, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy
+      |FROM n WHERE n_copies >= 1
+      |ORDER BY source, doc_id, copy""".stripMargin
+
   // ── q42: reproducible hash-bucket train/test split ──────────────────────
   /** Split assignment as a pure function of the key (hash mod 100:
     * <80 train, <90 valid, else test) — the canonical reproducible split:
@@ -948,6 +993,7 @@ object Documents {
     "q41_group_sample"    -> (groupSample _),
     "q42_train_test_split"-> (trainTestSplit _),
     "q71_sequence_pack"   -> (sequencePack _),
+    "q72_source_mix"      -> (sourceMix _),
     "q17_exact_dedup"     -> (exactDedup _),
     "q18_minhash_neardup" -> (minhashNearDup _),
     "q68_prefix_jaccard"  -> (prefixJaccardNearDup _),
@@ -968,6 +1014,7 @@ object Documents {
     "q41_group_sample"    -> groupSampleSql,
     "q42_train_test_split"-> trainTestSplitSql,
     "q71_sequence_pack"   -> sequencePackSql,
+    "q72_source_mix"      -> sourceMixSql,
     "q17_exact_dedup"     -> exactDedupSql,
     "q18_minhash_neardup" -> minhashNearDupSql,
     "q68_prefix_jaccard"  -> prefixJaccardSql,
