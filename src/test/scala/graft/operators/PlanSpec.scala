@@ -87,6 +87,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("band"), "bucket join key missing from plan")
   }
 
+  test("q68: prefix index joins stay equi-joins on the token at scale") {
+    // At 100 TB no side of the prefix self-join broadcasts; the candidate
+    // join must be a sort-merge equi-join ON THE TOKEN with the tau-length
+    // filter as a residual — never a nested loop over length ranges.
+    val p = atScaleShape { plan(q("q68_prefix_jaccard")) }
+    assert(p.contains("SortMergeJoin [t#") || p.contains("SortMergeJoin[t#"),
+      s"candidate join is not a token equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      "prefix join degenerated to all-pairs")
+    // df count reads only the text column
+    assert(p.contains("ReadSchema: struct<text:string>"),
+      "df-count scan is not column-pruned")
+    // the prefix cut exists (rank over (df, t) per doc)
+    assert(p.contains("row_number"), "prefix window missing")
+  }
+
   test("q23: the intended cross join broadcasts the small query side") {
     val p = plan(q("q23_cosine_topk"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
