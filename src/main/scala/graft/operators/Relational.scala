@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.etl.{Extract, Merge, Skew}
+import graft.functions.Bloom
 
 /** Core relational surface — the reference's dataflow semantics (SURVEY.md
   * §2: S5/S7, F1–F2, D1–D3, U1, J1, A1–A3) recast as declarative Spark
@@ -445,6 +446,50 @@ object Relational {
       |GROUP BY o_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
+  // ── q73: Bloom-filter semi-join reduction (runtime filter) ──────────────
+  /** Revenue of urgent/high-priority orders with the fact side pre-filtered
+    * by a broadcast Bloom filter over the build side's keys — the
+    * runtime-filter pattern ([[graft.functions.Bloom]]) made a first-class
+    * operator. At 100 TB the exact lineitem⋈orders join must shuffle the
+    * fact side; the bloom probe drops ~60% of lineitem AT THE SCAN (only
+    * ~40% of orders are urgent/high), so the shuffle carries only rows
+    * that can possibly join plus a ~0.8% false-positive tail, and the
+    * exact join downstream clears that tail — the result is bit-identical
+    * to the plain join, which is exactly what the oracle checks.
+    *
+    * The build-side `count()` is the sizing stat (10 bits/key — a real
+    * engine reads it off the build exchange for free); one extra scan of
+    * the filtered, 2-column orders side is the standard price, paid
+    * against a fact side 10–1000× larger. */
+  def bloomFilteredJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val nBuild = o.count() // build-side stat: ONE long to the driver
+    val bloomAgg = udaf(new Bloom.Agg(Bloom.sizeWords(nBuild)))
+    val bloom = o.agg(bloomAgg(col("o_orderkey")).as("bf"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        asCents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev_cents"))
+    val pre = li.crossJoin(broadcast(bloom)) // ONE row by construction
+      .filter(Bloom.mightContainCol(col("bf.bits"), col("l_orderkey")))
+      .select(col("l_orderkey"), col("rev_cents"))
+    pre.join(o, pre("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("rev_cents")).as("revenue_cents"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+  val bloomFilteredJoinSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Registry fragment for SparkEntry. */
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary"     -> (pricingSummary _),
@@ -459,7 +504,8 @@ object Relational {
     "q58_skewed_join"         -> (skewedSaltedJoin _),
     "q60_range_join"          -> (rangeJoinOrders _),
     "q64_upsert_merge"        -> (upsertMerge _),
-    "q66_bucketed_join"       -> (bucketedJoin _))
+    "q66_bucketed_join"       -> (bucketedJoin _),
+    "q73_bloom_join"          -> (bloomFilteredJoin _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q01_pricing_summary"      -> pricingSummarySql,
@@ -474,5 +520,6 @@ object Relational {
     "q58_skewed_join"          -> skewedSaltedJoinSql,
     "q60_range_join"           -> rangeJoinOrdersSql,
     "q64_upsert_merge"         -> upsertMergeSql,
-    "q66_bucketed_join"        -> bucketedJoinSql)
+    "q66_bucketed_join"        -> bucketedJoinSql,
+    "q73_bloom_join"           -> bloomFilteredJoinSql)
 }

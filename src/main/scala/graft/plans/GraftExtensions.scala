@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CharNgramsExpr, DotProductExpr, LongChunksExpr,
-  MinHashBandsExpr, SignSketchBandsExpr, SignSketchExpr, SimHash128BandsExpr,
-  SimHash60Expr, WordNgramsExpr}
+import graft.functions.{BloomMightContainExpr, CharNgramsExpr,
+  DotProductExpr, LongChunksExpr, MinHashBandsExpr, SignSketchBandsExpr,
+  SignSketchExpr, SimHash128BandsExpr, SimHash60Expr, WordNgramsExpr}
 
 /** Engine extension point — registers the native dedup kernels with the
   * session's function registry via the PUBLIC `SparkSessionExtensions` API
@@ -88,6 +88,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash60(words) takes 1 arg")
         SimHash60Expr(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContainExpr].getName,
+        "bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "bloom_might_contain(bits, key) takes 2 args")
+        BloomMightContainExpr(args.head, args(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("simhash128_bands"),

@@ -362,6 +362,96 @@ class PlanSpec extends SparkSpec {
       s"an Exchange below the decode would shuffle the GIF payloads")
   }
 
+  test("q69: the benchmark gram dictionary broadcasts; corpus grams never " +
+       "shuffle") {
+    // the decontamination contract at 100 TB: the eval suite is tiny by
+    // nature, so its grams ship to every executor and the corpus side of
+    // the containment join never exchanges on the gram — the only shuffle
+    // is the per-doc count-distinct aggregate (which Expand+partial-aggs).
+    val p = plan(q("q69_decontaminate"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"benchmark gram side should broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(gram"),
+      s"corpus grams shuffled — the containment join must ship the " +
+        s"dictionary, not the corpus:\n$p")
+    assert(p.contains("partial_"),
+      s"contamination counts lost map-side combine:\n$p")
+  }
+
+  test("q70: token counts partial-agg before any shuffle; N crosses in as " +
+       "a one-row broadcast") {
+    // tf's map-side combine is what eats the token explosion — without it
+    // every (doc, token) row shuffles; N (corpus doc count) must join in
+    // as a broadcast of ONE aggregated row, the only nested-loop join
+    // allowed anywhere in the surface (bounded by construction).
+    val p = plan(q("q70_tfidf_keywords"))
+    assert(p.contains("partial_count"),
+      s"tf aggregate lost map-side combine — raw tokens would shuffle:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"n_docs should cross in as a single-row broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-5 not group-limited before the rank window:\n$p")
+  }
+
+  test("q71: packing is ONE window shuffle; the shard aggregate reuses the " +
+       "source partitioning") {
+    // the cumulative-offset window exchanges on source once; the
+    // (source, bin) aggregate's clustering is satisfied by that same
+    // partitioning (source ⊆ keys), so no second hash Exchange may
+    // appear — at 100 TB a second full-data shuffle here would double
+    // the cost of the whole operator.
+    atScaleShape {
+      val p = plan(q("q71_sequence_pack"))
+      val n = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(n == 1,
+        s"expected exactly one hash Exchange (the source window), got $n:\n$p")
+    }
+  }
+
+  test("q72: the mix is map-only — copies fan out at scan site, zero hash " +
+       "Exchange") {
+    // upsampling must never materialize copies through a shuffle; the
+    // explode happens where the scan happens, and the only Exchange in
+    // the plan is the presentation ORDER BY's range partitioning.
+    val p = plan(q("q72_source_mix"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the weighted mix shuffled — copies must fan out map-side:\n$p")
+    assert(p.contains("Generate explode"),
+      s"copy fan-out (explode over sequence) missing from plan:\n$p")
+  }
+
+  test("q73: the bloom probe filters the fact side BELOW the exact join's " +
+       "shuffle") {
+    // the runtime-filter contract: at the at-scale shape the exact join
+    // exchanges on l_orderkey, and the probe Filter must sit INSIDE that
+    // exchange's subtree — a probe above the shuffle would pay the full
+    // fact shuffle and reduce nothing.
+    atScaleShape {
+      val df = q("q73_bloom_join")
+      val p = plan(df)
+      // the crossJoin+filter is folded into the BNLJ's join CONDITION —
+      // same evaluation point as a Filter directly above it; accept both
+      val probeLines = p.linesIterator.filter(l =>
+        l.contains("bloom_might_contain(") &&
+        (l.contains("Filter") || l.contains("BroadcastNestedLoopJoin")))
+      assert(probeLines.nonEmpty,
+        s"bloom probe is neither a Filter nor the BNLJ condition:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"exact join should shuffle at the at-scale shape:\n$p")
+      val tree = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case t => t
+      }
+      val exchanges = tree.collect {
+        case e if e.nodeName.contains("Exchange") &&
+                  e.toString.contains("bloom_might_contain") => e }
+      assert(exchanges.nonEmpty,
+        s"no Exchange has the bloom probe below it — the filter does not " +
+          s"reduce the shuffle:\n$tree")
+    }
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sfDir))
