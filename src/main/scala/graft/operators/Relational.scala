@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.etl.{Extract, Merge, Skew}
+import graft.etl.{Extract, Layout, Merge, Skew}
 import graft.functions.Bloom
 
 /** Core relational surface — the reference's dataflow semantics (SURVEY.md
@@ -490,6 +490,46 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ── q74: z-order curve cells (lake layout for 2-D data skipping) ────────
+  /** Orders mapped onto a 16×16 Morton curve over (totalprice, orderdate)
+    * and aggregated per curve cell — the cell assignment that
+    * [[graft.etl.Layout.writeZOrdered]] clusters the write by. The oracle
+    * re-derives the interleave bit-for-bit, so the layout's placement
+    * function is hash-verified; the data-skipping BENEFIT (a 2-D box
+    * predicate touches few files, where a linear sort's non-leading
+    * dimension touches all of them) is measured in ZOrderSpec, which is a
+    * physical-layout property no row-level oracle can see.
+    *
+    * Fixed bucket bounds (price 0–512k in 32k steps, date 1995-01-01 +
+    * 160-day steps), clamped — the layout must not shift when data grows.
+    * Map-only until the 256-cell aggregate; one tiny shuffle. */
+  def zOrderCells(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val xb = Layout.rangeBucket(col("o_totalprice"), lit(0.0), 32768.0, 4)
+    val yb = Layout.rangeBucket(
+      datediff(col("o_orderdate"), lit("1995-01-01")).cast("double"),
+      lit(0.0), 160.0, 4)
+    o.select(Layout.zValue(xb, yb, 4).as("z"),
+        asCents(col("o_totalprice")).as("cents"))
+      .groupBy(col("z"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("z"))
+  }
+  val zOrderCellsSql: String =
+    """WITH b AS (
+      |  SELECT
+      |    CAST(least(greatest(floor(o_totalprice / 32768.0), 0), 15) AS BIGINT) AS xb,
+      |    CAST(least(greatest(floor(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) / 160.0), 0), 15) AS BIGINT) AS yb,
+      |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders),
+      |z AS (
+      |  SELECT cents, list_sum(list_transform(range(0, 4),
+      |    i -> (((xb >> i) & 1) << (2*i)) + (((yb >> i) & 1) << (2*i + 1)))) AS z
+      |  FROM b)
+      |SELECT CAST(z AS BIGINT) AS z, count(*) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM z GROUP BY z ORDER BY z""".stripMargin
+
   /** Registry fragment for SparkEntry. */
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary"     -> (pricingSummary _),
@@ -505,7 +545,8 @@ object Relational {
     "q60_range_join"          -> (rangeJoinOrders _),
     "q64_upsert_merge"        -> (upsertMerge _),
     "q66_bucketed_join"       -> (bucketedJoin _),
-    "q73_bloom_join"          -> (bloomFilteredJoin _))
+    "q73_bloom_join"          -> (bloomFilteredJoin _),
+    "q74_zorder_cells"        -> (zOrderCells _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q01_pricing_summary"      -> pricingSummarySql,
@@ -521,5 +562,6 @@ object Relational {
     "q60_range_join"           -> rangeJoinOrdersSql,
     "q64_upsert_merge"         -> upsertMergeSql,
     "q66_bucketed_join"        -> bucketedJoinSql,
-    "q73_bloom_join"           -> bloomFilteredJoinSql)
+    "q73_bloom_join"           -> bloomFilteredJoinSql,
+    "q74_zorder_cells"         -> zOrderCellsSql)
 }

@@ -1,0 +1,105 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The z-order claim is a LAYOUT property no row-level oracle can see:
+  * after clustering by curve position, every file holds a tight bounding
+  * box in BOTH dimensions, so a 2-D (or either-single-D) box predicate
+  * lands in a small fraction of files — while a linear sort answers only
+  * its leading column that way and a filter on the other column touches
+  * EVERY file. Files-touched is measured with `input_file_name()` over
+  * the matching rows: exactly the file set a min-max-pruning reader
+  * (parquet row groups, every lakehouse skipping layer) would have to
+  * read. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val side = 256 // 2-D domain [0,256)², bits=8 → z in [0, 65536)
+
+  /** 64k rows covering the full grid, in hash order (clustered nothing). */
+  private def grid: DataFrame =
+    spark.range(0, side.toLong * side).select(
+      (col("id") % side).as("x"),
+      (col("id") / side).cast("long").as("y"))
+
+  private def filesTouched(path: String, pred: org.apache.spark.sql.Column)
+      : Long =
+    spark.read.parquet(path).filter(pred)
+      .select(input_file_name()).distinct().count()
+
+  test("zValue interleaves bit-perfectly (known points + inverse)") {
+    // (x=0b101, y=0b011) → z = y2x2 y1x1 y0x0 = 0b011011? No —
+    // positions: x bits at 0,2,4 → 1,0,1 ; y bits at 1,3,5 → 1,1,0:
+    // z = 0·2⁵+1·2⁴+1·2³+0·2²+1·2¹+1·2⁰ = 27
+    val z = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"), 3).as("z"))
+      .as[Long].head()
+    assert(z === 27L)
+    // round-trip: de-interleaving the curve position recovers both
+    // coordinates for every cell of an 8×8 grid
+    val back = spark.range(0, 64).select(
+        (col("id") % 8).as("x"), (col("id") / 8).cast("long").as("y"))
+      .select(col("x"), col("y"),
+        Layout.zValue(col("x"), col("y"), 3).as("z"))
+      .as[(Long, Long, Long)].collect()
+    assert(back.length === 64 && back.map(_._3).distinct.length === 64)
+    back.foreach { case (x, y, z0) =>
+      val xr = (0 until 3).map(i => ((z0 >> (2 * i)) & 1L) << i).sum
+      val yr = (0 until 3).map(i => ((z0 >> (2 * i + 1)) & 1L) << i).sum
+      assert(xr === x && yr === y)
+    }
+  }
+
+  test("z-order bounds files touched in BOTH dimensions; linear sort " +
+       "fails its non-leading one") {
+    val dir = Files.createTempDirectory("graft-zorder").toString
+    val nFiles = 16
+    // linear layout: range-partition + sort by x only
+    grid.repartitionByRange(nFiles, col("x"))
+      .sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(s"$dir/linear")
+    Layout.writeZOrdered(grid,
+      Layout.zValue(col("x"), col("y"), 8), s"$dir/zorder", nFiles)
+
+    // a 1/16-of-domain slice in each single dimension
+    val xBox = col("x").between(64, 79)
+    val yBox = col("y").between(64, 79)
+
+    val linX = filesTouched(s"$dir/linear", xBox)
+    val linY = filesTouched(s"$dir/linear", yBox)
+    val zX = filesTouched(s"$dir/zorder", xBox)
+    val zY = filesTouched(s"$dir/zorder", yBox)
+
+    // the linear layout is perfect on its leading column and useless on
+    // the other: the y-slice lives in every single file
+    assert(linX <= 2, s"x-sorted layout should nail the x-slice: $linX")
+    assert(linY === nFiles.toLong,
+      s"y-slice should touch all $nFiles x-sorted files, got $linY")
+    // z-order bounds BOTH: 16 files = top 4 z bits = (y₇x₇y₆x₆), a
+    // 16-wide slice fixes its coordinate's two top bits → ≤ 4 files,
+    // plus at most 2 more straddled at range-partition boundaries
+    assert(zX <= 6 && zY <= 6,
+      s"z-order should touch ≤6/$nFiles files per slice, got x=$zX y=$zY")
+    // and the worst case over the two dimensions is what data skipping
+    // actually buys: max(z) must beat max(linear) by ≥ 2×
+    assert(math.max(zX, zY) * 2 <= math.max(linX, linY),
+      s"z-order worst case ${math.max(zX, zY)} not ≥2× better than " +
+        s"linear's ${math.max(linX, linY)}")
+  }
+
+  test("writeZOrdered round-trips the data unchanged (layout only)") {
+    val dir = Files.createTempDirectory("graft-zorder-rt").toString
+    Layout.writeZOrdered(grid, Layout.zValue(col("x"), col("y"), 8),
+      s"$dir/out", 8)
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() === side.toLong * side)
+    assert(back.columns.toSeq === Seq("x", "y"), "helper column leaked")
+    assert(back.select(sum(col("x") * 65536L + col("y"))).as[Long].head()
+      === grid.select(sum(col("x") * 65536L + col("y"))).as[Long].head())
+  }
+}

@@ -452,6 +452,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q74: the curve-cell rollup is map-only until one tiny partial-agg " +
+       "shuffle") {
+    // the z assignment is pure per-row bit arithmetic — it must all fold
+    // into the scan-side Project; the only hash Exchange is the 256-cell
+    // aggregate (partial-agg'd, so the shuffle carries cells, not rows)
+    val p = plan(q("q74_zorder_cells"))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly one hash Exchange, got $n:\n$p")
+    assert(p.contains("partial_"), s"cell rollup lost map-side combine:\n$p")
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sfDir))
