@@ -80,6 +80,7 @@ object Bloom {
     * directly, keeping the per-fact-row path allocation-free. */
   def mightContain(bits: ArrayData, key: Long): Boolean = {
     val m = bits.numElements().toLong << 6
+    if (m == 0L) return false // degenerate hand-built bitset, not from Agg
     val a = hash1(key); val b = hash2(key)
     var i = 0
     while (i < Probes) {

@@ -120,7 +120,15 @@ object Media {
     * decoded-pixel outputs oracle-predictable. */
   def syntheticGif(w: Int, h: Int, grays: Seq[Int]): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    // MemoryCache, NOT ImageIO.createImageOutputStream: the factory's
+    // default is a FileCache stream — a temp file created and deleted
+    // under java.io.tmpdir PER PAYLOAD, which serializes the whole
+    // encode fleet on filesystem metadata ops (measured: q67 at sf1 was
+    // ~10 s flat whether 4 or 32 cores — the cores were all queueing on
+    // /tmp — and drops ~8× memory-cached). Same class of fix as
+    // MediaCodec.open's setUseCache(false), pinned here structurally so
+    // a refactor back to the factory can't silently reintroduce it.
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
     val writer =
       javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     writer.setOutput(ios)
@@ -153,8 +161,21 @@ object Media {
     * q56/q57. */
   def gifFrameStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // Spread the KEYS across the cluster before the payloads are born:
+    // the scan's partitioning is sized for IO (openCostInBytes packs the
+    // small files into a couple of splits), and the CPU-heavy
+    // encode+decode chain would inherit it — measured 10.3 s at sf1 with
+    // 32 cores pinned to ~2 scan partitions vs 1.3 s spread. The shuffle
+    // carries ONE long per doc; the no-binary-shuffle contract is intact
+    // (and PlanSpec pins both: an Exchange below the generate whose only
+    // column is doc_id, and none between generate and decode). This works
+    // ONLY because the payload is born downstream — q34/q56/q57 read
+    // payloads off the scan itself, where the same repartition would
+    // shuffle the media bytes and is correctly absent.
     val recs = Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val n = (id % 7 + 1).toInt
@@ -345,7 +366,9 @@ class MediaCodec private () {
     * [[decodeImage]]. */
   def decodeFrames(bytes: Array[Byte],
                    stride: Int): Iterator[(Int, Array[Float])] = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    // MemoryCache for the same reason as [[Media.syntheticGif]]'s output
+    // stream: the factory default is a temp-FILE-backed cache per payload
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     val readers = javax.imageio.ImageIO.getImageReaders(iis)
     if (!readers.hasNext) {
@@ -467,5 +490,14 @@ class MediaCodec private () {
 }
 
 object MediaCodec {
-  def open(): MediaCodec = new MediaCodec()
+  /** Per-partition handle. Also pins ImageIO's JVM-wide stream-cache mode
+    * to memory: `ImageIO.read/write` internally create File-cached
+    * streams by default — a temp file per payload under java.io.tmpdir,
+    * which serializes a 32-core decode fleet on filesystem metadata ops
+    * (see [[Media.syntheticGif]] for the measured effect). Idempotent,
+    * public API, standard server-side ImageIO practice. */
+  def open(): MediaCodec = {
+    javax.imageio.ImageIO.setUseCache(false)
+    new MediaCodec()
+  }
 }

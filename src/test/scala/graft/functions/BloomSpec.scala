@@ -57,6 +57,46 @@ class BloomSpec extends SparkSpec {
     assert(bloomOver(1) === bloomOver(16))
   }
 
+  test("the probe compiles into whole-stage codegen (no interpreted " +
+       "fallback)") {
+    // the probe's value proposition is running once per fact row INSIDE
+    // WSCG; janino failing to compile the generated call would silently
+    // fall back to interpreted eval — same rows, hot path gone. Forcing
+    // fallback OFF turns that silent regression into a test failure.
+    val bits = bloomOver(2)
+    // a range scan keeps the probe inside a WSCG subtree (the q73 shape
+    // folds it into a BNLJ condition, which never codegens in this tiny
+    // local harness — the per-row generated call is what's under test)
+    val df = spark.range(0, n.toLong)
+      .select(Bloom.mightContainCol(typedlit(bits), col("id")).as("p"))
+      .filter(col("p"))
+    // execute with fallback OFF: a janino compile failure throws here
+    // instead of silently interpreting
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try df.count()
+    finally spark.conf.set("spark.sql.codegen.fallback", prev)
+    // WSCG nodes exist only in the POST-execution adaptive plan — unwrap
+    // AQE before rendering the generated source
+    val tree = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val gen = org.apache.spark.sql.execution.debug.codegenString(tree)
+    assert(gen.contains("bloom_might_contain") ||
+           gen.contains("Bloom.mightContain"),
+      s"probe not inside a WholeStageCodegen subtree:\n${gen.take(1500)}")
+  }
+
+  test("a degenerate empty bitset probes false, never divides by zero") {
+    val hit = Seq(7L).toDF("k")
+      .crossJoin(broadcast(Seq(Seq.empty[Long]).toDF("bits")))
+      .filter(Bloom.mightContainCol(col("bits"), col("k")))
+      .count()
+    assert(hit === 0L)
+  }
+
   test("q73 equals the plain unfiltered join (false positives cleared)") {
     val d = "/root/testdata/sf0.001"
     val got = graft.operators.Relational.bloomFilteredJoin(spark, d)

@@ -344,7 +344,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q67: generate and decode are back-to-back MapPartitions; GIF bytes " +
-       "never shuffle") {
+       "never shuffle; the key spread sits below the generate") {
     val planTree = q("q67_gif_frames").queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
@@ -354,12 +354,28 @@ class PlanSpec extends SparkSpec {
       case p if p.nodeName.contains("MapPartitions") => p }
     assert(mps.length == 2,
       s"expected generate+decode MapPartitions stages, got ${mps.length}")
-    // nothing below the TOP MapPartitions (the decode) may shuffle — the
-    // synthetic GIF payloads must be born and consumed map-side
-    val shufflesBelow = mps.head.collect {
+    // the GIF payloads must be born and consumed map-side: no Exchange
+    // BETWEEN the decode (top) and the generate — every Exchange in the
+    // decode's subtree must already be in the generate's subtree
+    val decodeEx = mps.head.collect {
       case e if e.nodeName.contains("Exchange") => e }
-    assert(shufflesBelow.isEmpty,
-      s"an Exchange below the decode would shuffle the GIF payloads")
+    val genEx = mps(1).collect {
+      case e if e.nodeName.contains("Exchange") => e }
+    assert(decodeEx.forall(e => genEx.exists(_ eq e)),
+      s"an Exchange between generate and decode would shuffle GIF payloads")
+    // and the key-spreading Exchange BELOW the generate must exist and
+    // carry ONLY doc_id — the fix for the scan's IO-sized partitioning
+    // strangling the CPU-heavy codec chain (measured 10.3 s → 1.3 s at
+    // sf1); if it ever starts carrying more columns, payload bytes are
+    // leaking into the shuffle
+    assert(genEx.nonEmpty,
+      "the generate stage inherits IO-sized scan partitioning — the " +
+        "doc_id spread Exchange is missing")
+    genEx.foreach { e =>
+      assert(e.output.map(_.name) == Seq("doc_id"),
+        s"key-spread Exchange carries ${e.output.map(_.name)} — only " +
+          s"doc_id may shuffle")
+    }
   }
 
   test("q69: the benchmark gram dictionary broadcasts; corpus grams never " +
