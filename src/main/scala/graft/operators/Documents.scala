@@ -986,6 +986,62 @@ object Documents {
        |ORDER BY lang, pred_lang""".stripMargin
   }
 
+  // ── q76: overlapping document chunking (context-window prep) ────────────
+  val ChunkTokens = 32
+  val ChunkStride = 16
+
+  /** Split every document into fixed-size token chunks with 50% overlap —
+    * the context-window prep between cleaning and packing: RAG indexes
+    * and long-doc pretraining both consume CHUNKS, not documents, and the
+    * overlap keeps boundary-straddling spans intact in at least one
+    * chunk. Chunk count = 1 + ceil((len − C)/S) (never a redundant tail
+    * chunk fully contained in its predecessor); stride 16 = 2⁴, so the
+    * ceil's division is exact in both engines' doubles. Each chunk emits
+    * its token count and a portable fingerprint of its joined text — the
+    * downstream key for chunk-level dedup, the same role doc fingerprints
+    * play in q22.
+    *
+    * Map-only: stage words once, explode over the chunk-index sequence,
+    * slice per index — no shuffle anywhere but the presentation sort
+    * (PlanSpec pins zero hash Exchange, q72's contract). At 100 TB the
+    * fan-out happens at scan site, exactly where a shard writer would
+    * consume it. */
+  def docChunks(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), Text.toWords(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("len"))
+    val nChunks = when(col("len") === 0L, lit(0L)).otherwise(
+      lit(1L) + floor((greatest(col("len") - ChunkTokens.toLong, lit(0L))
+        + (ChunkStride - 1).toLong) / ChunkStride.toDouble).cast("long"))
+    val chunk = slice(col("w"),
+      (col("ci") * ChunkStride.toLong + 1L).cast("int"), lit(ChunkTokens))
+    base.withColumn("nc", nChunks)
+      .filter(col("nc") > 0L)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0L), col("nc") - 1L)).as("ci"))
+      .select(col("doc_id"), col("ci").as("chunk_idx"),
+        size(chunk).cast("long").as("n_tokens"),
+        Text.portableHash(array_join(chunk, " ")).as("fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+  val docChunksSql: String =
+    s"""WITH ww AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |n AS (
+       |  SELECT doc_id, w, len(w) AS len,
+       |    CASE WHEN len(w) = 0 THEN 0
+       |         ELSE 1 + (greatest(len(w) - 32, 0) + 15) // 16 END AS nc
+       |  FROM ww),
+       |c AS (
+       |  SELECT doc_id, w, unnest(range(0, nc)) AS ci FROM n WHERE nc > 0),
+       |s AS (
+       |  SELECT doc_id, ci AS chunk_idx,
+       |    list_slice(w, ci*16 + 1, ci*16 + 32) AS chunk
+       |  FROM c)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+       |  CAST(concat('0x', substr(md5(array_to_string(chunk, ' ')), 1, 15)) AS BIGINT) AS fp
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q52_char_ngram_langid" -> (charNgramLangId _),
     "q43_scrub_pii"       -> (scrubPii _),
@@ -994,6 +1050,7 @@ object Documents {
     "q42_train_test_split"-> (trainTestSplit _),
     "q71_sequence_pack"   -> (sequencePack _),
     "q72_source_mix"      -> (sourceMix _),
+    "q76_doc_chunks"      -> (docChunks _),
     "q17_exact_dedup"     -> (exactDedup _),
     "q18_minhash_neardup" -> (minhashNearDup _),
     "q68_prefix_jaccard"  -> (prefixJaccardNearDup _),
@@ -1015,6 +1072,7 @@ object Documents {
     "q42_train_test_split"-> trainTestSplitSql,
     "q71_sequence_pack"   -> sequencePackSql,
     "q72_source_mix"      -> sourceMixSql,
+    "q76_doc_chunks"      -> docChunksSql,
     "q17_exact_dedup"     -> exactDedupSql,
     "q18_minhash_neardup" -> minhashNearDupSql,
     "q68_prefix_jaccard"  -> prefixJaccardSql,

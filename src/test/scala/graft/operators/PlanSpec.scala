@@ -479,6 +479,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"cell rollup lost map-side combine:\n$p")
   }
 
+  test("q76: chunking is map-only — the fan-out happens at scan site, " +
+       "zero hash Exchange") {
+    // same contract as q72: the chunk explosion must never ride a
+    // shuffle; the only Exchange is the presentation ORDER BY's range
+    // partitioning
+    val p = plan(q("q76_doc_chunks"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunk fan-out shuffled — chunks must be born map-side:\n$p")
+    assert(p.contains("Generate explode"),
+      s"chunk-index explode missing from plan:\n$p")
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sfDir))
