@@ -1006,7 +1006,13 @@ object Documents {
     * (PlanSpec pins zero hash Exchange, q72's contract). At 100 TB the
     * fan-out happens at scan site, exactly where a shard writer would
     * consume it. */
-  def docChunks(s: SparkSession, d: String): DataFrame = {
+  def docChunks(s: SparkSession, d: String): DataFrame =
+    chunkFrame(s, d).orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** The chunk frame without the presentation sort — shared by q76 and
+    * q77 (the dedup consumer must not inherit a range exchange it
+    * doesn't need). */
+  private def chunkFrame(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)
       .select(col("doc_id"), Text.toWords(col("text")).as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("len"))
@@ -1022,8 +1028,60 @@ object Documents {
       .select(col("doc_id"), col("ci").as("chunk_idx"),
         size(chunk).cast("long").as("n_tokens"),
         Text.portableHash(array_join(chunk, " ")).as("fp"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
   }
+
+  // ── q77: chunk-level exact dedup (boilerplate removal) ──────────────────
+  /** Corpus-wide exact dedup one level below q17: keep the FIRST copy
+    * (min (doc_id, chunk_idx)) of every distinct 32-token chunk — the
+    * boilerplate-removal pass that doc-level dedup can't do (two distinct
+    * pages sharing a navigation header are different DOCUMENTS with a
+    * duplicated CHUNK). Output per doc: chunks owned, chunks kept, and
+    * the boilerplate ratio in basis points.
+    *
+    * Scale shape: the winner election is one window shuffle keyed on the
+    * 60-bit fingerprint — the shuffle carries (doc_id, chunk_idx, fp)
+    * longs, NEVER chunk text (q17's digest-groupBy contract, one level
+    * down); the per-doc rollup reuses nothing fancier than a partial
+    * agg. */
+  def chunkDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("fp"))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+    chunkFrame(s, d)
+      .select(col("doc_id"), col("chunk_idx"), col("fp"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("dup_bp",
+        floor((col("n_chunks") - col("n_kept")) * lit(10000.0)
+          / col("n_chunks")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+  val chunkDedupSql: String =
+    s"""WITH ww AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |n AS (
+       |  SELECT doc_id, w, len(w) AS len,
+       |    CASE WHEN len(w) = 0 THEN 0
+       |         ELSE 1 + (greatest(len(w) - 32, 0) + 15) // 16 END AS nc
+       |  FROM ww),
+       |c AS (
+       |  SELECT doc_id, w, unnest(range(0, nc)) AS ci FROM n WHERE nc > 0),
+       |f AS (
+       |  SELECT doc_id, ci AS chunk_idx,
+       |    CAST(concat('0x', substr(md5(array_to_string(
+       |      list_slice(w, ci*16 + 1, ci*16 + 32), ' ')), 1, 15)) AS BIGINT) AS fp
+       |  FROM c),
+       |r AS (
+       |  SELECT doc_id, chunk_idx, fp,
+       |    row_number() OVER (PARTITION BY fp
+       |      ORDER BY doc_id ASC, chunk_idx ASC) AS rn
+       |  FROM f)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(floor((count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END))
+       |    * 10000.0 / count(*)) AS BIGINT) AS dup_bp
+       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
   val docChunksSql: String =
     s"""WITH ww AS (SELECT doc_id, $wordsSql AS w FROM documents),
        |n AS (
@@ -1051,6 +1109,7 @@ object Documents {
     "q71_sequence_pack"   -> (sequencePack _),
     "q72_source_mix"      -> (sourceMix _),
     "q76_doc_chunks"      -> (docChunks _),
+    "q77_chunk_dedup"     -> (chunkDedup _),
     "q17_exact_dedup"     -> (exactDedup _),
     "q18_minhash_neardup" -> (minhashNearDup _),
     "q68_prefix_jaccard"  -> (prefixJaccardNearDup _),
@@ -1073,6 +1132,7 @@ object Documents {
     "q71_sequence_pack"   -> sequencePackSql,
     "q72_source_mix"      -> sourceMixSql,
     "q76_doc_chunks"      -> docChunksSql,
+    "q77_chunk_dedup"     -> chunkDedupSql,
     "q17_exact_dedup"     -> exactDedupSql,
     "q18_minhash_neardup" -> minhashNearDupSql,
     "q68_prefix_jaccard"  -> prefixJaccardSql,

@@ -491,6 +491,21 @@ class PlanSpec extends SparkSpec {
       s"chunk-index explode missing from plan:\n$p")
   }
 
+  test("q77: chunk dedup shuffles longs exactly twice (fp election, doc " +
+       "rollup) — never chunk text") {
+    // winner election windows on the 60-bit fingerprint, the per-doc
+    // rollup regroups on doc_id: two hash Exchanges total, both carrying
+    // (doc_id, chunk_idx, fp) longs. A third Exchange — or the staged
+    // words column surviving into either — would mean chunk text is
+    // riding a shuffle.
+    atScaleShape {
+      val p = plan(q("q77_chunk_dedup"))
+      val n = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(n == 2, s"expected exactly two hash Exchanges, got $n:\n$p")
+      assert(p.contains("row_number"), s"fp winner election missing:\n$p")
+    }
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sfDir))
