@@ -38,9 +38,14 @@ object Layout {
     * [0, 2^bits). Fixed bounds, not data-derived quantiles — the layout
     * must not shift when the data grows (a re-cluster is an explicit
     * maintenance job, same stance as every lakehouse). */
-  def rangeBucket(v: Column, lo: Column, width: Double, bits: Int): Column =
-    least(greatest(floor((v - lo) / width), lit(0.0)), lit((1 << bits) - 1.0))
+  def rangeBucket(v: Column, lo: Column, width: Double, bits: Int): Column = {
+    // 1L — at bits = 31 the Int shift overflows to a NEGATIVE cap, which
+    // would silently clamp every row to bucket -1 and poison zValue; the
+    // require mirrors zValue's so the two helpers' valid ranges agree
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    least(greatest(floor((v - lo) / width), lit(0.0)), lit((1L << bits) - 1.0))
       .cast("long")
+  }
 
   /** Write `df` z-clustered on `z` into `nFiles` files: range-partition by
     * curve position (contiguous curve segments per file → tight per-file
@@ -49,6 +54,11 @@ object Layout {
   def writeZOrdered(df: DataFrame, z: Column, path: String,
                     nFiles: Int): Unit = {
     val cols = df.columns
+    // withColumn REPLACES an existing column of the same name — a caller
+    // whose frame already carries `__z` would get curve positions written
+    // out in its place (silent corruption), so refuse loudly instead
+    require(!cols.contains("__z"),
+      "writeZOrdered reserves the helper column name __z; rename the input column")
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -143,7 +143,12 @@ case class BloomMightContainExpr(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, false), LongType) => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, true), LongType) => TypeCheckResult.TypeCheckFailure(
+        "bloom_might_contain needs array<bigint> with non-null elements: " +
+          "mightContain reads words with getLong and a NULL element would be " +
+          "undefined garbage, not a probe miss (the Agg path's encoder always " +
+          "emits containsNull=false)")
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"bloom_might_contain needs (array<bigint>, bigint), got ${l.sql}, ${r.sql}")
     }

@@ -411,8 +411,11 @@ object Relational {
     * every downstream run. */
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
     // table names carry the sf dir (verify and bench hit different SFs in
-    // one warehouse) — hex of the hash keeps them catalog-legal
-    val tag = Integer.toHexString(d.hashCode)
+    // one warehouse); the tag is the SANITIZED FULL PATH, not a hash — two
+    // distinct dirs can therefore never collide into the same table name
+    // and silently reuse the wrong bucketed copy
+    val tag = new java.io.File(d).getAbsolutePath
+      .toLowerCase.replaceAll("[^a-z0-9]+", "_").stripPrefix("_")
     val bo = s"graft_bkt_orders_$tag"
     val bl = s"graft_bkt_lineitem_$tag"
     // The in-memory catalog dies with the session but the warehouse dir
