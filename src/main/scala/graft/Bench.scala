@@ -48,6 +48,42 @@ object Bench {
   val RerunPasses = 4
   val RerunFactor = 2.0
 
+  /** LOAD GATE (r8 VERDICT item 1). The rerun rule can rescue a min from a
+    * TRANSIENT load spike, but under SUSTAINED ambient load every pass is
+    * inflated and reruns just measure the same contention again — r8's
+    * committed artifact proved it (loadavg 2.8→5.5, half the mins 1.5–2×
+    * their idle values, 4 reruns couldn't fix q48). The fix is to not
+    * START a timed pass while the box is hot: spin-wait until the 1-min
+    * loadavg drops under [[GateLoad]], bounded by a GLOBAL [[GateBudgetMs]]
+    * of total waiting per run (a box that never quiets must not hang the
+    * driver — the run proceeds and stamps itself `"gated": false`, which
+    * tells the reader the mins may be inflated WITHOUT a by-hand
+    * re-timing). Threshold 1.5: the judge's idle re-timings ran at ~1.1,
+    * and our own decaying contribution between passes sits well under it
+    * at sf0.1 pass lengths. */
+  val GateLoad = 1.5
+  val GateBudgetMs = 5 * 60 * 1000L
+
+  /** Milliseconds of gate budget spent so far this run. */
+  private var gateSpentMs = 0L
+
+  /** True while every timed pass so far started under [[GateLoad]]. */
+  private var allGated = true
+
+  /** Wait (within the remaining global budget) for loadavg < [[GateLoad]];
+    * record whether THIS pass starts gated. Returns the loadavg observed
+    * at release, which the caller stamps on the pass. */
+  def gate(): Double = {
+    var ld = loadavg()
+    while (ld >= GateLoad && gateSpentMs < GateBudgetMs && ld >= 0) {
+      Thread.sleep(2000)
+      gateSpentMs += 2000
+      ld = loadavg()
+    }
+    if (ld >= GateLoad) allGated = false
+    ld
+  }
+
   /** 1-minute load average from /proc/loadavg (Linux); -1 when
     * unreadable. Recorded before every timed pass so a contaminated
     * number carries its own evidence in the artifact instead of needing a
@@ -127,7 +163,7 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       // each pass = (seconds, loadavg-at-start); seconds -1 on failure
       def pass(): (Double, Double) = {
-        val ld = loadavg()
+        val ld = gate() // spin-wait (bounded) for an idle box, then stamp
         val t0 = System.nanoTime()
         // toRdd executes the query's physical plan AS WRITTEN — df.count()
         // would let the optimizer prune every projected column and time an
@@ -184,7 +220,7 @@ object Bench {
     val core9 = results.collect {
       case (k, (mn, _, _, _)) if mn >= 0 && k.matches("q0[1-9].*") => mn }.sum
     val wall = (System.nanoTime() - benchT0) / 1e9
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_detail":$detail,"passes":$Passes,"n_queries":${results.size},"core9_total":$core9,"errors":$errJson,"loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadavg())},"wall_sec":${jnum(wall)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_detail":$detail,"passes":$Passes,"n_queries":${results.size},"core9_total":$core9,"errors":$errJson,"loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadavg())},"gated":$allGated,"gate_wait_sec":${gateSpentMs / 1000},"wall_sec":${jnum(wall)},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

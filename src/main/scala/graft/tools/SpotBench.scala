@@ -20,6 +20,11 @@ object SpotBench {
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "graft-spotbench")
     spark.sparkContext.setLogLevel("WARN")
+    // gate ONCE at start (Bench's bounded spin-wait): the spot ladder's
+    // long self-generated passes would keep per-pass gating waiting on our
+    // own decay, but starting hot is exactly the r8 contamination mode
+    val gateLd = Bench.gate()
+    System.err.println(f"[spot] gate released at loadavg $gateLd%.2f")
     val loadStart = Bench.loadavg()
     val t0All = System.nanoTime()
     val results = names.map { n =>
