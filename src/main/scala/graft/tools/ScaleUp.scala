@@ -28,35 +28,55 @@ import graft.{Sessions, Tables}
   * scaled twins inside the query, per replica, as before).
   *
   * Usage: runMain graft.tools.ScaleUp <srcSfDir> <dstDir> [replicas=10]
+  *          [tables=all]   — comma-separated subset for spot ladders; a
+  *                           decade that only feeds 5 spot queries need
+  *                           not pay for the tables they never read
   */
 object ScaleUp {
 
-  /** Key shift per replica — above any source key at sf ≤ 10. */
+  /** Key shift per replica — above any source key in the RAW testdata.
+    * Shifts do NOT compose across decades (a rep-1 copy of a raw key
+    * collides with a rep-0 copy of an already-shifted key), so every
+    * ladder decade replicates from a RAW sf dir with more replicas
+    * (sf10 = 100 reps of sf0.1, sf100 = 1000 reps), never from a
+    * previously scaled dir. rep·Off stays far under Long range. */
   private val Off = 10000000L
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleUp <srcSfDir> <dstDir> [replicas]")
+    require(args.length >= 2, "usage: ScaleUp <srcSfDir> <dstDir> [replicas] [tables]")
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "graft-scaleup")
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, args(0), args(1), args.lift(2).map(_.toInt).getOrElse(10))
+    run(spark, args(0), args(1), args.lift(2).map(_.toInt).getOrElse(10),
+      args.lift(3).map(_.split(",").toSet).getOrElse(Set.empty))
     spark.stop()
   }
 
   /** Session-borrowing core (main owns its session; ScaleUpSpec passes the
-    * shared test session). */
-  def run(spark: SparkSession, src: String, dst: String, reps: Int): Unit = {
+    * shared test session). `only` empty = all tables. */
+  def run(spark: SparkSession, src: String, dst: String, reps: Int,
+          only: Set[String] = Set.empty): Unit = {
+    // repartition BEFORE the explode: a source table is typically ONE
+    // parquet file (= one input split), and a 1000× fan-out behind a
+    // single split runs on a single core for the whole generation (the
+    // r9 sf100 build measured exactly that). Shuffling the SMALL source
+    // 32 ways costs nothing; the explode then fans out map-side in
+    // parallel and writes directly — no post-explode shuffle of the full
+    // scaled output at all.
     def replicate(t: String): DataFrame =
-      Tables.load(spark, src, t)
+      Tables.load(spark, src, t).repartition(32)
         .withColumn("rep", explode(sequence(lit(0L), lit(reps - 1L))))
     def shift(c: String): Column = col(c) + col("rep") * Off
 
-    def write(t: String, df: DataFrame): Unit = {
-      val cols = df.columns.filterNot(_ == "rep").map(col).toIndexedSeq
-      df.select(cols: _*).repartition(32)
-        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
-      println(s"[scaleup] $t done")
-    }
+    def write(t: String, df: => DataFrame): Unit =
+      if (only.nonEmpty && !only(t)) println(s"[scaleup] $t skipped")
+      else {
+        val d = df
+        val cols = d.columns.filterNot(_ == "rep").map(col).toIndexedSeq
+        d.select(cols: _*)
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+        println(s"[scaleup] $t done")
+      }
 
     Seq("region", "nation").foreach(t => write(t, Tables.load(spark, src, t)))
 
