@@ -506,6 +506,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q78: RAG retrieval is a band-bucket join — kernel in Generates only, " +
+       "never all-pairs, top-k per query group-limited") {
+    // the composition contract (chunks → sign-sketch → LSH buckets →
+    // Hamming rerank): candidates come from the (band, bh) equi-join, so
+    // a CartesianProduct means the index degenerated to all-pairs; the
+    // simhash kernel must run at the two Generate sites (query side +
+    // index side) and never re-inline into a Filter (the r4 bait — q54/
+    // q62's contract, inherited by composition).
+    atScaleShape {
+      val p = plan(q("q78_rag_chunk_topk"))
+      assert(!p.contains("CartesianProduct"),
+        s"RAG retrieval degenerated to all-pairs:\n$p")
+      assert(kernelInFilters(p, "simhash128_bands") == 0,
+        s"sketch kernel re-inlined into a Filter:\n$p")
+      val n = "simhash128_bands\\(".r.findAllIn(p).length
+      assert(n <= 2,
+        s"expected <=2 simhash128_bands evals (query + index side), got $n:\n$p")
+      assert(p.contains("band"), s"band bucket key missing from the join:\n$p")
+    }
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sfDir))
