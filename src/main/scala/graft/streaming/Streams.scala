@@ -179,6 +179,23 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(key)
 
+  /** Chunk-level exact dedup at INGEST time — the streaming twin of the
+    * batch boilerplate-removal pass (q77, `Documents.chunkDedup`): each
+    * arriving `(doc_id, text, ts)` document fans out into its overlapping
+    * context-window chunks map-side (`Documents.chunkFingerprints` — the
+    * SAME 32-token/stride-16 geometry and portable 60-bit fingerprint as
+    * the batch op, so batch and stream agree chunk-for-chunk), then only
+    * the FIRST arrival of every fingerprint survives, with state bounded
+    * by the watermark — [[dedupStream]]'s contract keyed on the chunk
+    * fingerprint instead of the event id. At 100 TB of ingest the state
+    * store holds (fp, latest-ts) longs for the watermark horizon only;
+    * chunk text never enters state and never shuffles (the fan-out is at
+    * the source, the dedup keys on the fingerprint). */
+  def chunkDedupStream(docs: DataFrame): DataFrame =
+    graft.operators.Documents.chunkFingerprints(docs)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Per-user session state for [[statefulSessions]]. */
   case class SessionAgg(userId: Long, start: Long, lastTs: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: Long, n_events: Long)

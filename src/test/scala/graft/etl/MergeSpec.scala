@@ -135,6 +135,54 @@ class MergeSpec extends SparkSpec {
     assert(read() === Array(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d"))
   }
 
+  test("q75's state half round-trips through upsertWrite (materialized-view " +
+       "upkeep — the scaladoc's production claim, executed)") {
+    // Day 1 writes the (priority, month) revenue partials as a parquet
+    // state sink; day 2's delta is merged by re-aggregating ONLY the
+    // affected groups and upserting them back (incoming-wins replaces the
+    // straddled mid-month groups, untouched groups survive on disk
+    // unread). The result must equal the full-history recompute — q75's
+    // semantics with the state half genuinely living in the sink.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-q75state").toString + "/state"
+    val o = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+               .as("cents"),
+             count(lit(1)).as("n"))
+        // upsertWrite keys on ONE column: the group key, made explicit
+        .withColumn("gk", concat_ws("|", col("o_orderpriority"), col("month")))
+    // day 1: bootstrap the state sink with pre-cutoff partials
+    Merge.upsertWrite(
+      partials(o.filter(col("o_orderdate") < lit("2000-06-15"))), "gk", path)
+    // day 2: delta partials; merge state+delta for AFFECTED groups only
+    val delta = partials(o.filter(col("o_orderdate") >= lit("2000-06-15")))
+    val merged = spark.read.parquet(path)
+      .join(delta.select("gk"), Seq("gk"), "left_semi")
+      .unionByName(delta)
+      .groupBy("gk", "o_orderpriority", "month")
+      .agg(sum("cents").as("cents"), sum("n").as("n"))
+      // pin the batch before the sink it reads from is swapped underneath
+      // it (the production analog: the delta job materializes its output
+      // before the MERGE commits)
+      .localCheckpoint(true)
+    Merge.upsertWrite(merged, "gk", path)
+    def read() = spark.read.parquet(path)
+      .select("o_orderpriority", "month", "cents", "n")
+    val want = partials(o).select("o_orderpriority", "month", "cents", "n")
+    assert(read().exceptAll(want).count() === 0
+        && want.exceptAll(read()).count() === 0,
+      "state+delta upsert diverged from the full-history recompute")
+    // at-least-once redelivery of the same merged batch is absorbing
+    Merge.upsertWrite(merged, "gk", path)
+    assert(read().exceptAll(want).count() === 0
+        && want.exceptAll(read()).count() === 0)
+  }
+
   test("mergeWrite rejects a keyless incoming batch on a FIRST run too " +
        "(ADVICE r7: the guard must not live only in the sink-exists branch)") {
     val base = java.nio.file.Files

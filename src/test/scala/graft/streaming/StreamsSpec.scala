@@ -266,6 +266,50 @@ class StreamsSpec extends SparkSpec {
     assert(emitted.select("event_id").distinct().count() === expected)
   }
 
+  test("streaming chunk dedup keeps one copy per fingerprint — batch parity") {
+    // the ingest-time twin of q77: a doubled document stream (two symlinks
+    // to the same corpus file = every chunk arrives at least twice) must
+    // drain to exactly one row per distinct chunk fingerprint, and the
+    // surviving fingerprint SET must equal the batch chunk frame's (q76) —
+    // same window geometry, same portable hash, both surfaces.
+    val out = tmp("graft-cdedup-out")
+    val dupDir = Files.createTempDirectory("graft-cdup-dir")
+    for (n <- Seq("a", "b"))
+      Files.createSymbolicLink(
+        dupDir.resolve(s"part-$n.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+    val docs = spark.readStream
+      .schema(Tables.documentsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dupDir.toString)
+      // deterministic per-doc event time: both copies of a doc carry the
+      // same ts, so the duplicate is always inside the watermark window.
+      // Offset a day off the epoch — a ts of EXACTLY 1970-01-01 00:00:00
+      // ties the initial watermark (0) and the state store expires the
+      // row on arrival, silently dropping doc 0's first chunk
+      .withColumn("ts",
+        timestamp_micros((col("doc_id") + 86400L) * 1000000L))
+    val q = Streams.chunkDedupStream(docs)
+      .select("doc_id", "chunk_idx", "fp")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmp("graft-cdedup-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val emitted = spark.read.parquet(out)
+    val batchChunks = graft.SparkEntry.queries("q76_doc_chunks")(spark, sfDir)
+    val batchFps = batchChunks.select("fp").distinct()
+    assert(emitted.count() === batchFps.count(),
+      "doubled chunk stream should dedup to one row per distinct fingerprint")
+    assert(emitted.select("fp").distinct().count() === batchFps.count())
+    assert(emitted.select("fp").exceptAll(batchFps).count() === 0
+        && batchFps.exceptAll(emitted.select("fp")).count() === 0,
+      "streamed fingerprint set diverged from the batch chunk frame's")
+  }
+
   test("stream-static join enriches every matching event") {
     import spark.implicits._
     val out = tmp("graft-enrich-out")
