@@ -147,6 +147,26 @@ object Native {
     * runs O(|Q|·N) times at 100 TB. */
   def dotProduct(a: Column, b: Column): Column =
     call_function("dot_product", a, b)
+
+  /** Exact set-Jaccard similarity of two string arrays in basis points —
+    * value-identical to
+    * `floor(size(array_intersect(a,b)) * 10000L / size(array_union(a,b)))`
+    * on distinct-element arrays (NativeSpec proves it on random corpora,
+    * duplicates included), but ONE counting pass instead of two boxed
+    * `SQLOpenHashSet` builds that each MATERIALIZE a result array nobody
+    * reads. This is the verify kernel of every candidate-pair dedup join
+    * (q18, q68) — the expression that runs once per CANDIDATE, and
+    * candidates are the quantity that grows superlinearly when near-
+    * threshold document families scale (the r9 sf100 ladder point caught
+    * exactly that: all 32 executor threads pinned in
+    * `ArrayIntersect.nullSafeEval` — the engine's first third-decade
+    * cliff). Null ELEMENTS carry set identity exactly like the
+    * built-ins (a member of the intersection iff present on both
+    * sides) — the engine's shingle arrays are null-free, but hand-built
+    * SQL inputs stay on identical semantics. Union of two empty sets →
+    * NULL (division by zero), matching the Column form. */
+  def jaccardBp(a: Column, b: Column): Column =
+    call_function("jaccard_bp", a, b)
 }
 
 /** Real codegen for the unary kernels WITHOUT hand-writing each loop in
@@ -457,6 +477,96 @@ case class DotProductExpr(left: Expression, right: Expression)
       i += 1
     }
     acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** See [[Native.jaccardBp]]. Set semantics over DISTINCT elements, same
+  * as `array_intersect`/`array_union`; counts only — no result-array
+  * materialization, no per-element closure dispatch. The basis-point
+  * arithmetic replays the Column form's exact evaluation order
+  * (long·10000 promoted to double, double divide, floor, cast long) so
+  * the swap is bit-for-bit invisible to the DuckDB oracle. */
+case class JaccardBpExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def prettyName: String = "jaccard_bp"
+  override def dataType: DataType = LongType
+
+  /** Null when either array is null, or when both are empty (the Column
+    * form divides by a zero union and Spark's non-ANSI Divide yields
+    * null). */
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"jaccard_bp needs two array<string>, got ${l.sql}, ${r.sql}")
+    }
+
+  /** Public bridge for generated code — `nullSafeEval` is protected. */
+  final def kernelEval(a: Any, b: Any): Any = nullSafeEval(a, b)
+
+  /** Children evaluate inside whole-stage codegen; only the counting
+    * loop — a JIT-compiled method on this reference object — is invoked
+    * per call (the [[KernelInvokeCodegen]] division of labor, binary
+    * form). */
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", this, this.getClass.getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("kres")
+      s"""Object $r = $ref.kernelEval($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $r).longValue(); }
+         |""".stripMargin
+    })
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    // null elements carry set identity, exactly like array_intersect /
+    // array_union: a distinct member present in the intersection iff
+    // present on both sides (the engine's shingle arrays are null-free;
+    // this keeps hand-built SQL inputs on the same semantics)
+    val sx = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+      Math.max(4, nx * 2))
+    var nullX = false
+    var i = 0
+    while (i < nx) {
+      if (x.isNullAt(i)) nullX = true else sx.add(x.getUTF8String(i))
+      i += 1
+    }
+    val sy = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+      Math.max(4, ny * 2))
+    var nullY = false
+    var inter = 0L
+    i = 0
+    while (i < ny) {
+      if (y.isNullAt(i)) nullY = true
+      else {
+        val e = y.getUTF8String(i)
+        if (sy.add(e) && sx.contains(e)) inter += 1L
+      }
+      i += 1
+    }
+    // union = |strings of x ∪ strings of y| + 1 if either side holds null;
+    // the intersection additionally gains the null member iff BOTH do
+    val union = sx.size.toLong + sy.size.toLong - inter +
+      (if (nullX || nullY) 1L else 0L)
+    if (nullX && nullY) inter += 1L
+    if (union == 0L) null
+    else java.lang.Long.valueOf(Math.floor(inter * 10000L / union.toDouble).toLong)
   }
 
   override protected def withNewChildrenInternal(

@@ -128,9 +128,10 @@ object Documents {
                 .withColumnRenamed("sh", "b_sh"), Seq("b_id"))
     withSh
       .select(col("a_id"), col("b_id"),
-        bpRatio(size(array_intersect(col("a_sh"), col("b_sh"))),
-                size(array_union(col("a_sh"), col("b_sh"))))
-          .as("jaccard_bp"))
+        // r9: fused counting kernel — the sf100 ladder caught this exact
+        // expression (as array_intersect/array_union) pinning every
+        // executor thread once candidate growth went superlinear
+        Native.jaccardBp(col("a_sh"), col("b_sh")).as("jaccard_bp"))
       .filter(col("jaccard_bp") >= 8000L)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -231,9 +232,7 @@ object Documents {
       .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
         Seq("b_id"))
       .select(col("a_id"), col("b_id"),
-        bpRatio(size(array_intersect(col("a_sh"), col("b_sh"))),
-                size(array_union(col("a_sh"), col("b_sh"))))
-          .as("jaccard_bp"))
+        Native.jaccardBp(col("a_sh"), col("b_sh")).as("jaccard_bp"))
       .filter(col("jaccard_bp") >= 8000L)
       .orderBy(col("a_id"), col("b_id"))
   }

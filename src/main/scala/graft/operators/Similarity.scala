@@ -202,6 +202,19 @@ object Similarity {
     * again: grow ChunkBits ahead of N², add a chunk when expected flips
     * approach the budget.
     *
+    * Round 9 (sf100 ladder) found the SECOND collision regime, the one
+    * geometry cannot touch: sub-threshold near-dup FAMILIES (perturbed
+    * replicas here; boilerplate/template embeddings in production) sit at
+    * small sketch Hamming — [[graft.tools.LshDiag]] measured the family
+    * distribution centered at ~5 flips ≈ cosine 0.99, INSIDE the
+    * pigeonhole band that recall requires — so every family pair is a
+    * candidate at any chunk width, and candidate count grows with the
+    * square of family size while true output stays linear. The fix is
+    * not fewer candidates (information-theoretically impossible for a
+    * sketch-based generator honoring the Hamming ≤ NChunks−1 contract)
+    * but a candidate set that never MATERIALIZES: see the inline-verify
+    * note in [[nearDupPairs]].
+    *
     * The harness embeddings have no natural near-dups (all pairs < 0.8),
     * so every vec_id % 25 == 0 gains a SCALED twin (×1.0001, id+100000) —
     * same direction ⇒ identical sign sketch ⇒ candidate with NO LSH
@@ -243,24 +256,35 @@ object Similarity {
     // explode drops the row — same observable outcome as before (its
     // verify-stage cosine was null → filtered, like the oracle's
     // null-sim drop), and base is already null-vector-filtered.
-    val chunks = corpus.select(col("vec_id"),
+    val chunks = corpus.select(col("vec_id"), col("v"), col("nrm"),
         explode(Native.signSketchBands(col("v"), SketchBits, NChunks)).as("ch"))
-      .select(col("vec_id"), col("ch.band").as("chunk"), col("ch.bh").as("cv"))
-    val cand = chunks.as("x").join(chunks.as("y"),
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("ch.band").as("chunk"), col("ch.bh").as("cv"))
+    // Exact verify INLINE at band-match time (r9 — the sf100 ladder's
+    // second catch): the previous shape materialized the candidate-pair
+    // set (distinct, then two id-joins re-attaching vectors) — payload
+    // O(candidates)·|v|, and candidates are what sub-threshold near-dup
+    // FAMILIES grow quadratically (LshDiag at sf1: 376k band matches
+    // centered at Hamming ~5, i.e. perturbed-replica pairs INSIDE the
+    // pigeonhole band no geometry can exclude — at sf100 the rerank
+    // joins spilled the disk past 60 GB before failing). Here each band
+    // row carries its vector ONCE — payload O(N·NChunks)·|v| — and every
+    // match streams through the exact cosine filter with no pair ever
+    // hitting disk; only the (linear) survivors are deduped. Output set
+    // IDENTICAL: the same pairs meet, the same exact predicate decides,
+    // duplicates (a pair sharing ≤NChunks bands) collapse on the
+    // deterministic (a_id, b_id, sim_micro) triple — at the contracted
+    // price of re-verifying a surviving pair once per shared band.
+    val matches = chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
         col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-      .distinct()
-    val verified = cand
-      .join(corpus.select(col("vec_id").as("a_id"), col("v").as("av"),
-        col("nrm").as("an")), Seq("a_id"))
-      .join(corpus.select(col("vec_id").as("b_id"), col("v").as("bv"),
-        col("nrm").as("bn")), Seq("b_id"))
-      .select(col("a_id"), col("b_id"),
-        (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("sim"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
+          .as("sim"))
       .filter(col("sim") >= 0.999)
-    verified.select(col("a_id"), col("b_id"), simMicro(col("sim"))
+    matches.select(col("a_id"), col("b_id"), simMicro(col("sim"))
         .as("sim_micro"))
+      .distinct()
       .orderBy(col("a_id"), col("b_id"))
   }
   val cosineNearDupSql: String =

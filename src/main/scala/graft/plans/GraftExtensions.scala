@@ -5,8 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 import graft.functions.{BloomMightContainExpr, CharNgramsExpr,
-  DotProductExpr, LongChunksExpr, MinHashBandsExpr, SignSketchBandsExpr,
-  SignSketchExpr, SimHash128BandsExpr, SimHash60Expr, WordNgramsExpr}
+  DotProductExpr, JaccardBpExpr, LongChunksExpr, MinHashBandsExpr,
+  SignSketchBandsExpr, SignSketchExpr, SimHash128BandsExpr, SimHash60Expr,
+  WordNgramsExpr}
 
 /** Engine extension point — registers the native dedup kernels with the
   * session's function registry via the PUBLIC `SparkSessionExtensions` API
@@ -97,6 +98,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           "bloom_might_contain(bits, key) takes 2 args")
         BloomMightContainExpr(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("jaccard_bp"),
+      new ExpressionInfo(classOf[JaccardBpExpr].getName, "jaccard_bp"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "jaccard_bp(a, b) takes 2 args")
+        JaccardBpExpr(args.head, args(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("simhash128_bands"),

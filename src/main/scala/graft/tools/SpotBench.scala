@@ -20,6 +20,16 @@ object SpotBench {
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "graft-spotbench")
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up, mirroring Bench's untimed pre-pass (r9: the first listed
+    // query used to absorb ALL of session init + JIT + cold page cache —
+    // a q18@sf10 spot measured 25.5 s first-in-run vs 10.4 s for q63,
+    // which executes q18's whole plan as its input stage). Scale-ladder
+    // replica dirs hold only the table families the laddered queries
+    // read, so warm exactly the parquet dirs that exist.
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+        "region", "documents", "embeddings", "events")
+      .filter(t => new java.io.File(s"$sfDir/$t.parquet").isDirectory)
+      .foreach(t => graft.Tables.load(spark, sfDir, t).count())
     // gate ONCE at start (Bench's bounded spin-wait): the spot ladder's
     // long self-generated passes would keep per-pass gating waiting on our
     // own decay, but starting hot is exactly the r8 contamination mode
@@ -29,15 +39,28 @@ object SpotBench {
     val t0All = System.nanoTime()
     val results = names.map { n =>
       val fn = SparkEntry.queries(n)
-      val times = (1 to passes).map { _ =>
+      // failure isolation, Bench's contract (r9: a q35 disk-spill blowup
+      // at sf100 killed the whole run with four queries still unmeasured;
+      // a ladder probe EXPECTS to find walls — finding one must not cost
+      // the other measurements): a failed query records -1 and the run
+      // continues
+      val times = (1 to passes).iterator.map { _ =>
         val t0 = System.nanoTime()
-        val rows = fn(spark, sfDir).queryExecution.toRdd.count()
-        ((System.nanoTime() - t0) / 1e9, rows)
-      }
-      val mn = times.map(_._1).min
-      System.err.println(
-        f"[spot] $n%-24s min $mn%8.2f s  rows ${times.head._2}")
-      n -> (mn, times.map(_._1).sum / passes, times.head._2)
+        try {
+          val rows = fn(spark, sfDir).queryExecution.toRdd.count()
+          ((System.nanoTime() - t0) / 1e9, rows)
+        } catch { case e: Throwable =>
+          System.err.println(s"[spot] $n FAILED: ${e.getMessage}")
+          (-1.0, -1L)
+        }
+      }.takeWhile(_._1 >= 0).toVector
+      val ok = times.length == passes
+      val mn = if (ok) times.map(_._1).min else -1.0
+      val mean = if (ok) times.map(_._1).sum / passes else -1.0
+      val rows = if (ok) times.head._2 else -1L
+      if (ok) System.err.println(
+        f"[spot] $n%-24s min $mn%8.2f s  rows $rows")
+      n -> (mn, mean, rows)
     }
     val qs = results.map { case (n, (mn, mean, rows)) =>
       f""""$n":{"min":$mn%.4f,"mean":$mean%.4f,"rows":$rows}"""

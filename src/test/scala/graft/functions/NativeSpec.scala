@@ -120,6 +120,45 @@ class NativeSpec extends SparkSpec {
     }
   }
 
+  test("native jaccard_bp == array_intersect/array_union column form") {
+    // random string-array pairs, duplicates and unicode included — the
+    // kernel claims VALUE identity with the Column form on the whole
+    // domain (it dedups internally; the built-ins dedup by construction)
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "bb", "ccc", "δδ", "e e", "", "f\tf", "longer token")
+    def arr() = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length)))
+    val cases = Seq.fill(200)((arr(), arr())) ++ Seq(
+      (Seq("a"), Seq.empty[String]),               // empty one side → 0 bp
+      (Seq("a", "bb"), Seq("bb", "a")),            // identical set → 10000
+      (Seq("a", "a", "bb"), Seq("a")))             // duplicates in input
+    val nonEmpty = cases.filter(c => c._1.nonEmpty || c._2.nonEmpty)
+    val out = nonEmpty.toDF("a", "b").select(
+        Native.jaccardBp(col("a"), col("b")).as("n"),
+        floor(size(array_intersect(col("a"), col("b"))).cast("long") * lit(10000L)
+          / size(array_union(col("a"), col("b"))).cast("long")).cast("long").as("h"))
+      .as[(Option[Long], Option[Long])].collect()
+    out.foreach { case (n, h) => assert(n === h) }
+    assert(out(nonEmpty.length - 2)._1 === Some(10000L)) // identical sets
+    // both-empty union: the kernel yields NULL where the ANSI-mode Column
+    // form would raise DIVIDE_BY_ZERO — strictly gentler, never wrong
+    val empt = Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
+      .select(Native.jaccardBp(col("a"), col("b")).as("n"))
+      .as[Option[Long]].collect()
+    assert(empt.head === None)
+    // null ELEMENTS carry set identity like the built-ins do
+    val nullCases: Seq[(Seq[Option[String]], Seq[Option[String]])] = Seq(
+      (Seq(Some("a"), None), Seq(None)),              // null on both sides
+      (Seq(Some("a"), None), Seq(Some("a"))),         // null on one side
+      (Seq(None), Seq(None)))                         // null-only arrays
+    val nout = nullCases.toDF("a", "b").select(
+        Native.jaccardBp(col("a"), col("b")).as("n"),
+        floor(size(array_intersect(col("a"), col("b"))).cast("long") * lit(10000L)
+          / size(array_union(col("a"), col("b"))).cast("long")).cast("long").as("h"))
+      .as[(Option[Long], Option[Long])].collect()
+    nout.foreach { case (n, h) => assert(n === h) }
+    assert(nout(0)._1 === Some(5000L)) // {a,null} ∩ {null} over {a,null}
+  }
+
   test("native sign_sketch == per-bit literal-hyperplane dots, sign for sign") {
     // reconstruct the sketch the unfused way: 60 literal hyperplane
     // arrays (the Similarity generator), one dot + sign test per bit
@@ -197,7 +236,9 @@ class NativeSpec extends SparkSpec {
           Native.simhash60(col("w")).as("h60"),
           Native.simhash128Bands(col("w")).as("h128"),
           Native.minhashBands(Native.shingles(col("w"), 3), 16, 4, 4).as("mb"),
-          Native.charTrigrams(lower(col("text"))).as("cg"))
+          Native.charTrigrams(lower(col("text"))).as("cg"),
+          Native.jaccardBp(Native.shingles(col("w"), 3),
+            Native.shingles(reverse(col("w")), 3)).as("jb"))
         .collect().map(_.toString).toSeq
       val vecs: Seq[Seq[Option[Double]]] = Seq(
         Seq.tabulate(64)(i => Some(math.sin(i + 1))),
