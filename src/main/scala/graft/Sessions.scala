@@ -21,12 +21,21 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
 
   /** Local session for Verify/Bench/tests. `cpus` is also the shuffle
-    * parallelism — at local scale one partition per core is right. */
+    * parallelism — at local scale one partition per core is right.
+    *
+    * `SPARK_GRAFT_CODEC` (optional) sets `spark.io.compression.codec` for
+    * shuffle/spill blocks. Default is Spark's lz4; `zstd` trades ~5-10%
+    * CPU for ~2× smaller shuffle files — the standard setting on
+    * scratch-constrained clusters, and what the sf100 ladder point needs
+    * in this sandbox (one q68 pass writes >57 GB of lz4 shuffle against
+    * 60 GB of free disk; zstd fits). Artifacts record when it was used. */
   def local(cpus: String, appName: String = "graft"): SparkSession =
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
       .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-warehouse")

@@ -48,9 +48,19 @@ object SpotBench {
         val t0 = System.nanoTime()
         try {
           val rows = fn(spark, sfDir).queryExecution.toRdd.count()
-          ((System.nanoTime() - t0) / 1e9, rows)
+          val dt = (System.nanoTime() - t0) / 1e9
+          // reclaim the finished pass's shuffle scratch OFF the clock: a
+          // big heap means no organic GC, so ContextCleaner never learns
+          // the previous DAG is dead and its shuffle files pile up —
+          // at sf100 one q68 pass writes ~50 GB, and two un-reclaimed
+          // passes filled the disk (r9: two runs died this way). The
+          // explicit GC publishes the dead refs; the brief sleep lets the
+          // cleaner's async deletes land before the next pass starts.
+          System.gc(); Thread.sleep(3000)
+          (dt, rows)
         } catch { case e: Throwable =>
           System.err.println(s"[spot] $n FAILED: ${e.getMessage}")
+          System.gc(); Thread.sleep(3000)
           (-1.0, -1L)
         }
       }.takeWhile(_._1 >= 0).toVector
