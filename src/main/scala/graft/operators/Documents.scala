@@ -242,6 +242,108 @@ object Documents {
     * construction. Both engines' paths meet at the same ground truth. */
   def prefixJaccardSql: String = minhashNearDupSql // def: defined below
 
+  // ── q79: INCREMENTAL near-dup — new batch vs existing corpus (R-S join) ─
+  /** The ingest-time form of q68: match each INCOMING document against the
+    * EXISTING corpus only — never incoming×incoming or corpus×corpus. This
+    * is the near-dup analog of q04's exact anti-join and the shape
+    * production ingest actually needs: a crawl batch lands, and the
+    * question is "which of these are near-dups of something we already
+    * hold", not "re-prove the whole corpus against itself". The batch here
+    * is the q42 hash split's >= 90 bucket (10% of docs, a pure function of
+    * the key — both engines and the oracle carve the identical split).
+    *
+    * Cost shape vs q68: the candidate join is R×S through the shared
+    * rarest-token prefix index, so the quadratic corpus×corpus term is
+    * GONE — work scales with batch × collision width, and the corpus side
+    * contributes its prefix index (linear) once. At 100 TB this is the
+    * difference between a nightly full self-join and a per-batch
+    * incremental pass. */
+  def incrementalNearDup(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        pmod(Text.portableHash(col("doc_id").cast("string")), lit(100L))
+          .as("bucket"),
+        Native.shingles(Text.toWords(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    prefixJaccardJoin(
+      base.filter(col("bucket") >= 90).select(col("doc_id"), col("sh")),
+      base.filter(col("bucket") < 90).select(col("doc_id"), col("sh")))
+      .orderBy(col("in_id"), col("corpus_id"))
+  }
+
+  /** R-S (two-sided) core of the prefix-filtered exact Jaccard join.
+    * Same completeness argument as [[prefixJaccardPairs]] — prefix length
+    * `len − ceil(τ·len) + 1` per side, PPJoin positional min-slack bound,
+    * exact `jaccard_bp` verify — with two R-S-specific points:
+    *   - token frequencies (the rarest-first total order) are computed
+    *     over the UNION of both sides: completeness holds for ANY total
+    *     order, but it must be the SAME order on both sides, and union
+    *     frequency keeps the prefix-selectivity argument honest for
+    *     tokens rare in one side but common in the other;
+    *   - the window that assigns in-doc positions partitions by
+    *     (side, doc_id) so overlapping id spaces between the two inputs
+    *     cannot interleave one document's rank sequence with another's.
+    * Callers own disjointness: if the same document appears on both
+    * sides it will match itself at j = 1.0, which is the honest answer
+    * to "is this batch doc already in the corpus". */
+  private[graft] def prefixJaccardJoin(incoming: DataFrame,
+                                       corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = incoming.select(lit(0L).as("side"), col("doc_id"), col("sh"))
+      .unionByName(corpus.select(lit(1L).as("side"), col("doc_id"), col("sh")))
+    val toks = docs.select(col("side"), col("doc_id"),
+      size(col("sh")).as("len"), explode(col("sh")).as("t"))
+    val dfreq = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val needed = floor((col("len") * 4 + 4) / 5).cast("long")
+    val w = Window.partitionBy(col("side"), col("doc_id"))
+      .orderBy(col("df"), col("t"))
+    val prefix = toks.join(dfreq, "t")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("len") - needed + 1)
+      .select(col("side"), col("doc_id"), col("len"), col("t"), col("rk"))
+    val ub = least(col("x.rk") - 1, col("y.rk") - 1) +
+      least(col("x.len") - col("x.rk"), col("y.len") - col("y.rk")) + 1
+    val need = floor(((col("x.len") + col("y.len")) * 4 + 8) / 9).cast("long")
+    val cand = prefix.filter(col("side") === 0L).as("x")
+      .join(prefix.filter(col("side") === 1L).as("y"),
+        col("x.t") === col("y.t") &&
+        col("x.len") * 4 <= col("y.len") * 5 &&
+        col("y.len") * 4 <= col("x.len") * 5)
+      .select(col("x.doc_id").as("in_id"), col("y.doc_id").as("corpus_id"),
+        (ub - need).as("slack"))
+      .groupBy(col("in_id"), col("corpus_id"))
+      .agg(min(col("slack")).as("min_slack"))
+      .filter(col("min_slack") >= 0)
+      .select(col("in_id"), col("corpus_id"))
+    cand
+      .join(incoming.select(col("doc_id").as("in_id"), col("sh").as("a_sh")),
+        Seq("in_id"))
+      .join(corpus.select(col("doc_id").as("corpus_id"), col("sh").as("b_sh")),
+        Seq("corpus_id"))
+      .select(col("in_id"), col("corpus_id"),
+        Native.jaccardBp(col("a_sh"), col("b_sh")).as("jaccard_bp"))
+      .filter(col("jaccard_bp") >= 8000L)
+  }
+
+  /** Oracle: brute-force cross Jaccard between the two split sides —
+    * the same ground truth as q18/q68's, restricted to incoming×corpus
+    * (the q42 portable hash carves the identical split in DuckDB). */
+  val incrementalNearDupSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shinglesSql AS s
+       |  FROM (SELECT doc_id, $wordsSql AS w FROM documents)),
+       |ok AS (
+       |  SELECT doc_id, s,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+       |  FROM sh WHERE len(s) > 0)
+       |SELECT a.doc_id AS in_id, b.doc_id AS corpus_id,
+       |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 10000
+       |    // CAST(len(list_distinct(a.s || b.s)) AS BIGINT) AS jaccard_bp
+       |FROM ok a JOIN ok b ON a.b >= 90 AND b.b < 90
+       |WHERE CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 10000
+       |    // CAST(len(list_distinct(a.s || b.s)) AS BIGINT) >= 8000
+       |ORDER BY in_id, corpus_id""".stripMargin
+
   // ── q69: test-set DECONTAMINATION — benchmark n-gram containment scan ───
   val DecontamGramN = 8
 
@@ -1285,6 +1387,7 @@ object Documents {
     "q17_exact_dedup"     -> (exactDedup _),
     "q18_minhash_neardup" -> (minhashNearDup _),
     "q68_prefix_jaccard"  -> (prefixJaccardNearDup _),
+    "q79_incremental_neardup" -> (incrementalNearDup _),
     "q69_decontaminate"   -> (decontaminate _),
     "q70_tfidf_keywords"  -> (tfidfKeywords _),
     "q63_dedup_clusters"  -> (dedupClusters _),
@@ -1309,6 +1412,7 @@ object Documents {
     "q17_exact_dedup"     -> exactDedupSql,
     "q18_minhash_neardup" -> minhashNearDupSql,
     "q68_prefix_jaccard"  -> prefixJaccardSql,
+    "q79_incremental_neardup" -> incrementalNearDupSql,
     "q69_decontaminate"   -> decontaminateSql,
     "q70_tfidf_keywords"  -> tfidfKeywordsSql,
     "q63_dedup_clusters"  -> dedupClustersSql,

@@ -93,4 +93,60 @@ class PrefixJaccardSpec extends SparkSpec {
   test("empty corpus yields an empty result, not a crash") {
     assert(run(Seq.empty).isEmpty)
   }
+
+  // ── R-S (incremental, q79) variant ──────────────────────────────────────
+
+  private def bruteCross(r: Seq[(Long, Set[String])],
+                         s: Seq[(Long, Set[String])])
+      : Set[(Long, Long, Long)] =
+    (for {
+      (ai, as) <- r; (bi, bs) <- s
+      inter = (as & bs).size.toLong
+      uni = (as | bs).size.toLong
+      bp = math.floorDiv(inter * 10000L, uni) if bp >= 8000L
+    } yield (ai, bi, bp)).toSet
+
+  private def runCross(r: Seq[(Long, Set[String])],
+                       s: Seq[(Long, Set[String])]): Set[(Long, Long, Long)] = {
+    def df(c: Seq[(Long, Set[String])]): DataFrame =
+      c.map { case (id, sh) => (id, sh.toSeq.sorted) }.toDF("doc_id", "sh")
+    Documents.prefixJaccardJoin(df(r), df(s)).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+  }
+
+  test("R-S boundary corpus: cross join == brute force, no within-side pairs") {
+    // Each family's base goes to the incoming side, its twin to the
+    // corpus side — every true pair crosses sides. Families 1/2 land a
+    // second base in the CORPUS as well: a corpus×corpus near-dup that
+    // the R-S join must NOT report.
+    val fams = Seq(family(1, 7, 0), family(2, 12, 1), family(3, 12, 3),
+      family(4, 22, 2), family(5, 22, 3), family(6, 27, 2))
+    val incoming = fams.map(_.head)
+    val corpus = fams.map(_.last) ++ Seq(
+      (900L, incoming.head._2),   // exact dup of an incoming doc
+      (901L, fams(1).last._2))    // corpus-internal dup: must stay silent
+    val truth = bruteCross(incoming, corpus)
+    assert(truth.nonEmpty && truth.exists(_._2 == 900L),
+      "fixture lost its cross-side structure")
+    assert(runCross(incoming, corpus) == truth)
+  }
+
+  test("R-S seeded random corpora: cross join == brute force") {
+    val rnd = new Random(43)
+    (1 to 3).foreach { trial =>
+      val vocab = (1 to 40).map(j => s"v$j")
+      def mk(ids: Range): Seq[(Long, Set[String])] = ids.map { id =>
+        val n = 5 + rnd.nextInt(30)
+        id.toLong -> shingleSet(Seq.fill(n)(vocab(rnd.nextInt(vocab.size))))
+      }.filter(_._2.nonEmpty)
+      val r = mk(1 to 8); val s = mk(101 to 124)
+      assert(runCross(r, s) == bruteCross(r, s), s"trial $trial diverged")
+    }
+  }
+
+  test("R-S with an empty side yields an empty result, not a crash") {
+    val r = Seq((1L, shingleSet((1 to 9).map(j => s"w$j"))))
+    assert(runCross(r, Seq.empty).isEmpty)
+    assert(runCross(Seq.empty, r).isEmpty)
+  }
 }
