@@ -259,17 +259,24 @@ object Documents {
     * difference between a nightly full self-join and a per-batch
     * incremental pass. */
   def incrementalNearDup(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"),
-        pmod(Text.portableHash(col("doc_id").cast("string")), lit(100L))
-          .as("bucket"),
-        Native.shingles(Text.toWords(col("text")), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val base = shingleDocs(Tables.documents(s, d))
+      .withColumn("bucket",
+        pmod(Text.portableHash(col("doc_id").cast("string")), lit(100L)))
     prefixJaccardJoin(
       base.filter(col("bucket") >= 90).select(col("doc_id"), col("sh")),
       base.filter(col("bucket") < 90).select(col("doc_id"), col("sh")))
       .orderBy(col("in_id"), col("corpus_id"))
   }
+
+  /** (doc_id, sh) shingle view of a document frame, empty-shingle rows
+    * dropped — the input contract of [[prefixJaccardJoin]], shared by the
+    * batch split (q79) and the streaming twin
+    * ([[graft.streaming.Streams.nearDupStream]]) so both surfaces carve
+    * identical shingle sets. */
+  private[graft] def shingleDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        Native.shingles(Text.toWords(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
 
   /** R-S (two-sided) core of the prefix-filtered exact Jaccard join.
     * Same completeness argument as [[prefixJaccardPairs]] — prefix length

@@ -89,7 +89,8 @@ object Streams {
 
   private def mergingSink(events: DataFrame, key: String, path: String,
       checkpoint: String,
-      merge: (DataFrame, DataFrame, String) => DataFrame): StreamingQuery =
+      merge: (DataFrame, DataFrame, String) => DataFrame,
+      transform: DataFrame => DataFrame = identity): StreamingQuery =
     events.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -99,17 +100,49 @@ object Streams {
         val target = new org.apache.hadoop.fs.Path(path)
         val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
         graft.etl.Merge.recoverSwap(fs, path) // BEFORE reading existing
+        val incoming = transform(batch.toDF())
         val existing =
           if (fs.exists(target))
-            // batch.schema IS the stream's fixed schema — unlike the batch
-            // sinks, drift cannot arise within one stream run
-            s.read.schema(batch.schema).parquet(path)
-          else batch.limit(0)
-        val merged = merge(existing, batch.toDF(), key)
+            // incoming.schema IS the stream's fixed (post-transform)
+            // schema — unlike the batch sinks, drift cannot arise within
+            // one stream run
+            s.read.schema(incoming.schema).parquet(path)
+          else incoming.limit(0)
+        val merged = merge(existing, incoming, key)
         graft.etl.Merge.writeAndSwap(merged, path, batchId.toString)
         ()
       }
       .start()
+
+  /** Per-batch incremental near-dup at INGEST time — the streaming twin
+    * of q79 ([[graft.operators.Documents.incrementalNearDup]]): each
+    * arriving micro-batch of documents is matched against the STATIC
+    * existing corpus through the same R-S prefix-filtered exact Jaccard
+    * join (one shared rarest-first token order per batch∪corpus,
+    * candidates strictly batch×corpus — never batch×batch or
+    * corpus×corpus), and the (in_id, corpus_id, jaccard_bp) alerts
+    * first-wins-merge into the sink keyed on the pair, so a checkpoint
+    * replay of an uncommitted batch is absorbing and a document
+    * re-stated across batches alerts once. Because the join is EXACT,
+    * per-batch results equal the one-shot batch split's regardless of
+    * how ingest is batched (each batch's token order may differ, but
+    * completeness holds under ANY consistent order — the result set is
+    * fixed by ground-truth Jaccard). The corpus plan re-plans per batch
+    * (enrichEvents' contract), picking up a corpus refresh without a
+    * stream restart. Completes the ingest-dedup ladder in streaming
+    * form: exact doc ([[dedupStream]]) → exact chunk
+    * ([[chunkDedupStream]]) → near-dup doc (this). */
+  def nearDupStream(docs: DataFrame, corpus: DataFrame, path: String,
+                    checkpoint: String): StreamingQuery = {
+    val corpusSh = graft.operators.Documents.shingleDocs(corpus)
+    mergingSink(docs, "pair_key", path, checkpoint,
+      graft.etl.Merge.firstWinsMerge,
+      batch => graft.operators.Documents
+        .prefixJaccardJoin(graft.operators.Documents.shingleDocs(batch),
+          corpusSh)
+        .withColumn("pair_key",
+          concat_ws(":", col("in_id"), col("corpus_id"))))
+  }
 
   /** Stream–static enrichment join: each micro-batch joins against a
     * batch dimension (re-planned per batch, so a refreshed dimension is

@@ -310,6 +310,37 @@ class StreamsSpec extends SparkSpec {
       "streamed fingerprint set diverged from the batch chunk frame's")
   }
 
+  test("per-batch incremental near-dup == batch R-S join (q79's streaming " +
+       "twin), replay-absorbing by pair key") {
+    // stream the q42 hash split's >= 90 bucket in TWO micro-batches
+    // against the static < 90 corpus; the sink's pair set must equal the
+    // one-shot batch q79 result — exactness makes the answer independent
+    // of batching (each batch computes its own rarest-first order, and
+    // completeness holds under any consistent order).
+    import graft.functions.Text
+    val docs = Tables.documents(spark, sfDir)
+    val bucket = pmod(Text.portableHash(col("doc_id").cast("string")), lit(100L))
+    val inDir = tmp("graft-ndup-in")
+    docs.filter(bucket >= 90).repartition(2)
+      .write.mode("overwrite").parquet(inDir)
+    val sink = tmp("graft-ndup-out") + "/pairs"
+    val q = Streams.nearDupStream(
+      spark.readStream
+        .schema(Tables.documentsSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir),
+      docs.filter(bucket < 90),
+      sink, tmp("graft-ndup-ckpt"))
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(sink)
+      .select("in_id", "corpus_id", "jaccard_bp")
+    val want = graft.SparkEntry.queries("q79_incremental_neardup")(spark, sfDir)
+    assert(got.count() > 0, "fixture lost its cross-side near-dups")
+    assert(got.exceptAll(want).count() === 0
+        && want.exceptAll(got).count() === 0,
+      "streamed pair set diverged from the batch R-S join's")
+  }
+
   test("stream-static join enriches every matching event") {
     import spark.implicits._
     val out = tmp("graft-enrich-out")
