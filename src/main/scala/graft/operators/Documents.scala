@@ -308,11 +308,27 @@ object Documents {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("len") - needed + 1)
       .select(col("side"), col("doc_id"), col("len"), col("t"), col("rk"))
+    rsCandidateVerify(
+      prefix.filter(col("side") === 0L).drop("side"),
+      prefix.filter(col("side") === 1L).drop("side"),
+      incoming, corpus)
+  }
+
+  /** Candidate + verify tail shared by [[prefixJaccardJoin]] (union-order
+    * prefixes) and [[prefixJaccardProbe]] (frozen-dict index): `px`/`py`
+    * are (doc_id, len, t, rk) prefix rows of the incoming/corpus side
+    * UNDER ONE COMMON TOTAL ORDER — the only property the completeness
+    * theorem needs from them. Equi-join on the token with the tau-length
+    * bounds as residual, PPJoin positional min-slack aggregate, then the
+    * exact `jaccard_bp` verify against the full shingle frames. */
+  private def rsCandidateVerify(px: DataFrame, py: DataFrame,
+                                incoming: DataFrame,
+                                corpus: DataFrame): DataFrame = {
     val ub = least(col("x.rk") - 1, col("y.rk") - 1) +
       least(col("x.len") - col("x.rk"), col("y.len") - col("y.rk")) + 1
     val need = floor(((col("x.len") + col("y.len")) * 4 + 8) / 9).cast("long")
-    val cand = prefix.filter(col("side") === 0L).as("x")
-      .join(prefix.filter(col("side") === 1L).as("y"),
+    val cand = px.as("x")
+      .join(py.as("y"),
         col("x.t") === col("y.t") &&
         col("x.len") * 4 <= col("y.len") * 5 &&
         col("y.len") * 4 <= col("x.len") * 5)
@@ -330,6 +346,76 @@ object Documents {
       .select(col("in_id"), col("corpus_id"),
         Native.jaccardBp(col("a_sh"), col("b_sh")).as("jaccard_bp"))
       .filter(col("jaccard_bp") >= 8000L)
+  }
+
+  // ── q82: frozen-dictionary prefix INDEX — q79's amortized form ──────────
+  /** Token dictionary frozen at index-build time: (t, df) over the corpus.
+    * The rarest-first total order this induces is what every prefix in
+    * the index — and every probe — ranks under from then on. */
+  private[graft] def freezeDict(corpus: DataFrame): DataFrame =
+    corpus.select(explode(col("sh")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+
+  /** Prefix rows (doc_id, len, t, rk) of `docs` UNDER THE FROZEN DICT:
+    * tokens unseen at freeze time rank rarest (df = 0, tie-broken by the
+    * token itself — deterministic). This is what makes the index
+    * APPEND-ONLY: completeness needs only one consistent total order, so
+    * new corpus docs index under the same frozen order without touching
+    * any existing row, and dictionary drift costs prefix SELECTIVITY
+    * (more candidates), never pairs. A production deployment refreezes on
+    * its rebuild cadence purely as a selectivity tune. */
+  private[graft] def prefixRows(docs: DataFrame, dict: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), size(col("sh")).as("len"),
+      explode(col("sh")).as("t"))
+    val needed = floor((col("len") * 4 + 4) / 5).cast("long")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))
+    toks.join(dict, Seq("t"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("len") - needed + 1)
+      .select(col("doc_id"), col("len"), col("t"), col("rk"))
+  }
+
+  /** Probe a prefix index: incoming docs rank under the index's frozen
+    * `dict`, candidates come from the probe-vs-index token equi-join, and
+    * the verify stage reads the full shingle frames as in
+    * [[prefixJaccardJoin]]. Exact — returns the identical pair set. */
+  private[graft] def prefixJaccardProbe(incoming: DataFrame,
+      corpus: DataFrame, dict: DataFrame, idx: DataFrame): DataFrame =
+    rsCandidateVerify(prefixRows(incoming, dict), idx, incoming, corpus)
+
+  /** q82: q79 through a MATERIALIZED corpus prefix index — the amortized
+    * production shape the q79 plan audit points at. The corpus side's
+    * dictionary and prefix rows are pure functions of the standing
+    * corpus, so they are built ONCE into the session warehouse
+    * (crash-safe writeAndSwap, path-keyed like q66's bucketed copies) and
+    * every subsequent batch pays only probe-side ranking plus the
+    * candidate/verify stages — per-batch cost becomes batch-linear +
+    * candidate-proportional instead of corpus-linear. Same oracle as q79:
+    * the frozen-dict order changes WHICH prefix tokens collide, never
+    * which pairs verify. */
+  def incrementalNearDupIndexed(s: SparkSession, d: String): DataFrame = {
+    val base = shingleDocs(Tables.documents(s, d))
+      .withColumn("bucket",
+        pmod(Text.portableHash(col("doc_id").cast("string")), lit(100L)))
+    val incoming = base.filter(col("bucket") >= 90).select(col("doc_id"), col("sh"))
+    val corpus = base.filter(col("bucket") < 90).select(col("doc_id"), col("sh"))
+    val tag = new java.io.File(d).getAbsolutePath
+      .toLowerCase.replaceAll("[^a-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def materialize(path: String, df: => DataFrame): DataFrame = {
+      graft.etl.Merge.recoverSwap(fs, path) // adopt a crashed build first
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+        graft.etl.Merge.writeAndSwap(df, path, "build")
+      s.read.parquet(path)
+    }
+    val dict = materialize(s"$wh/graft_pfx_dict_$tag", freezeDict(corpus))
+    val idx = materialize(s"$wh/graft_pfx_idx_$tag", prefixRows(corpus, dict))
+    prefixJaccardProbe(incoming, corpus, dict, idx)
+      .orderBy(col("in_id"), col("corpus_id"))
   }
 
   /** Oracle: brute-force cross Jaccard between the two split sides —
@@ -1479,6 +1565,7 @@ object Documents {
     "q18_minhash_neardup" -> (minhashNearDup _),
     "q68_prefix_jaccard"  -> (prefixJaccardNearDup _),
     "q79_incremental_neardup" -> (incrementalNearDup _),
+    "q82_incremental_indexed" -> (incrementalNearDupIndexed _),
     "q69_decontaminate"   -> (decontaminate _),
     "q70_tfidf_keywords"  -> (tfidfKeywords _),
     "q63_dedup_clusters"  -> (dedupClusters _),
@@ -1505,6 +1592,7 @@ object Documents {
     "q18_minhash_neardup" -> minhashNearDupSql,
     "q68_prefix_jaccard"  -> prefixJaccardSql,
     "q79_incremental_neardup" -> incrementalNearDupSql,
+    "q82_incremental_indexed" -> incrementalNearDupSql,
     "q69_decontaminate"   -> decontaminateSql,
     "q70_tfidf_keywords"  -> tfidfKeywordsSql,
     "q63_dedup_clusters"  -> dedupClustersSql,

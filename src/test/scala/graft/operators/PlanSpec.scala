@@ -541,6 +541,24 @@ class PlanSpec extends SparkSpec {
       "R-S prefix join degenerated to all-pairs")
   }
 
+  test("q82: the probe reads the MATERIALIZED corpus index from the " +
+       "warehouse — no corpus-side prefix rebuild in the candidate join") {
+    // the amortization contract: the corpus's dictionary and prefix rows
+    // are warehouse parquet (built once per sf dir), so the per-batch
+    // plan scans them instead of re-ranking the corpus; candidates stay
+    // a token equi-join as in q79.
+    val p = atScaleShape { plan(q("q82_incremental_indexed")) }
+    assert(p.contains("graft_pfx_idx"),
+      s"corpus prefix rows not read from the warehouse index:\n$p")
+    assert(p.contains("graft_pfx_dict"),
+      s"probe ranking not under the frozen dictionary:\n$p")
+    assert(p.contains("SortMergeJoin [t#") || p.contains("SortMergeJoin[t#"),
+      s"candidate join is not a token equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      "indexed probe degenerated to all-pairs")
+  }
+
   test("q80: the canonical election is one window over the cluster label") {
     // the quality election must not plan a per-cluster self-join: the
     // canonical id rides the SAME window shuffle that sorts the family

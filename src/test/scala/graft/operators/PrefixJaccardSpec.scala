@@ -149,4 +149,51 @@ class PrefixJaccardSpec extends SparkSpec {
     assert(runCross(r, Seq.empty).isEmpty)
     assert(runCross(Seq.empty, r).isEmpty)
   }
+
+  // ── frozen-dictionary index (q82) ───────────────────────────────────────
+
+  private def toDf(c: Seq[(Long, Set[String])]): DataFrame =
+    c.map { case (id, sh) => (id, sh.toSeq.sorted) }.toDF("doc_id", "sh")
+
+  private def probe(r: Seq[(Long, Set[String])], s: Seq[(Long, Set[String])],
+                    dict: DataFrame, idx: DataFrame): Set[(Long, Long, Long)] =
+    Documents.prefixJaccardProbe(toDf(r), toDf(s), dict, idx).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+
+  test("frozen-dict probe == brute force — the index order is corpus-only " +
+       "yet completeness holds (any consistent total order)") {
+    val fams = Seq(family(1, 7, 0), family(2, 12, 1), family(3, 12, 3),
+      family(4, 22, 2), family(5, 22, 3), family(6, 27, 2))
+    val incoming = fams.map(_.head)
+    val corpus = fams.map(_.last)
+    val dict = Documents.freezeDict(toDf(corpus))
+    val idx = Documents.prefixRows(toDf(corpus), dict)
+    assert(probe(incoming, corpus, dict, idx) == bruteCross(incoming, corpus))
+  }
+
+  test("append-only maintenance: batch-1 docs index under the FROZEN dict " +
+       "and batch 2 finds its near-dups among them — df drift costs " +
+       "selectivity, never pairs") {
+    // corpus v1 freezes the dictionary; batch 1 lands and is indexed
+    // WITHOUT re-ranking anything (union of prefix-row frames); batch 2
+    // must then match (a) a near-dup of a batch-1 doc whose words the
+    // frozen dict has NEVER seen — the df=0 unseen-token path end to end
+    // — and (b) a near-dup of an original v1 doc.
+    val v1 = Seq(family(1, 12, 1), family(2, 22, 2)).map(_.last)
+    val dict = Documents.freezeDict(toDf(v1))
+    val idx1 = Documents.prefixRows(toDf(v1), dict)
+
+    val b1 = Seq((500L, shingleSet((1 to 14).map(j => s"unseen$j"))))
+    val idx2 = idx1.unionByName(Documents.prefixRows(toDf(b1), dict))
+    val corpus2 = v1 ++ b1
+
+    val b2 = Seq(
+      (600L, b1.head._2),                         // dup of the unseen-token doc
+      (601L, family(1, 12, 1).last._2),           // near-dup of a v1 doc
+      (602L, shingleSet((1 to 9).map(j => s"lone$j")))) // matches nothing
+    val truth = bruteCross(b2, corpus2)
+    assert(truth.exists(_._2 == 500L) && truth.exists(p => p._1 == 601L),
+      "fixture lost its cross-batch structure")
+    assert(probe(b2, corpus2, dict, idx2) == truth)
+  }
 }
