@@ -12,9 +12,12 @@ import org.apache.spark.sql.SparkSession
   *  - `spark.sql.adaptive.enabled` — AQE re-plans at runtime: skew-join
   *    splitting, dynamic broadcast, shuffle-partition coalescing. This is
   *    the main defense for 100 TB skew without hand-salting every key.
-  *  - `spark.sql.legacy.parquet.nanosAsLong` — the harness `events.ts` is
-  *    parquet TIMESTAMP(NANOS), which the vectorized reader otherwise
-  *    rejects ([PARQUET_TYPE_ILLEGAL]); see [[Tables.events]].
+  *  - `spark.sql.legacy.parquet.nanosAsLong` — legacy-generation
+  *    `events.ts` files are parquet TIMESTAMP(NANOS), which the vectorized
+  *    reader otherwise rejects ([PARQUET_TYPE_ILLEGAL]). [[Tables.events]]
+  *    probes the file's actual unit from the footer and only takes the
+  *    nanos path when the file says so; the conf is kept on so BOTH units
+  *    load under one session.
   *  - session timezone pinned UTC so date/timestamp formatting agrees with
   *    the DuckDB oracle.
   */

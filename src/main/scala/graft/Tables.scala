@@ -67,13 +67,29 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw
-    * nanos (LongType + `spark.sql.legacy.parquet.nanosAsLong`) and convert
-    * to a microsecond TimestampType with integer division — `ts div 1000`,
-    * NOT `/1000` (double division loses precision above 2^53; epoch-nanos
-    * are ~1.7e18). Truncation matches DuckDB's ns→µs cast. */
+  /** Natural shape of `events`: `ts` as a microsecond TimestampType — what
+    * a TIMESTAMP(MICROS) parquet column (the current testdata unit) reads
+    * as directly. Older testdata generations stored TIMESTAMP(NANOS),
+    * which Spark's vectorized reader rejects outright
+    * ([PARQUET_TYPE_ILLEGAL]) — that unit needs [[eventsSchemaNanos]] plus
+    * the legacy raw-long read path; [[events]] picks between the two by
+    * reading the unit from the parquet footer, never by assumption (the
+    * r9 regression: a hardcoded nanos workaround silently compressed all
+    * event time 1000× when the testdata flipped to micros). */
   val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Legacy-unit shape: `ts` read as raw epoch-nanos
+    * (LongType + `spark.sql.legacy.parquet.nanosAsLong`), converted by
+    * [[events]] with integer division — `ts div 1000`, NOT `/1000`
+    * (double division loses precision above 2^53; epoch-nanos are
+    * ~1.7e18). Truncation matches DuckDB's ns→µs cast. */
+  val eventsSchemaNanos: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
     StructField("user_id", LongType),
@@ -111,19 +127,65 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** Events with `ts` converted to a proper microsecond timestamp.
-    *
+  /** Physical unit of `events.ts` as DECLARED BY THE FILE — read from the
+    * first parquet footer's logical-type annotation, never assumed. The
+    * r9 postmortem: a hardcoded "ts is NANOS" workaround (guarded only by
+    * a session-conf `require`, which says nothing about the file) kept
+    * dividing by 1000 after the testdata regenerated as MICROS, silently
+    * compressing 30 days of events into ~43 minutes of 1970. The footer
+    * is the file's own contract; one ~ms metadata read per load makes the
+    * loader unit-proof in both directions. */
+  def eventsTsIsNanos(s: SparkSession, d: String): Boolean =
+    tsIsNanosAt(s, s"$d/events.parquet")
+
+  /** Same probe for ANY parquet file or directory holding a `ts` column —
+    * the streaming reader ([[graft.streaming.Streams.readEvents]]) tails a
+    * directory and must resolve the unit from whatever file is present at
+    * stream-definition time (a directory mixes units only if ingest is
+    * broken; the declared schema then fails loudly on the odd file). */
+  def tsIsNanosAt(s: SparkSession, path: String): Boolean = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).iterator
+          .map(_.getPath)
+          .find(p => p.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet files under $root"))
+      else root
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      reader.getFooter.getFileMetaData.getSchema
+        .getType(Array("ts"): _*)
+        .getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+        case other => sys.error(
+          s"events.ts in $file is not a parquet TIMESTAMP column " +
+          s"(logical type: $other) — testdata contract changed, refuse to guess")
+      }
+    } finally reader.close()
+  }
+
+  /** Events with `ts` as a proper microsecond timestamp, whatever unit the
+    * file stores. MICROS files (current testdata) read natively under
+    * [[eventsSchema]]; NANOS files take the legacy raw-long path, which
     * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the session
     * (set it at build time — [[Sessions.local]] does); this loader does not
     * mutate session conf itself (VERDICT r1 "What's wrong" #4). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.ts is parquet TIMESTAMP(NANOS): build the session with " +
-      "spark.sql.legacy.parquet.nanosAsLong=true (see graft.Sessions.local)")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    if (!eventsTsIsNanos(s, d)) load(s, d, "events")
+    else {
+      require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "events.ts is parquet TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (see graft.Sessions.local)")
+      s.read.schema(eventsSchemaNanos).parquet(s"$d/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

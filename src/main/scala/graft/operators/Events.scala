@@ -11,9 +11,10 @@ import graft.Tables
   * variants; semantics are identical, which is the point of Spark's unified
   * batch/stream API — SURVEY §2 "absent categories": JSON, streaming).
   *
-  * The hard part of this table — parquet TIMESTAMP(NANOS) ingestion — is
-  * solved in [[Tables.events]] (`ts div 1000` integer division, never double
-  * division). Everything below is declarative groupBy/window over that.
+  * The hard part of this table — the `ts` physical unit (MICROS in current
+  * testdata, TIMESTAMP(NANOS) in legacy generations) — is solved in
+  * [[Tables.events]], which probes the parquet footer and converts
+  * accordingly. Everything below is declarative groupBy/window over that.
   *
   * Scale notes: tumbling windows partial-aggregate map-side (a window is
   * just a derived grouping key); session windows shuffle once on user_id —

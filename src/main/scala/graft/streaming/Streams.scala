@@ -29,20 +29,29 @@ object Streams {
 
   /** Streaming read of an events DIRECTORY (FileStreamSource's contract —
     * it tails a directory for new files; a single-file path would become
-    * its own basePath and fail). Same explicit schema + ns→µs conversion
-    * as the batch loader. `maxFilesPerTrigger` caps micro-batch size — the
-    * streaming analog of the reference's every-10-rows checkpoint cadence. */
+    * its own basePath and fail). Same footer-probed unit handling as the
+    * batch loader ([[Tables.events]]): the `ts` unit is read from the
+    * first file present at stream-definition time, never assumed — MICROS
+    * reads natively, legacy NANOS takes the raw-long + `ts div 1000`
+    * path. `maxFilesPerTrigger` caps micro-batch size — the streaming
+    * analog of the reference's every-10-rows checkpoint cadence. */
   def readEvents(s: SparkSession, eventsDir: String,
-                 maxFilesPerTrigger: Int = 1): DataFrame = {
-    require(
-      s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "build the session with Sessions.local (nanosAsLong)")
-    s.readStream
-      .schema(Tables.eventsSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+                 maxFilesPerTrigger: Int = 1): DataFrame =
+    if (!Tables.tsIsNanosAt(s, eventsDir))
+      s.readStream
+        .schema(Tables.eventsSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(eventsDir)
+    else {
+      require(
+        s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "build the session with Sessions.local (nanosAsLong)")
+      s.readStream
+        .schema(Tables.eventsSchemaNanos)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(eventsDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
 
   /** Tumbling 1-hour counts per event_type with a 2-hour watermark —
     * identical aggregation to the batch `Events.tumblingHourly`. */
