@@ -155,6 +155,16 @@ object Bench {
       .foreach(t => Tables.load(spark, sfDir, t).count())
     spark.read.format("graft.sources.FrontierSource")
       .option("mode", "letters").load().count()
+    // media codec warm-up (r9 VERDICT item 5): the first pass through
+    // javax.imageio / javax.sound pays one-time plugin-registry scans and
+    // JIT of the decode loops — q34's min read 2× its idle value purely
+    // from first-use costs landing in-measure. One untimed pass through
+    // the image+audio feature path and the GIF sequence reader moves that
+    // cost here, where session init already lives.
+    graft.multimodal.Media.mediaFeatures(spark, sfDir)
+      .queryExecution.toRdd.count()
+    graft.multimodal.Media.gifFrameStats(spark, sfDir)
+      .queryExecution.toRdd.count()
 
     val benchT0 = System.nanoTime()
     val loadStart = loadavg()

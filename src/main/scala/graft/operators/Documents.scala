@@ -377,6 +377,23 @@ object Documents {
       .select(col("doc_id"), col("len"), col("t"), col("rk"))
   }
 
+  /** Append-maintain a MATERIALIZED prefix index: a new corpus batch's
+    * prefix rows — ranked under the index's FROZEN `dict`, unseen tokens
+    * at df = 0 — land as an APPEND of new parquet files into the index
+    * directory; no existing index row is read or rewritten. This executes
+    * at the warehouse surface the append-only property PrefixJaccardSpec
+    * proves on frames: completeness needs one consistent total order, and
+    * the frozen dict provides it forever. Crash/replay posture: parquet
+    * appends commit whole files, and a re-appended batch only DUPLICATES
+    * prefix rows — which cannot change any probe's answer, because
+    * candidates collapse through the (in_id, corpus_id) min-slack
+    * aggregate before the verify join (identical duplicated slack values
+    * leave the min unchanged) — so the maintenance op is
+    * result-idempotent without any swap machinery. */
+  private[graft] def appendPrefixRows(idxPath: String, docs: DataFrame,
+                                      dict: DataFrame): Unit =
+    prefixRows(docs, dict).write.mode("append").parquet(idxPath)
+
   /** Probe a prefix index: incoming docs rank under the index's frozen
     * `dict`, candidates come from the probe-vs-index token equi-join, and
     * the verify stage reads the full shingle frames as in

@@ -77,9 +77,15 @@ object Events {
     * `session_window`, Spark's native gap-merge aggregation (the streaming
     * version adds only a watermark). Oracle reproduces it as
     * gaps-and-islands: a session breaks where the gap from the previous
-    * event is >= 30 min (Spark sessions are half-open `[start, last+gap)`,
-    * so an event at exactly +30min starts a NEW session — hence the strict
-    * `<` in the oracle's merge condition).
+    * event EXCEEDS 30 min. Boundary semantics, pinned empirically by
+    * EventsSpec's constructed corpus (r10): Spark merges windows that
+    * TOUCH — an event at exactly `last + 30min` JOINS the session (its
+    * `[ts, ts+gap)` window starts precisely at the current session's end,
+    * and the merge test is inclusive), so the oracle's merge condition is
+    * `<=`, split on strictly-greater. An earlier doc comment here claimed
+    * the opposite (strict half-open split at +30min) — harness data never
+    * lands a gap on the exact microsecond boundary, so only the generated
+    * boundary corpus could falsify it.
     *
     * PUSHDOWN TRAP for downstream consumers: do NOT `.filter` on a column
     * derived from the `session_window` struct (start/end). Catalyst treats
@@ -94,15 +100,24 @@ object Events {
     * which the optimizer cannot push below the aggregation. StreamsSpec's
     * sessionizer-equivalence test uses exactly that form. */
   def sessionWindows(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+    sessionize(Tables.events(s, d), "30 minutes")
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** [[sessionWindows]]'s core over an arbitrary `(user_id, ts, value)`
+    * frame — factored out so EventsSpec can drive the EXACT production
+    * aggregation with generated corpora (gaps straddling the 30-minute
+    * boundary, ts ties) against an independent gaps-and-islands model,
+    * not just the harness's single events distribution (r9 VERDICT
+    * item 6). */
+  private[graft] def sessionize(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
            sum(cents(col("value"))).as("sum_value_cents"))
       .select(col("user_id"),
               date_format(col("session_window.start"), tsFmt)
                 .as("session_start"),
               col("n_events"), col("sum_value_cents"))
-      .orderBy(col("user_id"), col("session_start"))
   val sessionWindowsSql: String =
     """WITH e AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -110,7 +125,7 @@ object Events {
       |  FROM events),
       |marked AS (
       |  SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-      |                      < INTERVAL 30 MINUTE
+      |                      <= INTERVAL 30 MINUTE
       |                 THEN 0 ELSE 1 END AS brk
       |  FROM e),
       |grouped AS (

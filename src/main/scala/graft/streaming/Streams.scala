@@ -277,7 +277,10 @@ object Streams {
               agg match {
                 case null =>
                   agg = SessionAgg(userId, ts, ts, 1)
-                case a if ts - a.lastTs < gapUs =>
+                // inclusive boundary: an event at exactly lastTs + gap
+                // JOINS the session — session_window's touch-merge
+                // semantic, pinned by EventsSpec's boundary corpus
+                case a if ts - a.lastTs <= gapUs =>
                   agg = a.copy(lastTs = ts, n = a.n + 1)
                 case a =>
                   out += SessionOut(a.userId, a.start, a.n)

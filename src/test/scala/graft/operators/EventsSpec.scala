@@ -1,0 +1,118 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Property test for the session-window semantics beyond the harness's one
+  * events distribution (r9 VERDICT item 6): generated corpora whose gaps
+  * deliberately straddle the 30-minute boundary (29:59.999999, exactly
+  * 30:00, 30:00.000001) plus ts ties, driven through the PRODUCTION
+  * aggregation ([[Events.sessionize]] — the same code q27 runs) and
+  * compared against an independent gaps-and-islands model computed in
+  * plain Scala.
+  *
+  * The session contract under test — pinned EMPIRICALLY by this spec's
+  * first run, which falsified the previous doc comment: Spark merges
+  * windows that TOUCH. An event at exactly `last + 30min` JOINS the
+  * session (gap <= 30min merges, including a tie at gap 0; gap > 30min
+  * breaks). The q27 oracle encodes the same inclusive `<=` merge
+  * condition; harness data never lands on the exact microsecond
+  * boundary, which is why only a generated corpus could decide this.
+  */
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val gapUs = 30L * 60L * 1000000L
+  private val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+
+  private def cents(v: Double): Long = math.floor(v * 100.0 + 0.5).toLong
+
+  /** Independent model: sort per user, break where the gap from the
+    * previous event EXCEEDS 30 minutes (inclusive touch-merge), emit
+    * (user, start-string, count, cent-sum) per island. */
+  private def islands(rows: Seq[(Long, Long, Double)])
+      : Set[(Long, String, Long, Long)] = {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    rows.groupBy(_._1).iterator.flatMap { case (user, evs) =>
+      val sorted = evs.map(e => (e._2, e._3)).sortBy(_._1)
+      val sessions = Seq.newBuilder[(Long, String, Long, Long)]
+      var start = 0L; var prev = Long.MinValue
+      var n = 0L; var sum = 0L
+      def flush(): Unit = if (n > 0) sessions += ((user,
+        fmt.format(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(start, 1000000L))), n, sum))
+      sorted.foreach { case (ts, v) =>
+        if (n == 0 || ts - prev > gapUs) { flush(); start = ts; n = 0; sum = 0 }
+        prev = ts; n += 1; sum += cents(v)
+      }
+      flush()
+      sessions.result()
+    }.toSet
+  }
+
+  private def run(rows: Seq[(Long, Long, Double)])
+      : Set[(Long, String, Long, Long)] = {
+    val df = Random.shuffle(rows) // arrival order must not matter
+      .toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("value"))
+    Events.sessionize(df, "30 minutes").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+  }
+
+  test("constructed boundary corpus: exactly-30min gap MERGES (touching " +
+       "windows), one-microsecond more splits, ties merge") {
+    val rows = Seq(
+      // user 1: second event at exactly +30min → windows touch → ONE session
+      (1L, baseUs, 1.0), (1L, baseUs + gapUs, 1.0),
+      // user 2: +30min − 1µs → one session of 2
+      (2L, baseUs, 1.0), (2L, baseUs + gapUs - 1L, 1.0),
+      // user 3: +30min + 1µs → TWO sessions
+      (3L, baseUs, 1.0), (3L, baseUs + gapUs + 1L, 1.0),
+      // user 4: tie on ts (gap 0) then a chain of exactly-30:00 hops — the
+      // session extends from the LAST event, so all five stay one session
+      (4L, baseUs, 0.5), (4L, baseUs, 0.5),
+      (4L, baseUs + gapUs, 1.0),
+      (4L, baseUs + 2L * gapUs, 1.0),
+      (4L, baseUs + 3L * gapUs, 1.0),
+      // user 5: singleton
+      (5L, baseUs + 12345L, 9.99))
+    val got = run(rows)
+    val want = islands(rows)
+    assert(got === want)
+    assert(got.count(_._1 == 1L) == 1 && got.count(_._1 == 2L) == 1 &&
+           got.count(_._1 == 3L) == 2 && got.count(_._1 == 4L) == 1,
+      s"boundary split/merge shape wrong: $got")
+  }
+
+  test("seeded random corpora: production sessionize == gaps-and-islands model") {
+    (1 to 3).foreach { trial =>
+      val rnd = new Random(1000 + trial)
+      val rows = (1L to 20L).flatMap { user =>
+        var ts = baseUs + rnd.nextInt(1000000)
+        (1 to 30 + rnd.nextInt(50)).map { _ =>
+          // gap mix concentrated on the boundary: dead-on 30:00, ±1µs,
+          // ±1s, ties, plus ordinary short/long gaps
+          val gap = rnd.nextInt(8) match {
+            case 0 => gapUs
+            case 1 => gapUs - 1L
+            case 2 => gapUs + 1L
+            case 3 => gapUs - 1000000L
+            case 4 => gapUs + 1000000L
+            case 5 => 0L
+            case 6 => rnd.nextInt(600).toLong * 1000000L
+            case _ => (gapUs / 1000000L + rnd.nextInt(3600)) * 1000000L
+          }
+          ts += gap
+          (user, ts, rnd.nextDouble() * 100.0)
+        }
+      }
+      assert(run(rows) === islands(rows), s"trial $trial diverged")
+    }
+  }
+}
