@@ -158,11 +158,16 @@ object Tables {
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
     try {
-      reader.getFooter.getFileMetaData.getSchema
+      val t = reader.getFooter.getFileMetaData.getSchema
         .getType(Array("ts"): _*)
-        .getLogicalTypeAnnotation match {
-        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-          t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+      t.getLogicalTypeAnnotation match {
+        case ann: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          ann.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+        // legacy INT96 timestamps carry no logical annotation; Spark reads
+        // them natively as TimestampType — not the nanos-workaround path
+        case null if t.asPrimitiveType().getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96 =>
+          false
         case other => sys.error(
           s"events.ts in $file is not a parquet TIMESTAMP column " +
           s"(logical type: $other) — testdata contract changed, refuse to guess")

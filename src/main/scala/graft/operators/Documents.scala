@@ -88,12 +88,28 @@ object Documents {
        |ORDER BY keep_doc_id""".stripMargin
 
   // ── q18: MinHash + LSH banding near-dup ─────────────────────────────────
-  val MinhashK = 128
+  /** Banding geometry, retuned 32×4 → 32×6 by the r9→r10 sf100 ladder
+    * point. The symptom: q18's sf10→sf100 time ratio (24.0×) exceeded its
+    * measured output growth (16.1×), and the residual was FALSE-candidate
+    * band collisions among ScaleUp's sub-threshold replica families
+    * (cross-replica j ≈ 0.28; family² pairs per source doc). The lever is
+    * rows-per-band r: a family pair collides on a 4-row band with
+    * p = 0.28⁴ ≈ 0.6% (×32 bands ≈ 18% per pair — at 1000-doc families
+    * that is ~10⁸ false candidates), on a 6-row band with 0.28⁶ ≈ 0.05%
+    * (×32 ≈ 1.5% — a ~12× cut that lands the time ratio back under the
+    * output-growth bound). Recall price at the other end: miss probability
+    * for a TRUE pair is (1−j⁶)³², ≈ 3·10⁻¹¹ at j = 0.9 (the minimum
+    * jaccard the harness's planted pairs exhibit) and 6·10⁻⁵ at exactly
+    * j = 0.8 — the documented probabilistic decay toward the threshold
+    * that q68's exact join exists to close. Signature cost rises k 128 →
+    * 192, but the kernel is O(k·|sh|) map-side arithmetic and was never
+    * the bottleneck; the candidate join's input stays 32 rows per doc. */
+  val MinhashK = 192
   val LshBands = 32
-  val LshRows  = 4
+  val LshRows  = 6
 
-  /** Near-dup pairs via MinHash-LSH: 3-gram shingles → 128-wide signature →
-    * 32x4 banding → bucket self-join for CANDIDATES ONLY → exact Jaccard
+  /** Near-dup pairs via MinHash-LSH: 3-gram shingles → 192-wide signature →
+    * 32x6 banding → bucket self-join for CANDIDATES ONLY → exact Jaccard
     * re-check on the candidate pairs → j >= 0.8.
     *
     * Scale shape: `bands` carries (doc_id, band, bh) — 32 fixed-size rows
@@ -139,7 +155,7 @@ object Documents {
   // ── q68: EXACT n-gram Jaccard join via prefix filtering ─────────────────
   /** Exact 3-gram Jaccard near-dup join at tau = 0.8 — the guaranteed-
     * complete dual of q18. MinHash-LSH recall is probabilistic (at j = 0.9
-    * the 32x4 banding misses with P ~ 1.5e-15, but the guarantee decays
+    * the 32x6 banding misses with P ~ 3e-11, but the guarantee decays
     * toward the threshold and is never literally 1.0); the prefix filter
     * (the SSJoin/PPJoin family from the set-similarity-join literature)
     * misses NOTHING at any j >= tau, which is the contract a legal /
@@ -1029,6 +1045,80 @@ object Documents {
        |FROM ranked WHERE rank <= 5
        |ORDER BY doc_id, rank""".stripMargin
 
+  // ── q83: bigram-LM quality score (perplexity-proxy filtering) ───────────
+  /** Corpus-LM quality scoring — the CCNet-family filter heuristics can't
+    * express: score every document by how PROBABLE its word transitions
+    * are under a bigram model trained on the corpus itself. Gibberish,
+    * OCR noise and word-salad spam score low (rare transitions);
+    * templated/boilerplate text scores high — the standard
+    * perplexity-style signal a training-data pipeline thresholds on,
+    * next to the q20 surface stats and the q44 repetition gate.
+    *
+    * Determinism is the design constraint: real perplexity sums
+    * log-probabilities in floating point, and Spark's libm need not
+    * agree with DuckDB's in the last ulp — a floor() at a boundary then
+    * flips the hash compare. So the score stays RATIONAL end to end:
+    * each distinct bigram scores its add-one-smoothed conditional
+    * probability in integer basis points, `(10000·(c(w1w2)+1)) div
+    * (c(w1·)+V)` (c(w1·) = occurrences of w1 as a bigram CONTEXT, V =
+    * context vocabulary size), and a document's score is the
+    * occurrence-weighted integer mean. Monotone in the same direction as
+    * negated perplexity, bit-identical in both engines.
+    *
+    * Scale shape: bigrams fan out map-side and immediately collapse to
+    * (doc_id, bigram, occ) — the per-doc distinct form — before ANY wide
+    * shuffle, so the scoring joins move one row per distinct doc-bigram,
+    * not per token. Count tables are vocabulary-sized aggregates with
+    * map-side combine; V crosses in as a one-row broadcast (q70's
+    * pattern). Every join is an equi-join on the bigram / context token;
+    * text never shuffles. The two count tables are pure functions of the
+    * standing corpus — on a lake they materialize once and amortize
+    * across scoring batches exactly like q82's frozen dictionary. */
+  def lmQuality(s: SparkSession, d: String): DataFrame = {
+    val n1 = greatest(size(col("w")) - 1, lit(0))
+    val docBg = Tables.documents(s, d)
+      .select(col("doc_id"), Text.toWords(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("w"), lit(1), n1), slice(col("w"), lit(2), n1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("occ"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val bgCounts = docBg.groupBy(col("bg")).agg(sum(col("occ")).as("cb"))
+    val ctxCounts = docBg.groupBy(col("w1")).agg(sum(col("occ")).as("cu"))
+    val vocab = ctxCounts.agg(count(lit(1)).as("v"))
+    docBg.join(bgCounts, Seq("bg"))
+      .join(ctxCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("occ"),
+        expr("(10000 * (cb + 1)) div (cu + v)").as("sbp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_bigrams"),
+        expr("sum(occ * sbp) div sum(occ)").as("lm_score_bp"))
+      .orderBy(col("doc_id"))
+  }
+  val lmQualitySql: String =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents),
+       |b AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+       |                          i -> w[i] || ' ' || w[i+1])) AS bg
+       |  FROM w),
+       |docbg AS (
+       |  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1, count(*) AS occ
+       |  FROM b GROUP BY doc_id, bg),
+       |bc AS (SELECT bg, sum(occ) AS cb FROM docbg GROUP BY bg),
+       |uc AS (SELECT w1, sum(occ) AS cu FROM docbg GROUP BY w1),
+       |v AS (SELECT count(*) AS v FROM uc),
+       |scored AS (
+       |  SELECT docbg.doc_id, docbg.occ,
+       |    (10000 * (bc.cb + 1)) // (uc.cu + v.v) AS sbp
+       |  FROM docbg JOIN bc USING (bg) JOIN uc USING (w1) CROSS JOIN v)
+       |SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(occ * sbp) // sum(occ) AS BIGINT) AS lm_score_bp
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ── q41: deterministic per-group sampling ───────────────────────────────
   /** Per-source k-sample by portable-hash order — consistent sampling:
     * the sample is a pure function of the data (no rand()), so re-runs,
@@ -1583,6 +1673,7 @@ object Documents {
     "q68_prefix_jaccard"  -> (prefixJaccardNearDup _),
     "q79_incremental_neardup" -> (incrementalNearDup _),
     "q82_incremental_indexed" -> (incrementalNearDupIndexed _),
+    "q83_lm_quality"          -> (lmQuality _),
     "q69_decontaminate"   -> (decontaminate _),
     "q70_tfidf_keywords"  -> (tfidfKeywords _),
     "q63_dedup_clusters"  -> (dedupClusters _),
@@ -1610,6 +1701,7 @@ object Documents {
     "q68_prefix_jaccard"  -> prefixJaccardSql,
     "q79_incremental_neardup" -> incrementalNearDupSql,
     "q82_incremental_indexed" -> incrementalNearDupSql,
+    "q83_lm_quality"          -> lmQualitySql,
     "q69_decontaminate"   -> decontaminateSql,
     "q70_tfidf_keywords"  -> tfidfKeywordsSql,
     "q63_dedup_clusters"  -> dedupClustersSql,

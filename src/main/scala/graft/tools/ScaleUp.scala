@@ -93,8 +93,9 @@ object ScaleUp {
       .withColumn("l_orderkey", shift("l_orderkey"))
       .withColumn("l_partkey", shift("l_partkey"))
       .withColumn("l_suppkey", shift("l_suppkey")))
-    // ts stays raw nanos (LongType via Tables.load): written back as plain
-    // INT64, which the schema-explicit events loader reads identically
+    // ts reads as TimestampType under the current (MICROS) testdata and
+    // writes back as a parquet timestamp; the loader's footer probe
+    // resolves the scaled copy's unit the same way it does the source's
     write("events", replicate("events")
       .withColumn("event_id", shift("event_id"))
       .withColumn("user_id", shift("user_id")))
