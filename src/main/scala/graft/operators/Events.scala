@@ -222,17 +222,117 @@ object Events {
       |  AND c_ts BETWEEN v_ts AND v_ts + INTERVAL 30 MINUTE
       |ORDER BY view_id, click_id""".stripMargin
 
+  // ── q84: multi-stage funnel (view → click → purchase) ───────────────────
+  /** Ordered-sequence funnel — the event-analytics shape none of the join
+    * operators express: per view, did the same user click within 30
+    * minutes, and then purchase within 2 hours OF THAT CLICK? "First
+    * match" semantics at every stage (the earliest qualifying next
+    * event), which is what makes a funnel well-defined when users emit
+    * many interleaved events — and the ordering constraint (purchase
+    * after the CLICK, not merely after the view) is exactly what a plain
+    * interval join (q65) cannot say.
+    *
+    * Built as TWO forward as-of passes, each the q36 union + running
+    * `last(..., ignoreNulls)` trick with the scan reversed (DESC ts ⇒
+    * "nearest future event"): pass A stamps every click with its
+    * earliest same-user purchase at/after it; pass B stamps every view
+    * with its earliest same-user click at/after it, and — because the
+    * click's purchase pointer RIDES ALONG in the same window row — the
+    * view learns its full chain in one pass. Missing pointers are
+    * sentinel −1, not NULL: `last(..., ignoreNulls)` would otherwise
+    * skip past a purchase-less click and mis-pair the view with an OLDER
+    * click's purchase. Ties are inclusive by sort order (on equal ts the
+    * later-stage event sorts first in the DESC scan, so an
+    * exactly-simultaneous click/purchase counts — matching the oracle's
+    * inclusive ASOF `<=`; equal-ts duplicates agree on both pointers by
+    * construction, so the aggregate is deterministic).
+    *
+    * Scale: two window passes, each ONE shuffle on user_id carrying
+    * (user, us, flag, pointer) longs; per-row state in the running
+    * `last` is O(1). The final per-day rollup partial-aggregates
+    * map-side. No inequality join ever plans — at 100 TB this is two
+    * sorts of the event stream, the same cost envelope as q36. */
+  def funnelSteps(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clickHorizonUs = 30L * 60L * 1000000L
+    val purchaseHorizonUs = 2L * 3600L * 1000000L
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+    val wA = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("is_p").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clicks = e.filter(col("event_type").isin("click", "purchase"))
+      .withColumn("is_p", (col("event_type") === "purchase").cast("int"))
+      .withColumn("next_p_us",
+        last(when(col("is_p") === 1, col("us")), ignoreNulls = true).over(wA))
+      .filter(col("is_p") === 0)
+      .select(col("user_id"), col("us"), lit(1).as("is_click"),
+        coalesce(col("next_p_us"), lit(-1L)).as("cp_us"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us"), lit(0).as("is_click"),
+        lit(-1L).as("cp_us"))
+    val wB = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("is_click").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(clicks)
+      .withColumn("next_c_us",
+        last(when(col("is_click") === 1, col("us")), ignoreNulls = true).over(wB))
+      .withColumn("next_cp_us",
+        last(when(col("is_click") === 1, col("cp_us")), ignoreNulls = true).over(wB))
+      .filter(col("is_click") === 0)
+      .withColumn("clicked",
+        col("next_c_us").isNotNull &&
+        col("next_c_us") <= col("us") + lit(clickHorizonUs))
+      .withColumn("purchased",
+        col("clicked") &&
+        col("next_cp_us") =!= lit(-1L) &&
+        col("next_cp_us") <= col("next_c_us") + lit(purchaseHorizonUs))
+      .groupBy(date_format(timestamp_micros(col("us")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_views"),
+        sum(col("clicked").cast("long")).as("n_clicked"),
+        sum(col("purchased").cast("long")).as("n_purchased"))
+      .orderBy(col("day"))
+  }
+  val funnelStepsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |c AS (SELECT user_id, ts FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts FROM e WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, ts FROM e WHERE event_type = 'view'),
+      |cp AS (
+      |  SELECT c.user_id, c.ts AS c_ts, p.ts AS p_ts
+      |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts),
+      |vf AS (
+      |  SELECT v.user_id, v.ts AS v_ts, cp.c_ts, cp.p_ts
+      |  FROM v ASOF LEFT JOIN cp ON v.user_id = cp.user_id AND v.ts <= cp.c_ts)
+      |SELECT strftime(v_ts, '%Y-%m-%d') AS day,
+      |  count(*) AS n_views,
+      |  CAST(sum(CASE WHEN c_ts IS NOT NULL
+      |                 AND c_ts <= v_ts + INTERVAL 30 MINUTE
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+      |  CAST(sum(CASE WHEN c_ts IS NOT NULL
+      |                 AND c_ts <= v_ts + INTERVAL 30 MINUTE
+      |                 AND p_ts IS NOT NULL
+      |                 AND p_ts <= c_ts + INTERVAL 2 HOUR
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
+      |FROM vf GROUP BY day ORDER BY day""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q25_json_props"      -> (jsonProps _),
     "q26_tumbling_hourly" -> (tumblingHourly _),
     "q27_session_windows" -> (sessionWindows _),
     "q36_asof_attribution"-> (asofClickAttribution _),
-    "q65_interval_join_outer" -> (intervalJoinOuter _))
+    "q65_interval_join_outer" -> (intervalJoinOuter _),
+    "q84_funnel_steps"    -> (funnelSteps _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q25_json_props"      -> jsonPropsSql,
     "q26_tumbling_hourly" -> tumblingHourlySql,
     "q27_session_windows" -> sessionWindowsSql,
     "q36_asof_attribution"-> asofClickAttributionSql,
-    "q65_interval_join_outer" -> intervalJoinOuterSql)
+    "q65_interval_join_outer" -> intervalJoinOuterSql,
+    "q84_funnel_steps"    -> funnelStepsSql)
 }
