@@ -583,6 +583,40 @@ class PlanSpec extends SparkSpec {
       "filtered search degenerated to an unfiltered all-pairs")
   }
 
+  test("q83: the LM model broadcasts — bigram rows never reach a join " +
+       "shuffle, even at the at-scale shape") {
+    // the capped model is O(model) by construction, so the scoring joins
+    // must be broadcast-hash at ANY corpus size; a SortMergeJoin or
+    // ShuffledHashJoin here is the 218-second sf100 draft resurfacing
+    // (doc-bigram side shuffled by token). atScaleShape turns off the
+    // threshold, so only the explicit broadcast() hints keep this true.
+    val p = atScaleShape { plan(q("q83_lm_quality")) }
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"LM scoring join shuffles the doc-bigram side:\n$p")
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 2, s"expected two broadcast scoring joins, got $bhj:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      "model counts are not partial-aggregated before their shuffle")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the model cap should plan as TakeOrderedAndProject, not a global sort")
+  }
+
+  test("q84: the funnel plans NO join at all — two window passes and a " +
+       "partial-agg'd rollup") {
+    val p = atScaleShape { plan(q("q84_funnel_steps")) }
+    assert(!p.contains("Join"), s"funnel planned a join:\n$p")
+    // pass B's two running-`last` columns plan as two Window operators but
+    // share ONE sort + exchange (same spec, back to back); the shuffle
+    // ledger — the thing that matters at 100 TB — is exactly two
+    // user_id hash exchanges, one per as-of pass
+    val userShuffles = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(userShuffles == 2,
+      s"expected exactly two user_id exchanges, got $userShuffles:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      "the per-day rollup is not partial-aggregated")
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sfDir))
