@@ -320,13 +320,66 @@ object Events {
       |            THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
       |FROM vf GROUP BY day ORDER BY day""".stripMargin
 
+  // ── q85: retention cohorts ──────────────────────────────────────────────
+  /** Cohort retention — the other canonical event-analytics rollup next to
+    * the funnel: users cohorted by their FIRST active day, then for each
+    * (cohort, day-offset ≤ 7) the distinct users from that cohort active
+    * again at that offset, with the rate in integer basis points
+    * (offset 0 is 10000 by construction — every user is active on their
+    * first day, a free self-check the oracle also exhibits).
+    *
+    * Scale: first-day per user and the (user, day) activity set are both
+    * user-keyed aggregates (partial-agg'd / distinct on longs+dates);
+    * their join is an equi-join on user_id — co-partitioned, no
+    * broadcast needed at any scale. The cohort-size table is
+    * days-of-history rows, broadcast onto the rollup. countDistinct in
+    * the final aggregate is exact (the Expand strategy), grouped on
+    * (cohort, offset) — bounded by history² / 2, not by users. */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
+    e.distinct()
+      .join(first, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort")).cast("long"))
+      .filter(col("day_offset").between(0, 7))
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_cohort"), col("n_active"),
+        expr("(n_active * 10000) div n_cohort").as("retention_bp"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+  val retentionCohortsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id),
+      |sz AS (SELECT cohort, count(*) AS n_cohort FROM f GROUP BY cohort),
+      |a AS (SELECT DISTINCT user_id, day FROM e),
+      |r AS (
+      |  SELECT f.cohort, datediff('day', f.cohort, a.day) AS day_offset,
+      |    count(DISTINCT a.user_id) AS n_active
+      |  FROM a JOIN f USING (user_id)
+      |  WHERE datediff('day', f.cohort, a.day) BETWEEN 0 AND 7
+      |  GROUP BY 1, 2)
+      |SELECT strftime(r.cohort, '%Y-%m-%d') AS cohort_day,
+      |  CAST(r.day_offset AS BIGINT) AS day_offset,
+      |  CAST(sz.n_cohort AS BIGINT) AS n_cohort,
+      |  CAST(r.n_active AS BIGINT) AS n_active,
+      |  CAST((r.n_active * 10000) // sz.n_cohort AS BIGINT) AS retention_bp
+      |FROM r JOIN sz USING (cohort)
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q25_json_props"      -> (jsonProps _),
     "q26_tumbling_hourly" -> (tumblingHourly _),
     "q27_session_windows" -> (sessionWindows _),
     "q36_asof_attribution"-> (asofClickAttribution _),
     "q65_interval_join_outer" -> (intervalJoinOuter _),
-    "q84_funnel_steps"    -> (funnelSteps _))
+    "q84_funnel_steps"    -> (funnelSteps _),
+    "q85_retention_cohorts" -> (retentionCohorts _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q25_json_props"      -> jsonPropsSql,
@@ -334,5 +387,6 @@ object Events {
     "q27_session_windows" -> sessionWindowsSql,
     "q36_asof_attribution"-> asofClickAttributionSql,
     "q65_interval_join_outer" -> intervalJoinOuterSql,
-    "q84_funnel_steps"    -> funnelStepsSql)
+    "q84_funnel_steps"    -> funnelStepsSql,
+    "q85_retention_cohorts" -> retentionCohortsSql)
 }
