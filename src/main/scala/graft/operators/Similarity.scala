@@ -381,21 +381,36 @@ object Similarity {
     * query. IvfRecallSpec measures recall@k against [[bruteTopK]] ground
     * truth on a clustered corpus with deliberate boundary queries. */
   private[graft] def ivfCentroidProbe(e: DataFrame, nprobe: Int, k: Int)
-      : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val q = e.filter(isQuery)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-              col("nrm").as("qn"))
+      : DataFrame =
+    ivfProbeWith(e, trainCentroids(e), nprobe, k)
+
+  /** Coarse-quantizer training half, factored out so the amortized q86
+    * can materialize it: per-cluster exact centroid over integer-quantized
+    * components (the determinism trick above). One posexplode + two
+    * partial-aggregated shuffles of (cluster, dim) longs; output is
+    * nlist rows of (label, cv) — the entire model. */
+  private[graft] def trainCentroids(e: DataFrame): DataFrame = {
     val perDim = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .withColumn("qx", floor(col("x") * 1000.0 + lit(0.5)).cast("long"))
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("qx")).as("sx"), count(lit(1)).as("n"))
-    val cents = perDim.groupBy(col("label"))
+    perDim.groupBy(col("label"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"),
           (col("sx").cast("double") / lit(1000.0) / col("n").cast("double"))
             .as("c")))),
         s => s.getField("c")).as("cv"))
+  }
+
+  /** Assignment + probe half against a GIVEN centroid table (trained
+    * in-query by q38/q59, read from the materialized warehouse index by
+    * q86). */
+  private[graft] def ivfProbeWith(e: DataFrame, cents: DataFrame,
+                                  nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+              col("nrm").as("qn"))
     val l2 = aggregate(
       zip_with(col("qv"), col("cv"), (x, c) => (x - c) * (x - c)),
       lit(0.0), (a, x) => a + x)
@@ -416,6 +431,32 @@ object Similarity {
 
   def ivfCentroidTopK(s: SparkSession, d: String): DataFrame =
     ivfCentroidProbe(withNorm(Tables.embeddings(s, d)), nprobe = 1, k = 5)
+
+  // ── q86: IVF through a MATERIALIZED centroid index — the serving path ──
+  /** q38's amortized form, completing the q82 story for the ANN family:
+    * the coarse quantizer is a pure function of the standing corpus, so
+    * it is trained ONCE into the session warehouse (crash-safe
+    * writeAndSwap, path-keyed) and every subsequent query batch pays
+    * only assignment (a broadcast of nlist centroid rows) + the
+    * single-cluster probe. The training pass — a posexplode over every
+    * corpus vector × dimension, BY FAR the dominant cost at scale — is
+    * gone from the steady state, exactly like q82's corpus-linear prefix
+    * work moving into its one-time index. Same oracle as q38: reading
+    * the model from parquet instead of recomputing it must not change a
+    * single row. */
+  def ivfIndexedTopK(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val tag = new java.io.File(d).getAbsolutePath
+      .toLowerCase.replaceAll("[^a-z0-9]+", "_").stripPrefix("_")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val path = s"$wh/graft_ivf_cents_$tag"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, path) // adopt a crashed build first
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+      graft.etl.Merge.writeAndSwap(trainCentroids(e), path, "build")
+    ivfProbeWith(e, s.read.parquet(path), nprobe = 1, k = 5)
+  }
 
   // ── q59: multi-probe IVF (nprobe = 3) ───────────────────────────────────
   /** Same computed-centroid IVF, probing the query's 3 nearest clusters.
@@ -592,6 +633,7 @@ object Similarity {
     "q24_ivf_topk"      -> (ivfTopK _),
     "q35_cosine_neardup"-> (cosineNearDup _),
     "q38_ivf_centroids" -> (ivfCentroidTopK _),
+    "q86_ivf_indexed"   -> (ivfIndexedTopK _),
     "q39_quantize_int8" -> (quantizeInt8 _),
     "q59_ivf_multiprobe"-> (ivfMultiProbeTopK _),
     "q62_lsh_topk"      -> (lshTopK _),
@@ -602,6 +644,7 @@ object Similarity {
     "q24_ivf_topk"      -> ivfTopKSql,
     "q35_cosine_neardup"-> cosineNearDupSql,
     "q38_ivf_centroids" -> ivfCentroidTopKSql,
+    "q86_ivf_indexed"   -> ivfCentroidTopKSql,
     "q39_quantize_int8" -> quantizeInt8Sql,
     "q59_ivf_multiprobe"-> ivfMultiProbeTopKSql,
     "q62_lsh_topk"      -> lshTopKSql,
