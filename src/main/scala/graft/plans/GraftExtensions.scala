@@ -16,7 +16,7 @@ import graft.functions.{BloomMightContainExpr, CharNgramsExpr,
   * Activate with `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions` — [[graft.Sessions]]
   * does both-in-one at builder time. Once registered the kernels are
-  * callable from SQL (`SELECT minhash_bands(sh, 128, 32, 4)`) and from the
+  * callable from SQL (`SELECT minhash_bands(sh, 192, 32, 6)`) and from the
   * Column API via `call_function` ([[graft.functions.Native]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
