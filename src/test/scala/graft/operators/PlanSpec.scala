@@ -559,6 +559,28 @@ class PlanSpec extends SparkSpec {
       "indexed probe degenerated to all-pairs")
   }
 
+  test("q86: the probe reads the MATERIALIZED centroid model — the " +
+       "corpus×dim training posexplode is gone from the steady state") {
+    val p = atScaleShape { plan(q("q86_ivf_indexed")) }
+    assert(p.contains("graft_ivf_cents"),
+      s"centroids not read from the warehouse model:\n$p")
+    assert(!p.toLowerCase.contains("posexplode"),
+      s"probe plan still trains (posexplode present):\n$p")
+  }
+
+  test("q87: batch scoring reads the FROZEN warehouse LM through broadcast " +
+       "joins — no corpus-side count shuffle in the steady state") {
+    val p = atScaleShape { plan(q("q87_lm_indexed")) }
+    assert(p.contains("graft_lm_bg") && p.contains("graft_lm_ctx"),
+      s"model not read from the warehouse:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"frozen-LM scoring join shuffles the batch bigram side:\n$p")
+    // the only documents scan in the probe plan is the INCOMING batch;
+    // a corpus-side count aggregate would surface as a TakeOrdered cap
+    assert(!p.contains("TakeOrderedAndProject"),
+      s"steady-state plan still builds the model:\n$p")
+  }
+
   test("q80: the canonical election is one window over the cluster label") {
     // the quality election must not plan a per-cluster self-join: the
     // canonical id rides the SAME window shuffle that sorts the family
