@@ -194,6 +194,26 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Warehouse tag for a materialized artifact derived from
+    * `<sfDir>/<table>.parquet`: the sanitized FULL source path (two
+    * distinct dirs can never collide into one artifact name) PLUS the
+    * source's byte length. The length term makes an IN-PLACE testdata
+    * regeneration invalidate the key: the r9→r10 driver regeneration
+    * rewrote the same paths with different physical encodings, and a
+    * purely path-keyed index (q82's original form) would have adopted
+    * the stale artifact built from the old bytes and silently served
+    * wrong results. Content that changes without changing byte length is
+    * astronomically unlikely for parquet (page checksums, dictionary
+    * layouts); the cost is one FileSystem metadata call. */
+  def datasetTag(s: SparkSession, d: String, table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val len = fs.getContentSummary(p).getLength
+    new java.io.File(d).getAbsolutePath.toLowerCase
+      .replaceAll("[^a-z0-9]+", "_").stripPrefix("_") +
+      "_" + java.lang.Long.toHexString(len)
+  }
+
   /** CSV read with a DECLARED schema — the reference's persisted format
     * (the CSVs under data/raw, `fighters_scraper.py:23`) without its resume-read
     * schema inference (`pd.read_csv` re-inferring on every resume is the

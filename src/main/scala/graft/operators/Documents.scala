@@ -434,8 +434,9 @@ object Documents {
         pmod(Text.portableHash(col("doc_id").cast("string")), lit(100L)))
     val incoming = base.filter(col("bucket") >= 90).select(col("doc_id"), col("sh"))
     val corpus = base.filter(col("bucket") < 90).select(col("doc_id"), col("sh"))
-    val tag = new java.io.File(d).getAbsolutePath
-      .toLowerCase.replaceAll("[^a-z0-9]+", "_").stripPrefix("_")
+    // path + source-length tag (Tables.datasetTag): an in-place testdata
+    // regeneration must invalidate the materialized index, never adopt it
+    val tag = Tables.datasetTag(s, d, "documents")
     val wh = s.conf.get("spark.sql.warehouse.dir")
     val fs = new org.apache.hadoop.fs.Path(wh)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1191,8 +1192,7 @@ object Documents {
     val docs = Tables.documents(s, d)
       .withColumn("bucket",
         pmod(Text.portableHash(col("doc_id").cast("string")), lit(100L)))
-    val tag = new java.io.File(d).getAbsolutePath
-      .toLowerCase.replaceAll("[^a-z0-9]+", "_").stripPrefix("_")
+    val tag = Tables.datasetTag(s, d, "documents") // stale-proof key
     val wh = s.conf.get("spark.sql.warehouse.dir")
     val fs = new org.apache.hadoop.fs.Path(wh)
       .getFileSystem(s.sparkContext.hadoopConfiguration)

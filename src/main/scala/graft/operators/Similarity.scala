@@ -446,8 +446,7 @@ object Similarity {
     * single row. */
   def ivfIndexedTopK(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
-    val tag = new java.io.File(d).getAbsolutePath
-      .toLowerCase.replaceAll("[^a-z0-9]+", "_").stripPrefix("_")
+    val tag = Tables.datasetTag(s, d, "embeddings") // stale-proof key
     val wh = s.conf.get("spark.sql.warehouse.dir")
     val path = s"$wh/graft_ivf_cents_$tag"
     val fs = new org.apache.hadoop.fs.Path(wh)
