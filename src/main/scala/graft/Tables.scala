@@ -143,18 +143,63 @@ object Tables {
     * directory and must resolve the unit from whatever file is present at
     * stream-definition time (a directory mixes units only if ingest is
     * broken; the declared schema then fails loudly on the odd file). */
-  def tsIsNanosAt(s: SparkSession, path: String): Boolean = {
-    import org.apache.parquet.schema.LogicalTypeAnnotation
+  def tsIsNanosAt(s: SparkSession, path: String): Boolean =
+    tsIsNanosAtOpt(s, path).getOrElse(
+      sys.error(s"no parquet files under $path"))
+
+  /** [[tsIsNanosAt]] that reports "no file yet" as `None` instead of
+    * erroring — the streaming reader's bootstrap case: FileStreamSource
+    * legitimately starts on an EMPTY directory that a producer fills
+    * later (ADVICE r10), so stream definition must be able to fall back
+    * to the current-generation unit rather than refuse to start. The
+    * listing is RECURSIVE (ADVICE r10): a partitioned/nested layout
+    * (`month=…/part-*.parquet`) keeps its data files below the root, and
+    * a non-recursive probe would mis-report it as empty.
+    *
+    * Mixed-unit directories (broken ingest) are handled ASYMMETRICALLY,
+    * because the two failure directions are not symmetric — TablesSpec
+    * measured both: a NANOS file under the MICROS TimestampType schema
+    * fails loudly ([PARQUET_TYPE_ILLEGAL]), but a MICROS file under the
+    * legacy NANOS(long) schema reads SILENTLY — Spark hands back the raw
+    * int64 micros as longs, and the `div 1000` conversion would then
+    * mis-scale them 1000× without a single error (the exact silent-time-
+    * compression class the r9 postmortem is about). So: probed unit
+    * MICROS → one footer read, odd files fail at scan time; probed unit
+    * NANOS → EVERY footer is verified before the legacy path is chosen,
+    * and a mixed dir errors here instead of mis-scaling there. The
+    * full-footer sweep only ever runs for legacy-generation data. */
+  def tsIsNanosAtOpt(s: SparkSession, path: String): Option[Boolean] = {
     val conf = s.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    val file =
-      if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).iterator
-          .map(_.getPath)
-          .find(p => p.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet files under $root"))
-      else root
+    val files: Seq[org.apache.hadoop.fs.Path] =
+      if (!fs.exists(root)) Seq.empty
+      else if (fs.getFileStatus(root).isDirectory) {
+        val it = fs.listFiles(root, /* recursive = */ true)
+        val b = Seq.newBuilder[org.apache.hadoop.fs.Path]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            b += st.getPath
+        }
+        b.result()
+      } else Seq(root)
+    if (files.isEmpty) return None
+    val firstIsNanos = tsUnitIsNanos(conf, files.head)
+    if (firstIsNanos)
+      files.tail.foreach { f =>
+        if (!tsUnitIsNanos(conf, f)) sys.error(
+          s"mixed ts units under $root: ${files.head} is TIMESTAMP(NANOS) " +
+          s"but $f is not — the legacy long-read path would silently " +
+          "mis-scale the non-NANOS file 1000x; refusing")
+      }
+    Some(firstIsNanos)
+  }
+
+  /** Unit of one file's `ts` column, from its footer. */
+  private def tsUnitIsNanos(conf: org.apache.hadoop.conf.Configuration,
+                            file: org.apache.hadoop.fs.Path): Boolean = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
     try {
@@ -202,16 +247,31 @@ object Tables {
     * rewrote the same paths with different physical encodings, and a
     * purely path-keyed index (q82's original form) would have adopted
     * the stale artifact built from the old bytes and silently served
-    * wrong results. Content that changes without changing byte length is
-    * astronomically unlikely for parquet (page checksums, dictionary
-    * layouts); the cost is one FileSystem metadata call. */
+    * wrong results. The NEWEST file modification time is folded in
+    * alongside (ADVICE r10): a regeneration that happened to reproduce
+    * the exact byte length would still bump mtime, closing the residual
+    * same-length collision window — and it comes from the same single
+    * recursive listing that sums the length, so the cost stays one
+    * FileSystem metadata call. */
   def datasetTag(s: SparkSession, d: String, table: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val len = fs.getContentSummary(p).getLength
+    var len = 0L
+    var mtime = 0L
+    val st = fs.getFileStatus(p)
+    if (st.isFile) { len = st.getLen; mtime = st.getModificationTime }
+    else {
+      val it = fs.listFiles(p, /* recursive = */ true)
+      while (it.hasNext) {
+        val f = it.next()
+        len += f.getLen
+        if (f.getModificationTime > mtime) mtime = f.getModificationTime
+      }
+    }
     new java.io.File(d).getAbsolutePath.toLowerCase
       .replaceAll("[^a-z0-9]+", "_").stripPrefix("_") +
-      "_" + java.lang.Long.toHexString(len)
+      "_" + java.lang.Long.toHexString(len) +
+      "_" + java.lang.Long.toHexString(mtime)
   }
 
   /** CSV read with a DECLARED schema — the reference's persisted format

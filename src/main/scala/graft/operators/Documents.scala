@@ -103,7 +103,16 @@ object Documents {
     * j = 0.8 — the documented probabilistic decay toward the threshold
     * that q68's exact join exists to close. Signature cost rises k 128 →
     * 192, but the kernel is O(k·|sh|) map-side arithmetic and was never
-    * the bottleneck; the candidate join's input stays 32 rows per doc. */
+    * the bottleneck; the candidate join's input stays 32 rows per doc.
+    *
+    * TESTDATA CONTRACT (ADVICE r10): q18's oracle is exact brute-force
+    * Jaccard, so the hash-match gate tolerates only the banding's miss
+    * probability — negligible (~3e-11) BECAUSE planted pairs sit at
+    * j ≥ 0.9. If a future testdata generation plants pairs near the 0.8
+    * threshold, the per-pair miss rises to ~6e-5 and the gate can flake:
+    * either re-widen rows-per-band (recall up, candidate cost up) or move
+    * the gate to q68's guaranteed-complete exact join. This is a
+    * documented tuning point, not an invariant of the operator. */
   val MinhashK = 192
   val LshBands = 32
   val LshRows  = 6

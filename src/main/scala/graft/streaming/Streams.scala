@@ -31,13 +31,19 @@ object Streams {
     * it tails a directory for new files; a single-file path would become
     * its own basePath and fail). Same footer-probed unit handling as the
     * batch loader ([[Tables.events]]): the `ts` unit is read from the
-    * first file present at stream-definition time, never assumed — MICROS
-    * reads natively, legacy NANOS takes the raw-long + `ts div 1000`
-    * path. `maxFilesPerTrigger` caps micro-batch size — the streaming
-    * analog of the reference's every-10-rows checkpoint cadence. */
+    * first file present at stream-definition time — MICROS reads
+    * natively, legacy NANOS takes the raw-long + `ts div 1000` path.
+    * An EMPTY (or not-yet-created) directory is FileStreamSource's
+    * normal bootstrap — a producer fills it after the stream starts — so
+    * with no file to probe the reader assumes the current-generation
+    * MICROS schema instead of refusing to start (ADVICE r10); a legacy
+    * NANOS producer landing later fails loudly ([PARQUET_TYPE_ILLEGAL])
+    * rather than silently mis-scaling. `maxFilesPerTrigger` caps
+    * micro-batch size — the streaming analog of the reference's
+    * every-10-rows checkpoint cadence. */
   def readEvents(s: SparkSession, eventsDir: String,
                  maxFilesPerTrigger: Int = 1): DataFrame =
-    if (!Tables.tsIsNanosAt(s, eventsDir))
+    if (!Tables.tsIsNanosAtOpt(s, eventsDir).getOrElse(false))
       s.readStream
         .schema(Tables.eventsSchema)
         .option("maxFilesPerTrigger", maxFilesPerTrigger)

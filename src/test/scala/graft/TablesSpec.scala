@@ -119,4 +119,102 @@ class TablesSpec extends SparkSpec {
     // loudly to THIS generation; update alongside the regenerated files.
     assert(!Tables.eventsTsIsNanos(spark, sfDir))
   }
+
+  test("unit probe reports None on an empty or absent directory (stream bootstrap)") {
+    val empty = java.nio.file.Files.createTempDirectory("graft-emptydir").toString
+    assert(Tables.tsIsNanosAtOpt(spark, empty).isEmpty)
+    assert(Tables.tsIsNanosAtOpt(spark, s"$empty/never-created").isEmpty)
+    // the hard-erroring form still errors — batch loads must not guess
+    val e = intercept[RuntimeException](Tables.tsIsNanosAt(spark, empty))
+    assert(e.getMessage.contains("no parquet files"))
+  }
+
+  test("unit probe finds data files under a partitioned/nested layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nested").toString
+    Tables.events(spark, sfDir).limit(10)
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    // data files sit in day=…/ subdirectories; a non-recursive listing
+    // sees only directories and would mis-report "no parquet files"
+    assert(Tables.tsIsNanosAtOpt(spark, dir) === Some(false))
+  }
+
+  /** Write a minimal single-column TIMESTAMP(NANOS) parquet file — the
+    * legacy testdata generation's physical shape, which Spark itself
+    * cannot produce (outputTimestampType caps at MICROS). */
+  private def writeNanosFile(file: String, tsNanos: Long*): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{PrimitiveType, Types}
+    val schema = Types.buildMessage()
+      .required(PrimitiveType.PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.NANOS))
+      .named("ts")
+      .named("events")
+    val w = ExampleParquetWriter.builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+          new Path(file), spark.sparkContext.hadoopConfiguration))
+      .withType(schema).build()
+    val gf = new SimpleGroupFactory(schema)
+    try tsNanos.foreach(n => w.write(gf.newGroup().append("ts", n)))
+    finally w.close()
+  }
+
+  test("MICROS file under the legacy NANOS(long) schema reads SILENTLY — " +
+       "the measured hazard the probe's full-footer sweep exists for") {
+    // Asymmetry measured, not assumed: NANOS-under-MICROS fails loudly at
+    // scan time, but the reverse direction hands back raw int64 micros as
+    // longs with no error — `div 1000` would then compress time 1000×
+    // silently (the r9 bug class). This is WHY tsIsNanosAtOpt verifies
+    // every footer before choosing the legacy path.
+    val raw = spark.read.schema(Tables.eventsSchemaNanos)
+      .parquet(s"$sfDir/events.parquet")
+      .agg(min(col("ts"))).head().getLong(0)
+    val proper = Tables.events(spark, sfDir)
+      .agg(unix_micros(min(col("ts")))).head().getLong(0)
+    assert(raw === proper,
+      "raw long read no longer equals micros — silent-read hazard changed; " +
+      "re-evaluate the probe's sweep design")
+  }
+
+  test("probe detects a pure TIMESTAMP(NANOS) directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nanos").toString
+    writeNanosFile(s"$dir/a.parquet", 1700000000000000000L)
+    writeNanosFile(s"$dir/b.parquet", 1700000001000000000L)
+    assert(Tables.tsIsNanosAtOpt(spark, dir) === Some(true))
+  }
+
+  test("mixed-unit directory never reaches the silent legacy path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mixed").toString
+    writeNanosFile(s"$dir/nanos.parquet", 1700000000000000000L)
+    Tables.events(spark, sfDir).limit(5)
+      .write.mode("append").parquet(dir) // adds MICROS part-files
+    // Listing order decides which file is probed first; BOTH orders must
+    // end safely — MICROS-first returns Some(false) (the odd NANOS file
+    // then fails loudly at scan), NANOS-first trips the sweep's
+    // mixed-units error. The one forbidden outcome is Some(true): that
+    // would route the MICROS files through the silent 1000× mis-scale.
+    val outcome =
+      try Tables.tsIsNanosAtOpt(spark, dir)
+      catch {
+        case e: RuntimeException if e.getMessage.contains("mixed ts units") =>
+          None
+      }
+    assert(outcome !== Some(true))
+  }
+
+  test("datasetTag changes when the source bytes change, even at equal length") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tag").toString
+    val t = "tbl"
+    spark.range(100).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    val tag1 = Tables.datasetTag(spark, dir, t)
+    Thread.sleep(5) // mtime resolution
+    spark.range(100).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    val tag2 = Tables.datasetTag(spark, dir, t)
+    // identical content and byte length — the mtime term still separates
+    // the two generations (ADVICE r10 residual collision window)
+    assert(tag1 !== tag2)
+  }
 }

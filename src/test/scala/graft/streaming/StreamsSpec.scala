@@ -421,4 +421,27 @@ class StreamsSpec extends SparkSpec {
     assert(mustEmit.exceptAll(streamed).count() === 0,
       "a closed (timed-out) session was never emitted")
   }
+
+  test("readEvents bootstraps on an empty directory a producer fills later") {
+    // FileStreamSource's normal lifecycle: the stream is defined on an
+    // empty (even not-yet-created) directory and a producer lands files
+    // afterwards. ADVICE r10: the footer-probing reader must fall back to
+    // the current-generation MICROS schema when there is no file to
+    // probe, not refuse to start.
+    val dir = tmp("graft-boot-dir")
+    val stream = Streams.readEvents(spark, dir) // must not throw
+    assert(stream.schema === Tables.eventsSchema)
+    Tables.events(spark, sfDir).limit(7)
+      .write.mode("append").parquet(dir) // producer arrives after definition
+    val out = tmp("graft-boot-out")
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmp("graft-boot-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(out).count() === 7)
+  }
 }
