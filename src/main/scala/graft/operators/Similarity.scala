@@ -538,6 +538,141 @@ object Similarity {
        |FROM ass WHERE arank = 1
        |GROUP BY 1 ORDER BY side""".stripMargin
 
+  // ── q90: SEMANTIC dedup — centroid-bucketed within-cluster cosine ───────
+  /** The missing member of the dedup ladder (exact q17 → chunk q77 →
+    * lexical near-dup q18/q68 → SEMANTIC), SemDeDup-style: duplicates
+    * that share no n-gram — paraphrases, translations-of-boilerplate,
+    * re-embedded templates — surface only in embedding space. All-pairs
+    * cosine over a corpus is O(N²·d) and never runs at scale; SemDeDup's
+    * move is to let a COARSE QUANTIZER bound the candidate set: assign
+    * every vector to its nearest centroid, compare only within a
+    * cluster. This composes two shipped components: the q86 materialized
+    * centroid artifact (the SAME warehouse path — semantic dedup and ANN
+    * serving share one model build) and q80's keep-the-minimal-member
+    * election philosophy.
+    *
+    * Drop rule, declarative on purpose: vector v is dropped iff some
+    * EARLIER vector u (u.vec_id < v.vec_id) in the same cluster has
+    * cosine ≥ 0.95; the reported witness is the lowest-id such u. This
+    * is the order-free closure of SemDeDup's greedy scan — on a chain
+    * a~b, b~c, a≁c greedy keeps c (its only kept earlier neighbor a is
+    * below τ) while this rule drops it (b witnesses, though b itself
+    * dropped) — i.e. it dedups slightly more aggressively on chain
+    * structures, the same min-label transitive stance as q63/q80, and
+    * unlike the greedy scan it needs no sequential pass over the
+    * cluster. The harness embeddings carry no organic high-cosine pairs
+    * (measured max pairwise cosine ≈ 0.51 at sf0.01), so the corpus is
+    * augmented with PLANTED semantic duplicates exactly as q35 does —
+    * every 25th vector re-enters scaled by 1.0001 (direction-identical,
+    * cosine ≈ 1) under id+100000 — and 0.95 sits between those and the
+    * random-pair tail; the planted copies land in their original's
+    * cluster (same direction ⇒ same nearest centroid) and must each be
+    * dropped with their original as witness, which the oracle verifies
+    * pair-exactly.
+    *
+    * Scale shape: nlist centroid rows broadcast → assignment is
+    * map-side; the pairwise stage is an EQUI-join on the cluster id —
+    * one shuffle of (cluster, vec, norm) per side, candidate work
+    * Σ_c n_c² (the SemDeDup trade: cluster granularity is the knob —
+    * more centroids, smaller n_c, linear-er work, more cross-cluster
+    * misses). Never a CartesianProduct (PlanSpec pins it); the witness
+    * election is ONE window over the drop candidates. */
+  val SemDedupTauMicro = 950000L
+
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(Tables.embeddings(s, d))
+    val tag = Tables.datasetTag(s, d, "embeddings")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val cents = graft.etl.Merge.materialize(s, s"$wh/graft_ivf_cents_$tag",
+      trainCentroids(e)) // q86's artifact, shared
+    // corpus ∪ planted semantic duplicates (q35's convention; coalesce is
+    // q35's nullability launder so the join predicate can't re-inline a
+    // second dot_product below the Project)
+    val base = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val aug = base.unionByName(
+        base.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            transform(col("v"), x => x * 1.0001).as("v")))
+      .withColumn("nrm", coalesce(sqrt(dot(col("v"), col("v"))), lit(0.0)))
+    val l2 = aggregate(
+      zip_with(col("v"), col("cv"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (a, x) => a + x)
+    val wA = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("label").asc)
+    val assigned = aug.select(col("vec_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", l2)
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("label").as("cluster"), col("v"), col("nrm"))
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("drop_id"),
+        col("a.cluster").as("cluster"),
+        col("a.vec_id").as("keep_id"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("sim"))
+      .filter(simMicro(col("sim")) >= lit(SemDedupTauMicro))
+    val wD = Window.partitionBy(col("drop_id")).orderBy(col("keep_id").asc)
+    pairs.withColumn("wrank", row_number().over(wD))
+      .filter(col("wrank") === 1)
+      .select(col("drop_id"), col("cluster"), col("keep_id"),
+        simMicro(col("sim")).as("sim_micro"))
+      .orderBy(col("drop_id"))
+  }
+
+  /** Oracle: brute-force within-cluster pairs under the identical
+    * quantized-centroid assignment (VERDICT r10 item 2). */
+  val semanticDedupSql: String =
+    s"""WITH $normedSql,
+       |perdim AS (
+       |  SELECT label, i AS pos, CAST(floor(v[i + 1] * 1000.0 + 0.5) AS BIGINT) AS qx
+       |  FROM n, range(0, 64) t(i)),
+       |cents AS (
+       |  SELECT label, list(c ORDER BY pos) AS cv FROM (
+       |    SELECT label, pos,
+       |      CAST(sum(qx) AS DOUBLE) / 1000.0 / CAST(count(*) AS DOUBLE) AS c
+       |    FROM perdim GROUP BY label, pos)
+       |  GROUP BY label),
+       |corpus AS (
+       |  SELECT vec_id, v FROM n
+       |  UNION ALL
+       |  SELECT vec_id + 100000, list_transform(v, x -> x * 1.0001)
+       |  FROM n WHERE vec_id % 25 = 0),
+       |m AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+       |  FROM corpus),
+       |ass AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT e.vec_id, c.label AS cluster, row_number() OVER (
+       |        PARTITION BY e.vec_id ORDER BY
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(range(1, 65),
+       |            i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))),
+       |          (a, b) -> a + b) ASC, c.label ASC) AS arank
+       |    FROM m e, cents c)
+       |  WHERE arank = 1),
+       |pairs AS (
+       |  SELECT bb.vec_id AS drop_id, aa.cluster AS cluster,
+       |    aa.vec_id AS keep_id,
+       |    CAST(floor(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm)
+       |      * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
+       |  FROM ass aa JOIN ass bb ON aa.cluster = bb.cluster
+       |    AND aa.vec_id < bb.vec_id
+       |  JOIN m a ON a.vec_id = aa.vec_id
+       |  JOIN m b ON b.vec_id = bb.vec_id)
+       |SELECT drop_id, cluster, keep_id, sim_micro
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY drop_id ORDER BY keep_id ASC) AS wrank
+       |      FROM pairs WHERE sim_micro >= $SemDedupTauMicro)
+       |WHERE wrank = 1 ORDER BY drop_id""".stripMargin
+
   // ── q59: multi-probe IVF (nprobe = 3) ───────────────────────────────────
   /** Same computed-centroid IVF, probing the query's 3 nearest clusters.
     * On the harness embeddings (labels are NOT cosine clusters — measured:
@@ -715,6 +850,7 @@ object Similarity {
     "q38_ivf_centroids" -> (ivfCentroidTopK _),
     "q86_ivf_indexed"   -> (ivfIndexedTopK _),
     "q89_centroid_drift"-> (centroidDrift _),
+    "q90_semantic_dedup"-> (semanticDedup _),
     "q39_quantize_int8" -> (quantizeInt8 _),
     "q59_ivf_multiprobe"-> (ivfMultiProbeTopK _),
     "q62_lsh_topk"      -> (lshTopK _),
@@ -727,6 +863,7 @@ object Similarity {
     "q38_ivf_centroids" -> ivfCentroidTopKSql,
     "q86_ivf_indexed"   -> ivfCentroidTopKSql,
     "q89_centroid_drift"-> centroidDriftSql,
+    "q90_semantic_dedup"-> semanticDedupSql,
     "q39_quantize_int8" -> quantizeInt8Sql,
     "q59_ivf_multiprobe"-> ivfMultiProbeTopKSql,
     "q62_lsh_topk"      -> lshTopKSql,

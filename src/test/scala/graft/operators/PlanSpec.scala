@@ -656,4 +656,25 @@ class PlanSpec extends SparkSpec {
         assert(p.contains("ReadSchema"), s"$name scan lacks ReadSchema")
     }
   }
+
+  test("q90: semantic dedup's pairwise stage is a cluster equi-join reading " +
+       "the materialized centroid model — never all-pairs, no training " +
+       "posexplode in the steady state") {
+    atScaleShape {
+      val p = plan(q("q90_semantic_dedup"))
+      // the SemDeDup contract: candidates come from the cluster-id
+      // equi-join; a CartesianProduct means within-cluster degenerated
+      // to corpus all-pairs (the O(N^2 d) shape the quantizer exists to
+      // avoid). The 10-row centroid crossJoin for ASSIGNMENT broadcasts
+      // (nlist rows), so the only legal nested-loop is a broadcast one.
+      assert(!p.contains("CartesianProduct"),
+        s"semantic dedup degenerated to all-pairs:\n$p")
+      // steady state reads the q86 warehouse artifact, it never retrains:
+      // the corpus-x-dim posexplode is the training pass's signature
+      assert(!p.contains("posexplode"),
+        s"centroid training stage leaked into the steady-state plan:\n$p")
+      assert(p.contains("graft_ivf_cents"),
+        s"plan does not read the materialized centroid artifact:\n$p")
+    }
+  }
 }
