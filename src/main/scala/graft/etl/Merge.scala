@@ -94,6 +94,74 @@ object Merge {
     unionByNameTolerant(incrementalSkip(existing, incoming, key),
                         incoming.filter(col(key).isNotNull))
 
+  /** SCD2 (type-2 slowly-changing-dimension) reconstruction from a change
+    * log — the history-PRESERVING twin of [[upsertMerge]] (which is type-1:
+    * incoming wins, the old value is gone). Input: one row per
+    * (key, effective date) with the attribute values in force from that
+    * date; output: one row per attribute-change run, `valid_from` =
+    * first effective date of the run, `valid_to` = the next run's
+    * `valid_from` (NULL = the open/current row) — the lakehouse-standard
+    * effective-dated history table.
+    *
+    * Consecutive equal attribute states COLLAPSE (a log row restating the
+    * current values opens no new version — the no-op-update rule that
+    * makes replayed feeds absorbing). Comparison is the null-safe `<=>`
+    * over the attr struct, so a NULL attribute value is a real state, not
+    * a wildcard. Contract: the log must be unique per (key, effCol) —
+    * pre-apply [[dedupKeepFirst]] otherwise, like the other keyed merges.
+    *
+    * Scale: one shuffle on the key; both window passes (change detection,
+    * then `lead` for valid_to) share the same partitioning + ordering, so
+    * Catalyst plans a single Exchange + sort with two Window operators
+    * over it. State per row is O(1); history per key is bounded by its
+    * change count, not the log length. */
+  def scd2FromLog(log: DataFrame, key: String, effCol: String,
+                  attrs: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(effCol))
+    val a = struct(attrs.map(col): _*)
+    log
+      .withColumn("__chg", !(lag(a, 1).over(w) <=> a))
+      .filter(col("__chg"))
+      .select(col(key) +: attrs.map(col) :+ col(effCol).as("valid_from"): _*)
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(
+          Window.partitionBy(col(key)).orderBy(col("valid_from"))))
+  }
+
+  /** Incremental SCD2 merge: apply a batch of effective-dated changes to an
+    * existing SCD2 table (one built by [[scd2FromLog]] or by previous
+    * merges). Semantics = rebuild-from-log for the TOUCHED keys only:
+    * an SCD2 table is lossless w.r.t. its change log (each version row IS
+    * a change point), so the touched keys' history re-derives from
+    * old-change-points ∪ incoming, with incoming WINNING when it restates
+    * an existing (key, effective date) — the correction semantic, matching
+    * [[upsertMerge]]'s incoming-wins. Untouched keys' rows pass through
+    * byte-identical. Late/out-of-order changes are therefore handled for
+    * free (a change landing between two existing versions splits the
+    * earlier one and re-points `valid_to`), and replaying a batch is
+    * absorbing — its log rows are already present, so the rebuild yields
+    * the same table (MergeSpec property).
+    *
+    * Scale: the anti/semi splits broadcast the incoming batch's key set
+    * (small vs the dimension, the correction-batch case); only touched
+    * keys — proportional to the BATCH, not the table — re-window. On a
+    * real lake the untouched side never even rewrites (partition/file
+    * pruning on the semi-join); here the caller owns the write policy
+    * ([[writeAndSwap]] / [[upsertWrite]] family). */
+  def scd2Merge(existing: DataFrame, incoming: DataFrame, key: String,
+                effCol: String, attrs: Seq[String]): DataFrame = {
+    val touchedKeys = incoming.select(col(key)).distinct()
+    val untouched = existing.join(broadcast(touchedKeys), Seq(key), "left_anti")
+    val touched = existing.join(broadcast(touchedKeys), Seq(key), "left_semi")
+    val oldLog = touched
+      .select(col(key) +: attrs.map(col) :+ col("valid_from").as(effCol): _*)
+      .join(broadcast(incoming.select(col(key), col(effCol))),
+            Seq(key, effCol), "left_anti")
+    val log = oldLog.unionByName(
+      incoming.select(col(key) +: attrs.map(col) :+ col(effCol): _*))
+    untouched.unionByName(scd2FromLog(log, key, effCol, attrs))
+  }
+
   /** D3 within one batch, made deterministic: keep, per key, the row that is
     * first under an EXPLICIT total order (the reference's implicit
     * encounter order has no distributed meaning — SURVEY §2 D2/D3). */

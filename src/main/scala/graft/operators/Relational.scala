@@ -207,6 +207,62 @@ object Relational {
       |SELECT * FROM incoming
       |ORDER BY c_custkey""".stripMargin
 
+  // ── q92: SCD2 effective-dated history (type-2 merge) ────────────────────
+  /** Customer priority history as a type-2 slowly-changing dimension — the
+    * history-preserving completion of the merge family (q05 insert-only →
+    * q64 type-1 upsert → this). Change log: per (customer, order day) the
+    * priority of that day's max-orderkey order (dedupKeepFirst — the D3
+    * determinism rule); the log is split into two effective-dated batches
+    * at 1998-01-01 and folded through the INCREMENTAL [[Merge.scd2Merge]]
+    * (batch 1 builds the table via [[Merge.scd2FromLog]], batch 2 merges
+    * into it), while the oracle reconstructs the whole history one-shot
+    * with window functions — so the oracle gate proves incremental ≡
+    * one-shot, including run-collapse across the batch boundary. Open
+    * rows print `valid_to = 'open'` on both engines (a NULL would
+    * canonicalize differently across engines). */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    val log = Merge.dedupKeepFirst(
+        Tables.orders(s, d).select(col("o_custkey"),
+          to_date(col("o_orderdate")).as("eff"),
+          col("o_orderpriority").as("priority"), col("o_orderkey")),
+        Seq("o_custkey", "eff"), Seq(col("o_orderkey").desc))
+      .drop("o_orderkey")
+    val cut = lit("1998-01-01").cast("date")
+    Merge.scd2Merge(
+        Merge.scd2FromLog(log.filter(col("eff") < cut),
+          "o_custkey", "eff", Seq("priority")),
+        log.filter(col("eff") >= cut),
+        "o_custkey", "eff", Seq("priority"))
+      .select(col("o_custkey"), col("priority"),
+        date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+        coalesce(date_format(col("valid_to"), "yyyy-MM-dd"), lit("open"))
+          .as("valid_to"))
+      .orderBy(col("o_custkey"), col("valid_from"))
+  }
+  val scd2HistorySql: String =
+    """WITH ranked AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS eff,
+      |    o_orderpriority AS priority,
+      |    row_number() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+      |                       ORDER BY o_orderkey DESC) AS rn
+      |  FROM orders),
+      |l AS (SELECT o_custkey, eff, priority FROM ranked WHERE rn = 1),
+      |chg AS (
+      |  SELECT *, CASE WHEN lag(priority)
+      |      OVER (PARTITION BY o_custkey ORDER BY eff)
+      |      IS DISTINCT FROM priority THEN 1 ELSE 0 END AS c
+      |  FROM l),
+      |v AS (SELECT o_custkey, priority, eff AS valid_from FROM chg WHERE c = 1),
+      |fin AS (
+      |  SELECT o_custkey, priority, valid_from,
+      |    lead(valid_from) OVER (PARTITION BY o_custkey
+      |                           ORDER BY valid_from) AS valid_to
+      |  FROM v)
+      |SELECT o_custkey, priority,
+      |  strftime(valid_from, '%Y-%m-%d') AS valid_from,
+      |  coalesce(strftime(valid_to, '%Y-%m-%d'), 'open') AS valid_to
+      |FROM fin ORDER BY o_custkey, valid_from""".stripMargin
+
   // ── q06: union-by-name with missing columns (U1) ────────────────────────
   def unionByName(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
@@ -585,6 +641,7 @@ object Relational {
     "q58_skewed_join"         -> (skewedSaltedJoin _),
     "q60_range_join"          -> (rangeJoinOrders _),
     "q64_upsert_merge"        -> (upsertMerge _),
+    "q92_scd2_history"        -> (scd2History _),
     "q66_bucketed_join"       -> (bucketedJoin _),
     "q73_bloom_join"          -> (bloomFilteredJoin _),
     "q74_zorder_cells"        -> (zOrderCells _),
@@ -603,6 +660,7 @@ object Relational {
     "q58_skewed_join"          -> skewedSaltedJoinSql,
     "q60_range_join"           -> rangeJoinOrdersSql,
     "q64_upsert_merge"         -> upsertMergeSql,
+    "q92_scd2_history"         -> scd2HistorySql,
     "q66_bucketed_join"        -> bucketedJoinSql,
     "q73_bloom_join"           -> bloomFilteredJoinSql,
     "q74_zorder_cells"         -> zOrderCellsSql,

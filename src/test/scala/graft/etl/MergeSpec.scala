@@ -292,4 +292,69 @@ class MergeSpec extends SparkSpec {
       assert(exU.toSet.subsetOf(onceRows.toSet), s"seed $seed: existing row lost")
     }
   }
+
+  // ── SCD2 (type-2 effective-dated merge) ──────────────────────────────────
+
+  private def logDf(rows: Seq[(Long, Int, String)]) =
+    rows.toDF("k", "eff", "attr")
+
+  private def scd2Rows(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("k"), col("attr"), col("valid_from"), col("valid_to"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3)))
+      .sorted.toList
+
+  test("scd2FromLog: runs collapse, valid_to chains, last row open") {
+    val log = logDf(Seq(
+      (1L, 10, "A"), (1L, 20, "A"), (1L, 30, "B"), (1L, 40, "A"),
+      (2L, 15, "X")))
+    val out = scd2Rows(Merge.scd2FromLog(log, "k", "eff", Seq("attr")))
+    assert(out === List(
+      (1L, "A", 10, 30), (1L, "A", 40, -1), (1L, "B", 30, 40),
+      (2L, "X", 15, -1)))
+  }
+
+  test("scd2Merge: late-arriving change splits an existing version") {
+    val base = Merge.scd2FromLog(
+      logDf(Seq((1L, 10, "A"), (1L, 50, "C"))), "k", "eff", Seq("attr"))
+    // a correction lands BETWEEN the two existing versions
+    val out = scd2Rows(Merge.scd2Merge(base,
+      logDf(Seq((1L, 30, "B"))), "k", "eff", Seq("attr")))
+    assert(out === List(
+      (1L, "A", 10, 30), (1L, "B", 30, 50), (1L, "C", 50, -1)))
+  }
+
+  test("scd2Merge: restated (key, eff) is corrected incoming-wins; " +
+       "no-op restatement opens no version") {
+    val base = Merge.scd2FromLog(
+      logDf(Seq((1L, 10, "A"), (2L, 10, "X"))), "k", "eff", Seq("attr"))
+    val out = scd2Rows(Merge.scd2Merge(base,
+      logDf(Seq((1L, 10, "A2"),   // correction of an existing change point
+                (2L, 20, "X"))),  // same attr later — must collapse away
+      "k", "eff", Seq("attr")))
+    assert(out === List((1L, "A2", 10, -1), (2L, "X", 10, -1)))
+  }
+
+  private val scd2Gen: Gen[List[(Long, Int, String)]] =
+    Gen.listOfN(24, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0, 11),
+      Gen.oneOf("A", "B", "C")))
+
+  test("property: scd2Merge folded over any batch split equals one-shot " +
+       "scd2FromLog, and replay is absorbing") {
+    for (seed <- 0L until 8L) {
+      val raw = scd2Gen(Gen.Parameters.default, Seed(seed)).get
+        .distinctBy(t => (t._1, t._2)) // contract: unique (key, eff)
+      val cut = 4 + (seed % 4).toInt
+      val (b1, b2) = raw.partition(_._2 < cut)
+      val oneShot = scd2Rows(
+        Merge.scd2FromLog(logDf(raw), "k", "eff", Seq("attr")))
+      val folded = Merge.scd2Merge(
+        Merge.scd2FromLog(logDf(b1), "k", "eff", Seq("attr")),
+        logDf(b2), "k", "eff", Seq("attr"))
+      assert(scd2Rows(folded) === oneShot, s"seed $seed: fold != one-shot")
+      val replayed = Merge.scd2Merge(folded, logDf(b2), "k", "eff", Seq("attr"))
+      assert(scd2Rows(replayed) === oneShot, s"seed $seed: replay not absorbing")
+    }
+  }
 }
