@@ -22,6 +22,33 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object KmvSketch {
 
+  /** Table-level sketch merge — the maintenance op of a MATERIALIZED
+    * per-group sketch table (the production retention shape at 100 TB:
+    * incremental batches each produce a small (group → bottom-k hashes)
+    * table, and the standing table absorbs them without ever touching
+    * raw history). Union the tables, re-aggregate each group's hashes
+    * through the same [[Agg]] — set-union-keep-k-smallest is exactly the
+    * aggregator's merge, so the result is bit-identical to sketching the
+    * concatenated raw input (KmvSketchSpec proves associativity and
+    * idempotence across arbitrary batch splits).
+    *
+    * Scale: the explode fans out ≤ k longs per group-row, partial
+    * aggregation combines map-side, and the shuffle carries ≤ k longs
+    * per group — cost is proportional to the sketch table, never the
+    * corpus that produced it. */
+  def mergeTables(a: org.apache.spark.sql.DataFrame,
+                  b: org.apache.spark.sql.DataFrame,
+                  keys: Seq[String], hashesCol: String,
+                  k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val kmv = udaf(new Agg(k))
+    a.unionByName(b)
+      .select(keys.map(col) :+ explode(col(hashesCol)).as("__h"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(kmv(col("__h")).as("__sk"))
+      .select(keys.map(col) :+ col("__sk.hashes").as(hashesCol): _*)
+  }
+
   /** Sorted-ascending distinct hashes, at most k. `Vector`, not `Seq`:
     * [[Agg.search]] indexes into the buffer, and a List-backed Seq would
     * silently turn the binary search into O(k log k) per probe. */

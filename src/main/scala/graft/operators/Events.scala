@@ -372,6 +372,74 @@ object Events {
       |FROM r JOIN sz USING (cohort)
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  // ── q93: mergeable KMV retention sketch ─────────────────────────────────
+  /** The sketch-table twin of q85 — the retention shape that actually ships
+    * at 100 TB. q85's exact countDistinct is right at measured scale, but
+    * the production form is a MERGEABLE per-(cohort, day-offset) sketch
+    * table that incremental batches update without re-reading history;
+    * HLL (`approx_count_distinct`) estimates but is not bit-portable
+    * across engines, while the q45 KMV bottom-k over the portable 60-bit
+    * md5 hash is — so the sketch (kept-count, k-th minimum) AND the
+    * distinct-count estimate derived from it are all reproduced EXACTLY
+    * by the DuckDB oracle, not bounded. Groups with < k distinct users
+    * have no k-th minimum (`try_element_at` → NULL, matching DuckDB's
+    * `list[64]`); estimate est = ⌊(k−1)·H / h_k⌋ for hash space
+    * H = 2^60. The incremental half — batch sketch tables absorbed by
+    * [[graft.functions.KmvSketch.mergeTables]] — is proven bit-equal to
+    * this one-shot form by KmvSketchSpec's associativity property and
+    * served continuously by [[graft.streaming.Streams]]' retention sink.
+    *
+    * Scale: same user-keyed aggregates and co-partitioned join as q85;
+    * the sketch aggregate partial-aggregates map-side and its shuffle
+    * carries ≤ k longs per (cohort, offset) group at ANY corpus size —
+    * the unbounded countDistinct Expand of q85 is gone. */
+  def retentionSketch(s: SparkSession, d: String): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvSketch.Agg(64))
+    val big = lit(1152921504606846976.0) // 2^60, the portable hash space
+    val e = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    e.distinct()
+      .join(first, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort")).cast("long"))
+      .filter(col("day_offset").between(0, 7))
+      .withColumn("h",
+        graft.functions.Text.portableHash(col("user_id").cast("string")))
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(kmv(col("h")).as("sk"),
+           countDistinct(col("user_id")).as("n_exact"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_exact"),
+        size(col("sk.hashes")).cast("long").as("n_kept"),
+        try_element_at(col("sk.hashes"), lit(64)).as("kth_min"))
+      .withColumn("est",
+        floor(lit(63) * (big / col("kth_min"))).cast("long"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+  val retentionSketchSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, day FROM e),
+      |r AS (
+      |  SELECT f.cohort, datediff('day', f.cohort, a.day) AS day_offset,
+      |    a.user_id,
+      |    CAST(concat('0x', substr(md5(CAST(a.user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM a JOIN f USING (user_id)
+      |  WHERE datediff('day', f.cohort, a.day) BETWEEN 0 AND 7),
+      |sk AS (
+      |  SELECT cohort, day_offset,
+      |    count(DISTINCT user_id) AS n_exact,
+      |    least(count(DISTINCT h), 64) AS n_kept,
+      |    list_sort(list_distinct(list(h)))[64] AS kth_min
+      |  FROM r GROUP BY 1, 2)
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+      |  CAST(day_offset AS BIGINT) AS day_offset,
+      |  CAST(n_exact AS BIGINT) AS n_exact,
+      |  CAST(n_kept AS BIGINT) AS n_kept, kth_min,
+      |  CAST(floor(63 * (1152921504606846976.0 / kth_min)) AS BIGINT) AS est
+      |FROM sk ORDER BY cohort_day, day_offset""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q25_json_props"      -> (jsonProps _),
     "q26_tumbling_hourly" -> (tumblingHourly _),
@@ -379,7 +447,8 @@ object Events {
     "q36_asof_attribution"-> (asofClickAttribution _),
     "q65_interval_join_outer" -> (intervalJoinOuter _),
     "q84_funnel_steps"    -> (funnelSteps _),
-    "q85_retention_cohorts" -> (retentionCohorts _))
+    "q85_retention_cohorts" -> (retentionCohorts _),
+    "q93_retention_sketch" -> (retentionSketch _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q25_json_props"      -> jsonPropsSql,
@@ -388,5 +457,6 @@ object Events {
     "q36_asof_attribution"-> asofClickAttributionSql,
     "q65_interval_join_outer" -> intervalJoinOuterSql,
     "q84_funnel_steps"    -> funnelStepsSql,
-    "q85_retention_cohorts" -> retentionCohortsSql)
+    "q85_retention_cohorts" -> retentionCohortsSql,
+    "q93_retention_sketch" -> retentionSketchSql)
 }
