@@ -244,6 +244,206 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Incremental retention-sketch maintenance — the streaming twin of q93
+    * (VERDICT r10 item 7), composing the foreachBatch merge-sink pattern
+    * with the mergeable KMV sketch table. Two standing tables under
+    * `statePath`, both through the crash-safe writeAndSwap family:
+    *
+    *  - `first`:  (user_id, cohort) — each user's first active day,
+    *    maintained MIN-merge (union + groupBy min), which is absorbing
+    *    under replay and order-insensitive;
+    *  - `sketch`: (cohort, day_offset, hashes) — the per-group KMV
+    *    bottom-k table, each batch's sketch absorbed via
+    *    [[graft.functions.KmvSketch.mergeTables]] (set-union-keep-k is
+    *    absorbing, so checkpoint replay of an uncommitted batch is a
+    *    no-op — the same effectively-once argument as [[mergeSink]]).
+    *
+    * Contract: feed batches in event-time order (a backfill partitioned
+    * by day, or a tailing live feed). A user's cohort is the min day
+    * seen SO FAR — an out-of-order batch revealing an EARLIER first day
+    * corrects the cohort for future contributions but does not
+    * re-attribute already-absorbed ones (doing so would require replaying
+    * history, exactly what the sketch table exists to avoid); on an
+    * in-order feed the final tables equal the one-shot batch q93
+    * bit-for-bit, which StreamsSpec proves by folding day-split batches.
+    *
+    * Scale per batch: one min-merge shuffle proportional to users seen,
+    * one sketch merge proportional to (cohorts × offsets × k) longs —
+    * never the event history. */
+  def retentionSketchSink(events: DataFrame, statePath: String,
+                          checkpoint: String, k: Int = 64): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyRetentionBatch(batch.toDF(), statePath, k, batchId.toString)
+      }
+      .start()
+
+  /** One batch of [[retentionSketchSink]]'s state update — factored out so
+    * StreamsSpec can fold explicit in-order batches deterministically
+    * (file-source listing order is a modification-time heuristic, not a
+    * test contract) and assert bit-parity with batch q93. */
+  private[graft] def applyRetentionBatch(batch: DataFrame, statePath: String,
+                                         k: Int, token: String): Unit = {
+    val s = batch.sparkSession
+    val firstPath = s"$statePath/first"
+    val sketchPath = s"$statePath/sketch"
+    val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, firstPath)
+    graft.etl.Merge.recoverSwap(fs, sketchPath)
+    val act = batch.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val batchFirst = act.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort"))
+    val oldFirst =
+      if (fs.exists(new org.apache.hadoop.fs.Path(firstPath)))
+        s.read.parquet(firstPath)
+      else batchFirst.limit(0)
+    graft.etl.Merge.writeAndSwap(
+      oldFirst.unionByName(batchFirst)
+        .groupBy(col("user_id")).agg(min(col("cohort")).as("cohort")),
+      firstPath, s"first-$token")
+    val kmv = udaf(new graft.functions.KmvSketch.Agg(k))
+    val batchSketch = act
+      .join(s.read.parquet(firstPath), Seq("user_id"))
+      .withColumn("day_offset",
+        datediff(col("day"), col("cohort")).cast("long"))
+      .filter(col("day_offset").between(0, 7))
+      .withColumn("h",
+        graft.functions.Text.portableHash(col("user_id").cast("string")))
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(kmv(col("h")).as("sk"))
+      .select(col("cohort"), col("day_offset"), col("sk.hashes").as("hashes"))
+    val oldSketch =
+      if (fs.exists(new org.apache.hadoop.fs.Path(sketchPath)))
+        s.read.parquet(sketchPath)
+      else batchSketch.limit(0)
+    graft.etl.Merge.writeAndSwap(
+      graft.functions.KmvSketch.mergeTables(oldSketch, batchSketch,
+        Seq("cohort", "day_offset"), "hashes", k),
+      sketchPath, s"sketch-$token")
+  }
+
+  /** Read [[retentionSketchSink]]'s standing sketch table in q93's output
+    * shape (minus n_exact, which a sketch table deliberately does not
+    * carry): kept-count, k-th minimum, KMV distinct estimate. */
+  def retentionSketchState(s: SparkSession, statePath: String,
+                           k: Int = 64): DataFrame = {
+    val big = lit(1152921504606846976.0) // 2^60, the portable hash space
+    s.read.parquet(s"$statePath/sketch")
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"),
+        size(col("hashes")).cast("long").as("n_kept"),
+        try_element_at(col("hashes"), lit(k)).as("kth_min"))
+      .withColumn("est",
+        floor(lit(k - 1) * (big / col("kth_min"))).cast("long"))
+  }
+
+  /** One click-matched view awaiting its click's purchase horizon. */
+  case class FunnelAwait(viewUs: Long, clickUs: Long)
+  /** Per-user funnel state: views awaiting a click; click-matched views
+    * awaiting a purchase. Both lists are bounded by the events one user
+    * emits inside a horizon — a click flushes ALL pending views and a
+    * purchase flushes ALL awaiting pairs, so state never accumulates
+    * across horizons. */
+  case class FunnelState(views: List[Long], await: List[FunnelAwait])
+  /** One resolved view: did it click within the horizon, and did that
+    * click purchase within its own horizon. */
+  case class FunnelHit(user_id: Long, view_us: Long,
+                       clicked: Boolean, purchased: Boolean)
+
+  /** Streaming funnel — the continuous twin of q84 (VERDICT r10 item 7):
+    * per view, the same user's first click within `clickHorizonMin`, then
+    * a purchase within `purchaseHorizonMin` OF THAT CLICK, emitted as one
+    * resolved row per view. Where the batch form runs two reversed as-of
+    * window passes over history, the streaming form keeps per-user
+    * PENDING state and resolves forward: a view waits for a click (the
+    * first click at/after it is by construction the earliest — events
+    * process in event-time order within a user); a click promotes every
+    * still-valid pending view into its purchase horizon; a purchase
+    * resolves every still-valid awaiting pair. Horizon ties are INCLUSIVE
+    * (expiry is strictly-before, so a click landing exactly at
+    * view+horizon still matches — q84's `<=` semantics), and same-ts
+    * stage ties process view → click → purchase, matching the batch
+    * DESC-scan tiebreak. Unresolved entries expire by event-time timeout
+    * once the watermark passes their deadline, emitting the
+    * clicked=false / purchased=false rows an attribution report needs
+    * (the q65-outer argument: inner matching silently drops them).
+    *
+    * State per user is O(events within one horizon) — a click/purchase
+    * FLUSHES the lists, and the timeout evicts stragglers — so total
+    * state is bounded by horizon × event rate, not stream length: the
+    * property that survives at 100 TB/day. Contract shared with
+    * [[statefulSessions]]: within a micro-batch events sort by event
+    * time; across batches feed in event-time order (late events beyond
+    * the watermark are dropped by the framework). */
+  def statefulFunnel(events: DataFrame, clickHorizonMin: Int = 30,
+                     purchaseHorizonMin: Int = 120): DataFrame = {
+    import events.sparkSession.implicits._
+    val clickHz = clickHorizonMin.toLong * 60L * 1000000L
+    val purchHz = purchaseHorizonMin.toLong * 60L * 1000000L
+    val prio = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    events
+      .withWatermark("ts", "2 hours")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp],
+        col("event_type").as[String])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rowsIn: Iterator[(Long, java.sql.Timestamp, String)],
+         state: GroupState[FunnelState]) =>
+          val out = List.newBuilder[FunnelHit]
+          // expire entries whose deadline is strictly before `nowUs`
+          // (inclusive horizons: deadline == now can still match)
+          def expire(st: FunnelState, nowUs: Long): FunnelState = {
+            val (deadV, liveV) = st.views.partition(_ + clickHz < nowUs)
+            deadV.foreach(v => out += FunnelHit(uid, v, false, false))
+            val (deadA, liveA) =
+              st.await.partition(_.clickUs + purchHz < nowUs)
+            deadA.foreach(a => out += FunnelHit(uid, a.viewUs, true, false))
+            FunnelState(liveV, liveA)
+          }
+          def finish(st: FunnelState): Iterator[FunnelHit] = {
+            val deadlines = st.views.map(_ + clickHz) ++
+              st.await.map(_.clickUs + purchHz)
+            if (deadlines.isEmpty) state.remove()
+            else {
+              state.update(st)
+              // must be strictly beyond the watermark or Spark rejects it
+              state.setTimeoutTimestamp(math.max(deadlines.min / 1000L,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+          if (state.hasTimedOut) {
+            finish(expire(state.get, state.getCurrentWatermarkMs() * 1000L))
+          } else {
+            val evs = rowsIn.map { case (_, t, tpe) =>
+              (t.getTime * 1000L + (t.getNanos / 1000) % 1000L, prio(tpe))
+            }.toArray.sortBy(e => (e._1, e._2))
+            var st = state.getOption.getOrElse(FunnelState(Nil, Nil))
+            evs.foreach { case (t, p) =>
+              st = expire(st, t)
+              p match {
+                case 0 => st = FunnelState(st.views :+ t, st.await)
+                case 1 => st = FunnelState(Nil,
+                  st.await ++ st.views.map(FunnelAwait(_, t)))
+                case 2 =>
+                  st.await.foreach(a =>
+                    out += FunnelHit(uid, a.viewUs, true, true))
+                  st = FunnelState(st.views, Nil)
+              }
+            }
+            finish(st)
+          }
+      }
+      .toDF()
+  }
+
   /** Per-user session state for [[statefulSessions]]. */
   case class SessionAgg(userId: Long, start: Long, lastTs: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: Long, n_events: Long)

@@ -422,6 +422,143 @@ class StreamsSpec extends SparkSpec {
       "a closed (timed-out) session was never emitted")
   }
 
+  test("retention sketch: folding in-order day-split batches == one-shot " +
+       "q93, and replay is absorbing") {
+    val state = tmp("graft-ret-state")
+    val e = Tables.events(spark, sfDir)
+    // three in-order event-time batches (the sink's documented contract)
+    val batches = Seq(
+      e.filter(col("ts") < lit("2024-01-11").cast("timestamp")),
+      e.filter(col("ts") >= lit("2024-01-11").cast("timestamp") &&
+               col("ts") < lit("2024-01-21").cast("timestamp")),
+      e.filter(col("ts") >= lit("2024-01-21").cast("timestamp")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Streams.applyRetentionBatch(b, state, 64, s"b$i")
+    }
+    val cols = Seq("cohort_day", "day_offset", "n_kept", "kth_min", "est")
+    val streamed = Streams.retentionSketchState(spark, state)
+      .select(cols.map(col): _*)
+    val oneShot = graft.operators.Events.retentionSketch(spark, sfDir)
+      .select(cols.map(col): _*)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(oneShot).count() === 0 &&
+           oneShot.exceptAll(streamed).count() === 0,
+      "incremental sketch table != one-shot q93")
+    // checkpoint-replay of the last batch must be a no-op
+    Streams.applyRetentionBatch(batches.last, state, 64, "replay")
+    val replayed = Streams.retentionSketchState(spark, state)
+      .select(cols.map(col): _*)
+    assert(replayed.exceptAll(oneShot).count() === 0 &&
+           oneShot.exceptAll(replayed).count() === 0,
+      "replaying a batch changed the sketch state")
+  }
+
+  test("retention sketch sink wires end-to-end through foreachBatch") {
+    val state = tmp("graft-ret-sink-state")
+    val q = Streams.retentionSketchSink(
+      Streams.readEvents(spark, eventsDir), state, tmp("graft-ret-ckpt"))
+    q.awaitTermination(120000)
+    val cols = Seq("cohort_day", "day_offset", "n_kept", "kth_min", "est")
+    val streamed = Streams.retentionSketchState(spark, state)
+      .select(cols.map(col): _*)
+    val oneShot = graft.operators.Events.retentionSketch(spark, sfDir)
+      .select(cols.map(col): _*)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(oneShot).count() === 0 &&
+           oneShot.exceptAll(streamed).count() === 0)
+  }
+
+  test("stateful funnel == independent per-user model, horizon ties " +
+       "inclusive (q84's streaming twin)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val MinUs = 60L * 1000000L
+    val clickHzUs = 30L * MinUs
+    val purchHzUs = 120L * MinUs
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
+
+    // crafted horizon-boundary users + a seeded random population. B > 0:
+    // an event AT the initial watermark (epoch 0) is late-filtered before
+    // the stateful operator ever sees it.
+    val B = 10L * MinUs
+    val crafted = Seq[(Long, Long, String)](
+      (101L, B, "view"), (101L, B + 30L * MinUs, "click"),  // click AT horizon → clicked
+      (102L, B, "view"), (102L, B + 31L * MinUs, "click"),  // past horizon → not clicked
+      (103L, B, "view"), (103L, B + 10L * MinUs, "click"),
+      (103L, B + 130L * MinUs, "purchase"),                 // purchase AT horizon → purchased
+      (104L, B, "view"), (104L, B + 10L * MinUs, "click"),
+      (104L, B + 131L * MinUs, "purchase"),                 // past → clicked only
+      (105L, B + 5L * MinUs, "view"), (105L, B + 5L * MinUs, "click"),
+      (105L, B + 5L * MinUs, "purchase"),                   // same-ts ties: full chain
+      // purchase-less click must NOT let the view pair with an older chain
+      (106L, B, "view"), (106L, B + 1L * MinUs, "click"))
+    val rnd = new scala.util.Random(42)
+    val types = Array("view", "click", "purchase")
+    val random = (1L to 6L).flatMap { u =>
+      var t = 0L
+      (0 until 30).map { _ =>
+        t += (rnd.nextInt(50) + 1) * MinUs
+        (u, t, types(rnd.nextInt(3)))
+      }
+    }
+    val all = crafted ++ random
+    val maxUs = all.map(_._2).max
+    // sentinels push the final watermark (maxUs+20h − 2h) past every
+    // pending deadline so all real views resolve. TWO sentinel batches:
+    // the first only RAISES the watermark (updated after its batch), the
+    // second's processing actually fires the event-time timeouts.
+    val sentinel1 = (999L, maxUs + 20L * 60L * MinUs, "view")
+    val sentinel2 = (999L, maxUs + 21L * 60L * MinUs, "view")
+
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = Streams.statefulFunnel(
+        ms.toDF().toDF("user_id", "ts", "event_type"))
+      .writeStream.format("memory").queryName("funnel_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // three event-time-ordered batches, then the flush sentinel
+      val cut1 = maxUs / 3
+      val cut2 = 2 * maxUs / 3
+      val batches = Seq(
+        all.filter(_._2 <= cut1), all.filter(e => e._2 > cut1 && e._2 <= cut2),
+        all.filter(_._2 > cut2), Seq(sentinel1), Seq(sentinel2))
+      batches.foreach { b =>
+        ms.addData(b.map { case (u, t, tp) => (u, ts(t), tp) })
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val got = spark.table("funnel_sink")
+      .filter(col("user_id") =!= 999L)
+      .select(col("user_id"), col("view_us"), col("clicked"), col("purchased"))
+      .as[(Long, Long, Boolean, Boolean)].collect().sorted.toList
+
+    // independent model of q84's semantics: per view the earliest click at
+    // or after it (clicked iff within horizon), then that click's earliest
+    // purchase at or after it (purchased iff within the click's horizon)
+    val expect = all.groupBy(_._1).toList.flatMap { case (u, evs) =>
+      val clicks = evs.filter(_._3 == "click").map(_._2).sorted
+      val purchases = evs.filter(_._3 == "purchase").map(_._2).sorted
+      evs.filter(_._3 == "view").map { case (_, v, _) =>
+        val c = clicks.find(_ >= v)
+        val clicked = c.exists(_ <= v + clickHzUs)
+        val purchased = clicked &&
+          purchases.find(_ >= c.get).exists(_ <= c.get + purchHzUs)
+        (u, v, clicked, purchased)
+      }
+    }.sorted
+    assert(got === expect)
+    // the crafted boundary rows, by name
+    def row(u: Long) = got.filter(_._1 == u)
+    assert(row(101L) === List((101L, B, true, false)))
+    assert(row(102L) === List((102L, B, false, false)))
+    assert(row(103L) === List((103L, B, true, true)))
+    assert(row(104L) === List((104L, B, true, false)))
+    assert(row(105L) === List((105L, B + 5L * MinUs, true, true)))
+    assert(row(106L) === List((106L, B, true, false)))
+  }
+
   test("readEvents bootstraps on an empty directory a producer fills later") {
     // FileStreamSource's normal lifecycle: the stream is defined on an
     // empty (even not-yet-created) directory and a producer lands files
