@@ -252,15 +252,51 @@ object Events {
     * `last` is O(1). The final per-day rollup partial-aggregates
     * map-side. No inequality join ever plans — at 100 TB this is two
     * sorts of the event stream, the same cost envelope as q36. */
-  def funnelSteps(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val clickHorizonUs = 30L * 60L * 1000000L
-    val purchaseHorizonUs = 2L * 3600L * 1000000L
-    val e = Tables.events(s, d)
+  private[graft] val FunnelClickHorizonUs = 30L * 60L * 1000000L
+  private[graft] val FunnelPurchaseHorizonUs = 2L * 3600L * 1000000L
+
+  private def funnelEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_type"))
-    val wA = Window.partitionBy(col("user_id"))
+
+  /** Widen a funnel event frame to (user_id, bucket) keying: each event
+    * lands in its home time-bucket of `bucketUs` micros, and events in the
+    * first `lookaheadUs` of a bucket are ADDITIONALLY replicated into the
+    * previous bucket (home = false) so every home view's full forward
+    * chain is present in its own partition. Exactness argument: buckets
+    * are half-open, so a home view satisfies v ≤ bucketEnd − 1; its
+    * qualifying click c ≤ v + clickHorizon and that click's qualifying
+    * purchase p ≤ c + purchaseHorizon land strictly inside
+    * bucketEnd + lookahead for lookahead = clickHorizon + purchaseHorizon
+    * — and any purchase/click BEYOND the lookahead is beyond its horizon,
+    * where the unbucketed form ignores it too (pointer differences past
+    * the horizon cannot change the clicked/purchased flags). Replicated
+    * views are dropped before the rollup (home filter); replicated
+    * clicks/purchases are genuine future events for the previous bucket's
+    * views. */
+  private[graft] def funnelBucketed(e: DataFrame, bucketUs: Long,
+                                    lookaheadUs: Long): DataFrame = {
+    val home = e.withColumn("bucket", expr(s"us div ${bucketUs}L"))
+      .withColumn("home", lit(true))
+    val replica = e.filter(col("us") % bucketUs < lookaheadUs)
+      .withColumn("bucket", expr(s"us div ${bucketUs}L") - 1)
+      .withColumn("home", lit(false))
+    home.unionByName(replica)
+  }
+
+  /** The funnel's resolved per-view frame — the two as-of window passes of
+    * the q84 scaladoc over a (user_id, us, event_type, bucket, home)
+    * frame, windows keyed on (user_id, bucket). With a constant bucket
+    * this IS the original single-key form; with [[funnelBucketed]] keying
+    * it is the skew-hardened variant. Factored out so FunnelSkewSpec can
+    * measure the window stage's physical partition sizes on a constructed
+    * hot-user corpus. */
+  private[graft] def funnelResolved(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq(col("user_id"), col("bucket"))
+    val wA = Window.partitionBy(keys: _*)
       .orderBy(col("us").desc, col("is_p").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val clicks = e.filter(col("event_type").isin("click", "purchase"))
@@ -268,12 +304,13 @@ object Events {
       .withColumn("next_p_us",
         last(when(col("is_p") === 1, col("us")), ignoreNulls = true).over(wA))
       .filter(col("is_p") === 0)
-      .select(col("user_id"), col("us"), lit(1).as("is_click"),
+      .select(col("user_id"), col("bucket"), col("home"), col("us"),
+        lit(1).as("is_click"),
         coalesce(col("next_p_us"), lit(-1L)).as("cp_us"))
     val views = e.filter(col("event_type") === "view")
-      .select(col("user_id"), col("us"), lit(0).as("is_click"),
-        lit(-1L).as("cp_us"))
-    val wB = Window.partitionBy(col("user_id"))
+      .select(col("user_id"), col("bucket"), col("home"), col("us"),
+        lit(0).as("is_click"), lit(-1L).as("cp_us"))
+    val wB = Window.partitionBy(keys: _*)
       .orderBy(col("us").desc, col("is_click").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     views.unionByName(clicks)
@@ -281,20 +318,46 @@ object Events {
         last(when(col("is_click") === 1, col("us")), ignoreNulls = true).over(wB))
       .withColumn("next_cp_us",
         last(when(col("is_click") === 1, col("cp_us")), ignoreNulls = true).over(wB))
-      .filter(col("is_click") === 0)
+      .filter(col("is_click") === 0 && col("home"))
       .withColumn("clicked",
         col("next_c_us").isNotNull &&
-        col("next_c_us") <= col("us") + lit(clickHorizonUs))
+        col("next_c_us") <= col("us") + lit(FunnelClickHorizonUs))
       .withColumn("purchased",
         col("clicked") &&
         col("next_cp_us") =!= lit(-1L) &&
-        col("next_cp_us") <= col("next_c_us") + lit(purchaseHorizonUs))
+        col("next_cp_us") <= col("next_c_us") + lit(FunnelPurchaseHorizonUs))
+  }
+
+  private def funnelRollup(resolved: DataFrame): DataFrame =
+    resolved
       .groupBy(date_format(timestamp_micros(col("us")), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_views"),
         sum(col("clicked").cast("long")).as("n_clicked"),
         sum(col("purchased").cast("long")).as("n_purchased"))
       .orderBy(col("day"))
-  }
+
+  def funnelSteps(s: SparkSession, d: String): DataFrame =
+    funnelRollup(funnelResolved(funnelEvents(s, d)
+      .withColumn("bucket", lit(0L)).withColumn("home", lit(true))))
+
+  // ── q94: skew-hardened funnel (bounded-horizon time bucketing) ──────────
+  /** q84 with the bare-user_id window key WIDENED to (user_id, day-bucket)
+    * — the r10 watch item's fix. The funnel's horizons are BOUNDED (30 min
+    * + 2 h), which is what makes exact first-match semantics compatible
+    * with key widening at all: a 2.5-hour lookahead replica of each
+    * bucket's head into the previous bucket makes every home view's chain
+    * locally resolvable ([[funnelBucketed]]'s exactness argument — this is
+    * the window analog of q71's (source, hash-prefix) widening, except
+    * horizon-bounded replication preserves EXACT semantics where blind
+    * salting could not). A hot user's events now spread across one
+    * partition per active day (FunnelSkewSpec measures ≥ 8× max-partition
+    * reduction on a constructed hot user), at the cost of ~10% replicated
+    * rows (2.5 h / 24 h). Same oracle as q84 — the rollups must be
+    * identical row-for-row. */
+  def funnelStepsBucketed(s: SparkSession, d: String): DataFrame =
+    funnelRollup(funnelResolved(funnelBucketed(funnelEvents(s, d),
+      bucketUs = 86400L * 1000000L,
+      lookaheadUs = FunnelClickHorizonUs + FunnelPurchaseHorizonUs)))
   val funnelStepsSql: String =
     """WITH e AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
@@ -448,7 +511,8 @@ object Events {
     "q65_interval_join_outer" -> (intervalJoinOuter _),
     "q84_funnel_steps"    -> (funnelSteps _),
     "q85_retention_cohorts" -> (retentionCohorts _),
-    "q93_retention_sketch" -> (retentionSketch _))
+    "q93_retention_sketch" -> (retentionSketch _),
+    "q94_funnel_bucketed" -> (funnelStepsBucketed _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q25_json_props"      -> jsonPropsSql,
@@ -458,5 +522,6 @@ object Events {
     "q65_interval_join_outer" -> intervalJoinOuterSql,
     "q84_funnel_steps"    -> funnelStepsSql,
     "q85_retention_cohorts" -> retentionCohortsSql,
-    "q93_retention_sketch" -> retentionSketchSql)
+    "q93_retention_sketch" -> retentionSketchSql,
+    "q94_funnel_bucketed" -> funnelStepsSql)
 }
