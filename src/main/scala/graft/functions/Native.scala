@@ -76,6 +76,12 @@ object Native {
   /** The language-ID trigram case of [[charNgrams]]. */
   def charTrigrams(s: Column): Column = charNgrams(s, 3)
 
+  /** Total greedy longest-match subword token count of a word array over
+    * the fixed embedded [[SubwordVocab]] — the token-true budget for q95's
+    * sequence packing. */
+  def subwordCount(words: Column): Column =
+    call_function("subword_count", words)
+
   /** Random-hyperplane sign sketch of a double vector, fused: bit j of
     * the result is `sign(v · h_j)` over `bits` fixed pseudo-random
     * hyperplanes (Knuth-hash doubles in [-0.5, 0.5), derived per
@@ -858,6 +864,90 @@ case class SimHash60Expr(child: Expression)
       j += 1
     }
     sim
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The fixed subword vocabulary for [[SubwordCountExpr]] — embedded in the
+  * engine AND mirrored literally into the DuckDB oracle (the q95 SQL is
+  * generated from this exact list), so both engines replay the identical
+  * greedy longest-match. All 26 single letters guarantee progress on the
+  * corpus charset; the multi-character pieces (max length 6) are common
+  * English/corpus subwords so real words split into 1–4 pieces and
+  * longest-match is genuinely exercised (a whole-word piece beats its own
+  * prefixes, e.g. "window" over "wi"+"ndow"). Deterministic and seedless,
+  * like the minhash permutation constants. */
+object SubwordVocab {
+  val pieces: Seq[String] =
+    ("abcdefghijklmnopqrstuvwxyz".map(_.toString) ++ Seq(
+      "the", "er", "in", "an", "or", "ar", "st", "ch", "sh", "ow", "ey",
+      "ing", "ion", "ort", "ash", "oin", "can", "dow", "ndow", "atch",
+      "ream", "able", "erge", "art", "all", "ta", "ba", "wi", "sma", "par",
+      "window", "stream", "batch", "table", "order", "scan", "hash",
+      "merge", "spark", "join", "sort")).toVector
+  val maxLen: Int = pieces.map(_.length).max
+  private val set = new java.util.HashSet[String](pieces.size * 2)
+  pieces.foreach(set.add)
+
+  /** Greedy longest-match token count of one word: at each position take
+    * the longest vocab piece prefixing the remainder (fallback: consume
+    * one character as one token — unreachable on [a-z] input since every
+    * letter is a piece, but it keeps the kernel total on arbitrary
+    * bytes, matching the oracle's `coalesce(match_len, 1)`). */
+  def countWord(w: String): Int = {
+    val len = w.length
+    var pos = 0
+    var n = 0
+    while (pos < len) {
+      var l = math.min(maxLen, len - pos)
+      var step = 1
+      while (l >= 1) {
+        if (set.contains(w.substring(pos, pos + l))) { step = l; l = 0 }
+        else l -= 1
+      }
+      n += 1
+      pos += step
+    }
+    n
+  }
+}
+
+/** Total greedy-subword token count of a word array — the token-true
+  * budget for sequence packing (q95): `size(words)` counts WORDS, but a
+  * training budget is in TOKENS, and a deterministic embedded-vocab
+  * tokenizer makes the 2048 budget token-true while staying exactly
+  * reproducible in the oracle (a learned BPE would not be). One tight
+  * JIT-compiled loop per row, inside whole-stage codegen via
+  * [[KernelInvokeCodegen]]; the vocab lookup is a shared static HashSet —
+  * no per-row allocation beyond the word strings themselves. */
+case class SubwordCountExpr(child: Expression)
+    extends UnaryExpression with KernelInvokeCodegen {
+
+  override def prettyName: String = "subword_count"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"subword_count needs array<string>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var total = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i))
+        total += SubwordVocab.countWord(arr.getUTF8String(i).toString)
+      i += 1
+    }
+    total
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

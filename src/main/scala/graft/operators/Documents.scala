@@ -1424,6 +1424,77 @@ object Documents {
        |FROM c GROUP BY source, bin
        |ORDER BY source, bin""".stripMargin
 
+  // ── q95: token-TRUE sequence packing (embedded-vocab subword tokens) ────
+  /** q71's packing with the budget measured in SUBWORD TOKENS, not words
+    * (VERDICT r10 item 8): a training budget is a token budget, and word
+    * counts under-fill it by whatever the tokenizer's fertility is. The
+    * counter is [[graft.functions.Native.subwordCount]] — greedy
+    * longest-match over the fixed embedded [[graft.functions.SubwordVocab]]
+    * (all single letters + ~40 multi-char pieces), a native codegen'd
+    * kernel. Determinism is the design point: a learned BPE's merges
+    * depend on training corpus statistics, while the frozen vocab makes
+    * the count a pure function of the text that the DuckDB oracle replays
+    * EXACTLY — a recursive CTE consumes each word's longest matching
+    * piece per step (`max(len(p))` over `LIKE p || '%'`, fallback 1
+    * char), generated from the very same piece list, so an off-by-one
+    * anywhere in the greedy loop hash-mismatches.
+    *
+    * Scale shape identical to q71: the tokenizer is map-side (one tight
+    * loop per row, inside whole-stage codegen), then one window shuffle
+    * on source — same key-widening note applies. */
+  def tokenPack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        Text.portableHash(col("doc_id").cast("string")).as("h"),
+        graft.functions.Native.subwordCount(Text.toWords(col("text")))
+          .cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n_tokens")) / lit(PackBudgetTokens.toDouble))
+          .cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("source"), col("bin"))
+  }
+  val tokenPackSql: String = {
+    val vocabVals =
+      graft.functions.SubwordVocab.pieces.map(p => s"('$p')").mkString(", ")
+    s"""WITH RECURSIVE
+       |vocab(p) AS (SELECT * FROM (VALUES $vocabVals) v(p)),
+       |w0 AS (SELECT doc_id, source, unnest($wordsSql) AS word FROM documents),
+       |w2 AS (SELECT doc_id, source, word, row_number() OVER () AS wid FROM w0),
+       |tok AS (
+       |  SELECT wid, word AS rest, 0 AS n FROM w2
+       |  UNION ALL
+       |  SELECT wid,
+       |    substr(rest, 1 + coalesce(
+       |      (SELECT max(len(p)) FROM vocab WHERE rest LIKE p || '%'), 1)),
+       |    n + 1
+       |  FROM tok WHERE len(rest) > 0),
+       |cnt AS (SELECT wid, max(n) AS ntok FROM tok GROUP BY wid),
+       |t AS (
+       |  SELECT w2.doc_id, w2.source, sum(cnt.ntok) AS n_tokens
+       |  FROM w2 JOIN cnt USING (wid) GROUP BY 1, 2),
+       |t2 AS (
+       |  SELECT source, n_tokens,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+       |    doc_id
+       |  FROM t),
+       |c AS (
+       |  SELECT source, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t2)
+       |SELECT source, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM c GROUP BY source, bin
+       |ORDER BY source, bin""".stripMargin
+  }
+
   // ── q72: weighted corpus mixing — per-source epoch weights ──────────────
   /** Deterministic mixture resampling: each source gets an epoch weight
     * (how many times its documents appear in the training mix — here
@@ -1889,6 +1960,7 @@ object Documents {
     "q41_group_sample"    -> (groupSample _),
     "q42_train_test_split"-> (trainTestSplit _),
     "q71_sequence_pack"   -> (sequencePack _),
+    "q95_token_pack"      -> (tokenPack _),
     "q72_source_mix"      -> (sourceMix _),
     "q76_doc_chunks"      -> (docChunks _),
     "q77_chunk_dedup"     -> (chunkDedup _),
@@ -1919,6 +1991,7 @@ object Documents {
     "q41_group_sample"    -> groupSampleSql,
     "q42_train_test_split"-> trainTestSplitSql,
     "q71_sequence_pack"   -> sequencePackSql,
+    "q95_token_pack"      -> tokenPackSql,
     "q72_source_mix"      -> sourceMixSql,
     "q76_doc_chunks"      -> docChunksSql,
     "q77_chunk_dedup"     -> chunkDedupSql,

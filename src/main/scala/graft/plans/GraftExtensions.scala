@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import graft.functions.{BloomMightContainExpr, CharNgramsExpr,
   DotProductExpr, JaccardBpExpr, LongChunksExpr, MinHashBandsExpr,
   SignSketchBandsExpr, SignSketchExpr, SimHash128BandsExpr, SimHash60Expr,
-  WordNgramsExpr}
+  SubwordCountExpr, WordNgramsExpr}
 
 /** Engine extension point — registers the native dedup kernels with the
   * session's function registry via the PUBLIC `SparkSessionExtensions` API
@@ -50,6 +50,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "char_ngrams(str, n) takes 2 args")
         CharNgramsExpr(args.head, intArg(args(1), "n"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("subword_count"),
+      new ExpressionInfo(classOf[SubwordCountExpr].getName, "subword_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "subword_count(words) takes 1 arg")
+        SubwordCountExpr(args.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),

@@ -271,6 +271,52 @@ class NativeSpec extends SparkSpec {
     assert(gen.last === "[null,null,null,null]")
   }
 
+  test("subword_count: greedy longest-match parity with an independent " +
+       "model, both codegen modes (q95)") {
+    import spark.implicits._
+    // independent greedy model: prefix search over the piece LIST via
+    // startsWith (the kernel uses substring + HashSet — different path)
+    def modelWord(w: String): Int = {
+      var pos = 0
+      var n = 0
+      while (pos < w.length) {
+        val rest = w.substring(pos)
+        val hit = SubwordVocab.pieces.filter(rest.startsWith)
+          .sortBy(-_.length).headOption
+        n += 1
+        pos += hit.map(_.length).getOrElse(1)
+      }
+      n
+    }
+    // canaries: whole-word piece beats its prefixes; multi-piece splits
+    assert(modelWord("window") === 1)
+    assert(modelWord("streaming") === 2)  // stream + ing
+    assert(modelWord("thecat") === 4)     // the + c + a + t
+    val texts = Seq("the window stream merge", "streaming batches sorted",
+      "zz qq xyzzy", "spark table scan join order hash", "a", "")
+    def run(): Seq[Int] = texts.toDF("text")
+      .select(Native.subwordCount(graft.functions.Text.toWords(col("text"))))
+      .as[Int].collect().toSeq
+    def withConf[A](kv: (String, String)*)(body: => A): A = {
+      val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kv.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+    val expect = texts.map(
+      _.trim.split("\\s+").filter(_.nonEmpty).map(modelWord).sum)
+    val gen = withConf(
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY",
+      "spark.sql.codegen.fallback"    -> "false")(run())
+    val interp = withConf(
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN",
+      "spark.sql.codegen.wholeStage"  -> "false")(run())
+    assert(gen === expect)
+    assert(interp === expect)
+  }
+
   test("kernels are SQL-callable through the registry") {
     val n = df.createOrReplaceTempView("t")
     val out = spark.sql(
