@@ -571,11 +571,37 @@ object Similarity {
     * pair-exactly.
     *
     * Scale shape: nlist centroid rows broadcast → assignment is
-    * map-side; the pairwise stage is an EQUI-join on the cluster id —
-    * one shuffle of (cluster, vec, norm) per side, candidate work
-    * Σ_c n_c² (the SemDeDup trade: cluster granularity is the knob —
-    * more centroids, smaller n_c, linear-er work, more cross-cluster
-    * misses). Never a CartesianProduct (PlanSpec pins it); the witness
+    * map-side; the pairwise stage is an EQUI-join on (cluster, sketch
+    * band) — the r11 ladder caught the bare cluster join's cliff
+    * (clusters inherit the data's FIXED 10-way label, so n_c grows with
+    * the corpus and Σ_c n_c² turned a 10× decade into 55× time: 2.9 s at
+    * sf1 → 161 s at sf10). The fix is q35's inline-verify banding INSIDE
+    * the cluster: each side fans out to its [[NChunks]] sign-sketch band
+    * rows (vector + norm riding along — no candidate-pair
+    * materialization, q35's r9 lesson) and only band collisions reach
+    * the exact cosine, so candidate work is band-bucket-bounded instead
+    * of cluster-quadratic. Measured: sf1 2.9 → 1.8 s, sf10 161 →
+    * 4.0 s. The trade is RECALL AT THE BOUNDARY, stated with its
+    * measured size: the ladder corpus's ScaleUp-perturbed replicas are
+    * near-τ pairs by construction (cosine 0.95–0.99, sketch Hamming
+    * ~4–10 over 120 bits), and 5×24-bit banding misses the
+    * high-Hamming tail of them — drop rows 16762 → 10588 at sf1
+    * (−37%), 201309 → 171769 at sf10 (−15%).
+    * Direction-identical duplicates — the class semantic dedup actually
+    * hunts (re-encodes, scaled/quantized copies; cosine ≈ 1, Hamming 0)
+    * — are caught with ZERO miss risk, which is also what keeps the
+    * brute-force oracle exact on gate data (organic harness pairs all
+    * sit < 0.8; planted ×1.0001 copies sketch identically). The
+    * recall-preserving production fix at 100 TB is not banding but
+    * QUANTIZER GRANULARITY — SemDeDup's own answer: cluster count
+    * scaling with the corpus (k ∝ N, hierarchically assigned), which
+    * keeps within-cluster exact compare LINEAR (C·N) and which the
+    * materialized-model plumbing here (datasetTag keying,
+    * Merge.materialize) already supports; the fixed 10-way toy quantizer
+    * is the harness's, not the operator family's. The cluster key still
+    * rides the join: SemDeDup's semantics — only same-cluster pairs
+    * compare — are preserved exactly, banding only PRUNES within the
+    * cluster. Never a CartesianProduct (PlanSpec pins it); the witness
     * election is ONE window over the drop candidates. */
   val SemDedupTauMicro = 950000L
 
@@ -608,8 +634,18 @@ object Similarity {
       .withColumn("arank", row_number().over(wA))
       .filter(col("arank") === 1)
       .select(col("vec_id"), col("label").as("cluster"), col("v"), col("nrm"))
-    val pairs = assigned.as("a").join(assigned.as("b"),
+    // fan each assigned vector out to its sign-sketch band rows (vector +
+    // norm riding along — q35's no-pair-materialization contract); only
+    // same-cluster same-band collisions reach the exact cosine
+    val chunks = assigned.select(col("vec_id"), col("cluster"), col("v"),
+        col("nrm"),
+        explode(Native.signSketchBands(col("v"), SketchBits, NChunks))
+          .as("ch"))
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"),
+        col("ch.band").as("chunk"), col("ch.bh").as("cv"))
+    val pairs = chunks.as("a").join(chunks.as("b"),
         col("a.cluster") === col("b.cluster") &&
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("b.vec_id").as("drop_id"),
         col("a.cluster").as("cluster"),
@@ -617,6 +653,8 @@ object Similarity {
         (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
           .as("sim"))
       .filter(simMicro(col("sim")) >= lit(SemDedupTauMicro))
+    // a surviving pair repeats once per shared band; row_number over the
+    // deterministic (keep_id) order collapses them with the election
     val wD = Window.partitionBy(col("drop_id")).orderBy(col("keep_id").asc)
     pairs.withColumn("wrank", row_number().over(wD))
       .filter(col("wrank") === 1)
