@@ -162,6 +162,68 @@ object Merge {
     untouched.unionByName(scd2FromLog(log, key, effCol, attrs))
   }
 
+  /** CDC net effect — collapse a change log of (key, seq, op, attrs…) rows
+    * to one row per key: the row with the HIGHEST `seqCol` wins (the
+    * Debezium/Kafka-compacted-topic semantic; `op` is 'D' for a delete
+    * tombstone, anything else upserts). Tombstones are RETAINED in the
+    * output — that is what makes [[cdcApply]] order-independent: a table
+    * that forgot a delete would let a late-arriving older update resurrect
+    * the row, while a kept tombstone out-ranks it by seq. Read the live
+    * view through [[cdcView]]; a retention pass (drop tombstones older
+    * than a low-watermark seq once all producers passed it) is the
+    * compaction analog and composes with [[compact]].
+    *
+    * Contract: (key, seq) pairs are unique — the CDC source's ordering
+    * guarantee (a log with two ops at the same key+seq has no defined
+    * winner anywhere). NULL-key rows are dropped, same strict semantic as
+    * every keyed merge here.
+    *
+    * Scale: ONE shuffle on the key (window + row_number, partial nothing —
+    * but the window state is O(1) per key). At 100 TB the log is
+    * partitioned by key on the lake and the shuffle is avoidable via
+    * bucketing, like the other keyed merges. */
+  def cdcNet(log: DataFrame, key: String, seqCol: String): DataFrame =
+    dedupKeepFirst(log.filter(col(key).isNotNull),
+      Seq(key), Seq(col(seqCol).desc))
+
+  /** Apply a CDC batch to a standing net table (one produced by [[cdcNet]]
+    * or previous applies — tombstones included): per-key last-wins by seq
+    * over `table ∪ batch`. Because both sides carry their seq and deletes
+    * are tombstone rows rather than absences, this is ORDER-INDEPENDENT
+    * and ABSORBING: applying batches in any order, any number of times,
+    * yields the same table as one-shot [[cdcNet]] over the concatenated
+    * log (MergeSpec property) — the at-least-once, out-of-order delivery
+    * contract a real CDC consumer needs.
+    *
+    * Scale: only TOUCHED keys re-window. The batch's key set broadcasts
+    * (correction batches are small vs the table); untouched rows pass
+    * through without entering the window shuffle — the [[scd2Merge]]
+    * pattern. */
+  def cdcApply(table: DataFrame, batch: DataFrame, key: String,
+               seqCol: String): DataFrame = {
+    val b = batch.filter(col(key).isNotNull)
+    val touchedKeys = b.select(col(key)).distinct()
+    val untouched = table.join(broadcast(touchedKeys), Seq(key), "left_anti")
+    val touched = table.join(broadcast(touchedKeys), Seq(key), "left_semi")
+    untouched.unionByName(cdcNet(touched.unionByName(b), key, seqCol))
+  }
+
+  /** The live read view of a CDC net table: rows whose latest op is not a
+    * delete tombstone. */
+  def cdcView(table: DataFrame, opCol: String = "op"): DataFrame =
+    table.filter(col(opCol) =!= "D")
+
+  /** S7's CDC twin — crash-safe sink apply of a CDC batch via the same
+    * recover-first [[writeAndSwap]] protocol as [[mergeWrite]] /
+    * [[upsertWrite]]. Re-running a batch is a no-op and batches may land
+    * out of order ([[cdcApply]]'s tombstone argument), so the sink stays
+    * correct under at-least-once, unordered delivery — strictly stronger
+    * than the reference's resume invariant (SURVEY §3 E3). */
+  def cdcWrite(incoming: DataFrame, key: String, seqCol: String,
+               path: String): Unit =
+    mergedWrite(incoming, key, path,
+      (existing, batch, k) => cdcApply(existing, batch, k, seqCol))
+
   /** D3 within one batch, made deterministic: keep, per key, the row that is
     * first under an EXPLICIT total order (the reference's implicit
     * encounter order has no distributed meaning — SURVEY §2 D2/D3). */

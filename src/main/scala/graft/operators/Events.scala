@@ -383,6 +383,122 @@ object Events {
       |            THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
       |FROM vf GROUP BY day ORDER BY day""".stripMargin
 
+  // ── q97: linear multi-touch attribution ─────────────────────────────────
+  /** Multi-touch attribution — the credit-ASSIGNMENT completion of the
+    * attribution family: q36 is last-touch (one click takes everything),
+    * this is the linear model (every click of the same user within 2 h
+    * BEFORE the purchase shares the purchase value equally). Credit is
+    * integer basis points of a cent, `(v_cents * 10000) div n_touches` —
+    * the repo's cross-engine determinism convention, floor-division on
+    * longs so both engines agree bit-for-bit (remainders vanish rather
+    * than float). Output: per click, how many purchases it touched and
+    * the total credit it earned.
+    *
+    * Scale: ONE exchange pair total. The equi component (user_id) makes
+    * the pair join a sort-merge join with the time range as a residual —
+    * never a nested loop — and everything downstream stays in that
+    * partitioning: the per-purchase touch count windows on
+    * (user_id, purchase_id) and the per-click rollup groups on
+    * (user_id, click_id), both of which HashPartitioning(user_id)
+    * already satisfies, so Catalyst plans NO further exchange (the
+    * fan-out work rides the join's partitioning — PlanSpec pins exactly
+    * one non-broadcast exchange per side). Per-user cost is
+    * clicks×purchases inside the horizon; a pathological hot user takes
+    * the q94 bounded-horizon bucket widening. */
+  def multiTouchAttribution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), cents(col("value")).as("v_cents"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val w = Window.partitionBy(col("user_id"), col("purchase_id"))
+    p.join(c,
+        col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS") &&
+        col("c_ts") <= col("p_ts"))
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .withColumn("credit_bp", expr("(v_cents * 10000) div n_touches"))
+      .groupBy(col("user_id"), col("click_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+           sum(col("credit_bp")).as("credit_bp"))
+      .select(col("click_id"), col("user_id"), col("n_purchases"),
+        col("credit_bp"))
+      .orderBy(col("click_id"))
+  }
+  val multiTouchAttributionSql: String =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts,
+      |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v_cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT event_id AS click_id, user_id AS c_user, CAST(ts AS TIMESTAMP) AS c_ts
+      |  FROM events WHERE event_type = 'click'),
+      |pairs AS (
+      |  SELECT purchase_id, click_id, p.user_id, v_cents,
+      |    count(*) OVER (PARTITION BY purchase_id) AS n_touches
+      |  FROM p JOIN c ON p.user_id = c_user
+      |    AND c_ts BETWEEN p_ts - INTERVAL 2 HOUR AND p_ts)
+      |SELECT click_id, user_id, count(*) AS n_purchases,
+      |  CAST(sum((v_cents * 10000) // n_touches) AS BIGINT) AS credit_bp
+      |FROM pairs GROUP BY click_id, user_id
+      |ORDER BY click_id""".stripMargin
+
+  // ── q98: session conversion paths (top-k ordered sequences) ─────────────
+  /** Path analysis — per 30-minute-gap session, the ordered event-type
+    * sequence as a '>'-joined string, then the top-20 paths by session
+    * count: the "what do users actually do" rollup that funnels (q84)
+    * presuppose an answer to. Within-session order is (ts, event_id) —
+    * event_id breaks ts ties so both engines agree on the exact string.
+    * Session boundary semantics are q27's empirically-pinned inclusive
+    * merge (events exactly 30 min apart share a session), and the oracle
+    * reuses q27's gaps-and-islands form with `string_agg(... ORDER BY)`.
+    *
+    * Scale: one shuffle on user_id for sessionization (the same exchange
+    * q27 pays); the per-session array is bounded by session length — a
+    * session is human-bounded, not corpus-bounded — and the path rollup
+    * partial-aggregates map-side on the path string, with the top-20 as
+    * TakeOrderedAndProject (per-partition heaps, no global sort). */
+  def sessionPaths(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(array_sort(collect_list(struct(
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type")))).as("evs"))
+      .select(col("user_id"),
+        array_join(transform(col("evs"), _.getField("event_type")), ">")
+          .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"),
+           countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(20)
+  val sessionPathsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events),
+      |marked AS (
+      |  SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+      |                                         ORDER BY ts, event_id)
+      |                      <= INTERVAL 30 MINUTE
+      |                 THEN 0 ELSE 1 END AS brk
+      |  FROM e),
+      |grouped AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked),
+      |paths AS (
+      |  SELECT user_id, sid,
+      |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |  FROM grouped GROUP BY user_id, sid)
+      |SELECT path, count(*) AS n_sessions,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM paths GROUP BY path
+      |ORDER BY n_sessions DESC, path ASC
+      |LIMIT 20""".stripMargin
+
   // ── q85: retention cohorts ──────────────────────────────────────────────
   /** Cohort retention — the other canonical event-analytics rollup next to
     * the funnel: users cohorted by their FIRST active day, then for each
@@ -512,7 +628,9 @@ object Events {
     "q84_funnel_steps"    -> (funnelSteps _),
     "q85_retention_cohorts" -> (retentionCohorts _),
     "q93_retention_sketch" -> (retentionSketch _),
-    "q94_funnel_bucketed" -> (funnelStepsBucketed _))
+    "q94_funnel_bucketed" -> (funnelStepsBucketed _),
+    "q97_multitouch_attribution" -> (multiTouchAttribution _),
+    "q98_session_paths"   -> (sessionPaths _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q25_json_props"      -> jsonPropsSql,
@@ -523,5 +641,7 @@ object Events {
     "q84_funnel_steps"    -> funnelStepsSql,
     "q85_retention_cohorts" -> retentionCohortsSql,
     "q93_retention_sketch" -> retentionSketchSql,
-    "q94_funnel_bucketed" -> funnelStepsSql)
+    "q94_funnel_bucketed" -> funnelStepsSql,
+    "q97_multitouch_attribution" -> multiTouchAttributionSql,
+    "q98_session_paths"   -> sessionPathsSql)
 }

@@ -263,6 +263,66 @@ object Relational {
       |  coalesce(strftime(valid_to, '%Y-%m-%d'), 'open') AS valid_to
       |FROM fin ORDER BY o_custkey, valid_from""".stripMargin
 
+  // ── q96: CDC apply — last-wins net with delete tombstones ───────────────
+  /** Change-data-capture apply, the missing member of the merge family
+    * (q05 insert-only → q64 type-1 upsert → q92 type-2 history → this:
+    * upsert WITH DELETES, last-wins by source sequence — the Debezium /
+    * Delta-CDF consumer semantic). Base snapshot: every customer at
+    * seq 0. Change log: each order is an update to its customer's row
+    * (new balance = the order's total, segment = its priority), with
+    * every tenth orderkey a DELETE of that customer; the log splits into
+    * two seq ranges applied in REVERSE order through the incremental
+    * [[Merge.cdcApply]] — so the oracle gate proves out-of-order batch
+    * apply ≡ one-shot net over the concatenated log, the tombstone
+    * argument made into a checked invariant (MergeSpec adds permutation
+    * + replay properties on generated logs). Output is the live
+    * [[Merge.cdcView]]: deleted customers are gone, updated ones carry
+    * their highest-seq values, untouched ones their snapshot row.
+    *
+    * Scale: each apply re-windows only the batch's TOUCHED keys
+    * (broadcast anti/semi split, the q92 pattern); the window shuffle
+    * carries (key, seq, cents, short string) — never wide rows. */
+  def cdcApplyNet(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d).select(
+      col("c_custkey").as("k"), lit(0L).as("seq"), lit("I").as("op"),
+      asCents(col("c_acctbal")).as("bal_cents"),
+      col("c_mktsegment").as("segment"))
+    // seq = orderkey + 1: harness orderkeys start at 0, which would
+    // collide with the snapshot's seq 0 and break (key, seq) uniqueness.
+    val log = Tables.orders(s, d).select(
+      col("o_custkey").as("k"), (col("o_orderkey") + 1).as("seq"),
+      when(col("o_orderkey") % 10 === 0, "D").otherwise("U").as("op"),
+      asCents(col("o_totalprice")).as("bal_cents"),
+      col("o_orderpriority").as("segment"))
+    val mid = 3000L // splits the harness orderkey range at every sf
+    val applied = Merge.cdcApply(
+      Merge.cdcApply(base, log.filter(col("seq") >= mid), "k", "seq"),
+      log.filter(col("seq") < mid), "k", "seq")
+    Merge.cdcView(applied)
+      .select(col("k"), col("seq").as("last_seq"), col("bal_cents"),
+        col("segment"))
+      .orderBy(col("k"))
+  }
+  val cdcApplyNetSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS k, CAST(0 AS BIGINT) AS seq, 'I' AS op,
+      |    CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_cents,
+      |    c_mktsegment AS segment
+      |  FROM customer),
+      |chg AS (
+      |  SELECT o_custkey AS k, o_orderkey + 1 AS seq,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+      |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS bal_cents,
+      |    o_orderpriority AS segment
+      |  FROM orders),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+      |net AS (
+      |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |  FROM u)
+      |SELECT k, seq AS last_seq, bal_cents, segment
+      |FROM net WHERE rn = 1 AND op <> 'D'
+      |ORDER BY k""".stripMargin
+
   // ── q06: union-by-name with missing columns (U1) ────────────────────────
   def unionByName(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
@@ -642,6 +702,7 @@ object Relational {
     "q60_range_join"          -> (rangeJoinOrders _),
     "q64_upsert_merge"        -> (upsertMerge _),
     "q92_scd2_history"        -> (scd2History _),
+    "q96_cdc_apply"           -> (cdcApplyNet _),
     "q66_bucketed_join"       -> (bucketedJoin _),
     "q73_bloom_join"          -> (bloomFilteredJoin _),
     "q74_zorder_cells"        -> (zOrderCells _),
@@ -661,6 +722,7 @@ object Relational {
     "q60_range_join"           -> rangeJoinOrdersSql,
     "q64_upsert_merge"         -> upsertMergeSql,
     "q92_scd2_history"         -> scd2HistorySql,
+    "q96_cdc_apply"            -> cdcApplyNetSql,
     "q66_bucketed_join"        -> bucketedJoinSql,
     "q73_bloom_join"           -> bloomFilteredJoinSql,
     "q74_zorder_cells"         -> zOrderCellsSql,

@@ -102,6 +102,22 @@ object Streams {
                  checkpoint: String): StreamingQuery =
     mergingSink(events, key, path, checkpoint, graft.etl.Merge.upsertMerge)
 
+  /** The CDC twin of [[upsertSink]] — each micro-batch of change rows
+    * (key, seq, op, attrs…) folds into the sink's net table via
+    * [[graft.etl.Merge.cdcApply]]: last-wins by source sequence, deletes
+    * kept as tombstones. STRICTLY stronger delivery contract than the
+    * other sinks: because every row carries its seq and deletes are
+    * tombstone rows, the apply is order-INDEPENDENT as well as absorbing
+    * (MergeSpec property), so correctness needs only at-least-once
+    * delivery in ANY order — a checkpoint replay, a re-partitioned
+    * upstream topic, or a late-arriving backfill batch all land on the
+    * same net table. Read the live view through
+    * [[graft.etl.Merge.cdcView]]. */
+  def cdcSink(changes: DataFrame, key: String, seqCol: String, path: String,
+              checkpoint: String): StreamingQuery =
+    mergingSink(changes, key, path, checkpoint,
+      (existing, batch, k) => graft.etl.Merge.cdcApply(existing, batch, k, seqCol))
+
   private def mergingSink(events: DataFrame, key: String, path: String,
       checkpoint: String,
       merge: (DataFrame, DataFrame, String) => DataFrame,

@@ -357,4 +357,68 @@ class MergeSpec extends SparkSpec {
       assert(scd2Rows(replayed) === oneShot, s"seed $seed: replay not absorbing")
     }
   }
+
+  // ── CDC apply (q96) ──────────────────────────────────────────────────────
+
+  private def cdcDf(rows: Seq[(Long, Long, String, String)]) =
+    rows.toDF("k", "seq", "op", "v")
+
+  private def cdcRows(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("k"), col("seq"), col("op"), col("v"))
+      .as[(Long, Long, String, String)].collect().sorted
+
+  test("cdcNet: last-wins per key, tombstones retained, view hides them") {
+    val log = cdcDf(Seq((1L, 1L, "I", "a"), (1L, 3L, "U", "b"),
+      (2L, 1L, "I", "x"), (2L, 5L, "D", ""), (3L, 2L, "I", "only")))
+    val net = cdcRows(Merge.cdcNet(log, "k", "seq"))
+    assert(net === Array((1L, 3L, "U", "b"), (2L, 5L, "D", ""),
+      (3L, 2L, "I", "only")))
+    val live = cdcRows(Merge.cdcView(Merge.cdcNet(log, "k", "seq")))
+    assert(live.map(_._1).toSeq === Seq(1L, 3L))
+  }
+
+  test("cdcApply: a kept tombstone out-ranks a late-arriving older update") {
+    val table = Merge.cdcNet(
+      cdcDf(Seq((7L, 1L, "I", "born"), (7L, 9L, "D", ""))), "k", "seq")
+    // the late batch carries seq 5 < 9 — without the tombstone the key
+    // would resurrect; with it, the delete still wins
+    val late = cdcDf(Seq((7L, 5L, "U", "zombie")))
+    val out = cdcRows(Merge.cdcApply(table, late, "k", "seq"))
+    assert(out === Array((7L, 9L, "D", "")))
+  }
+
+  private val cdcGen: Gen[List[(Long, Long, String, String)]] =
+    Gen.listOfN(30, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 19L),
+      Gen.oneOf("I", "U", "D"), Gen.oneOf("a", "b", "c")))
+
+  test("property: cdcApply folded over any batch split, in any order, " +
+       "with replay, equals one-shot cdcNet") {
+    for (seed <- 0L until 8L) {
+      val raw = cdcGen(Gen.Parameters.default, Seed(seed)).get
+        .distinctBy(t => (t._1, t._2)) // contract: unique (key, seq)
+      val oneShot = cdcRows(Merge.cdcNet(cdcDf(raw), "k", "seq"))
+      val cut = 5 + (seed % 10)
+      val (b1, b2) = raw.partition(_._2 < cut)
+      // apply the NEWER half first, then the older, then replay the older
+      val folded = Merge.cdcApply(
+        Merge.cdcApply(Merge.cdcNet(cdcDf(b2), "k", "seq"),
+          cdcDf(b1), "k", "seq"),
+        cdcDf(b1), "k", "seq")
+      assert(cdcRows(folded) === oneShot,
+        s"seed $seed: out-of-order fold + replay != one-shot")
+    }
+  }
+
+  test("cdcWrite: the sink apply is idempotent and order-independent " +
+       "across runs") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-cdcwrite").toString + "/sink"
+    val b1 = cdcDf(Seq((1L, 1L, "I", "a"), (2L, 2L, "I", "x")))
+    val b2 = cdcDf(Seq((1L, 4L, "U", "a2"), (2L, 6L, "D", "")))
+    Merge.cdcWrite(b2, "k", "seq", path) // newer batch lands FIRST
+    Merge.cdcWrite(b1, "k", "seq", path)
+    Merge.cdcWrite(b1, "k", "seq", path) // replay
+    val out = cdcRows(spark.read.parquet(path))
+    assert(out === Array((1L, 4L, "U", "a2"), (2L, 6L, "D", "")))
+  }
 }

@@ -102,6 +102,37 @@ class StreamsSpec extends SparkSpec {
     assert(counts() === Map("orig" -> (total - fixed), "fixed" -> fixed))
   }
 
+  test("cdcSink: out-of-order batches + replay land the one-shot net table") {
+    import spark.implicits._
+    // a CDC log on events: each event row is an update to its user's row,
+    // error events are deletes; net = last-wins by event_id (the seq)
+    val log = Tables.events(spark, sfDir)
+      .select(col("user_id").as("k"), col("event_id").as("seq"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("event_type").as("v"))
+    val mid = log.agg(org.apache.spark.sql.functions.avg("seq"))
+      .head.getDouble(0).toLong
+    val sink = tmp("graft-cdc-sink") + "/data"
+    def runOnce(name: String, cond: org.apache.spark.sql.Column): Unit = {
+      val dir = Files.createTempDirectory(s"graft-cdc-$name")
+      log.filter(cond).coalesce(1).write.mode("overwrite")
+        .parquet(dir.resolve("batch").toString)
+      val q = Streams.cdcSink(
+        spark.readStream.schema(log.schema)
+          .parquet(dir.resolve("batch").toString),
+        "k", "seq", sink, tmp(s"graft-cdc-ckpt-$name"))
+      q.awaitTermination(120000)
+    }
+    runOnce("newer", col("seq") >= mid) // NEWER half lands first
+    runOnce("older", col("seq") < mid)
+    runOnce("older2", col("seq") < mid) // replay
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "seq", "op", "v")
+        .as[(Long, Long, String, String)].collect().sorted
+    assert(rows(spark.read.parquet(sink)) ===
+      rows(graft.etl.Merge.cdcNet(log, "k", "seq")))
+  }
+
   test("mergeSink survives a kill between delete and rename (orphan recovery)") {
     import java.nio.file.{Paths, StandardCopyOption}
     // two disjoint slices of events, staged as separate files so the
