@@ -1002,6 +1002,76 @@ object Documents {
        |ORDER BY n_occurrences DESC, term ASC
        |LIMIT 50""".stripMargin
 
+  // ── q99: inverted-index keyword search — materialized posting lists ─────
+  /** Conjunctive (AND) keyword search with tf ranking, served from a
+    * MATERIALIZED inverted index — the text-retrieval sibling of the
+    * amortized trio (q82 prefix index / q86 centroids / q87 LM): posting
+    * rows (term, doc_id, tf) are a pure per-document derivation of the
+    * corpus, so they build ONCE into the warehouse (crash-safe
+    * [[graft.etl.Merge.materialize]], keyed by [[Tables.datasetTag]] so a
+    * corpus regeneration invalidates) and every query pays only the
+    * probe. The oracle recomputes the same search brute-force over the
+    * corpus text, so reading the index must not change a row.
+    *
+    * Probe plan, pinned by PlanSpec: the term filter PUSHES DOWN into the
+    * index scan (an `In` over a dictionary-encoded low-cardinality
+    * column — parquet row groups whose term ranges miss are never read),
+    * no Generate/explode appears (tokenization happened at build time),
+    * and the top-20 is TakeOrderedAndProject. The probe-side
+    * `dropDuplicates` makes replayed index appends harmless (identical
+    * posting rows collapse — same argument as q82's min-slack aggregate),
+    * and it runs over only the filtered term subset, so its exchange
+    * carries rows ∝ the probed terms' document frequency, never the
+    * corpus.
+    *
+    * Scale: the index is term-clustered by [[graft.etl.Merge.compact]]
+    * (clusterKey = term), so at 100 TB a 3-term probe reads 3 clustered
+    * file ranges; the per-doc AND rollup shuffles only those postings. */
+  private[graft] def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(Text.toWords(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Append-maintain the posting index for a batch of NEW documents —
+    * postings are per-doc-pure, so a batch's rows land as appended files
+    * with no existing row read or rewritten ([[appendPrefixRows]]'s
+    * contract); a replayed append only duplicates rows, which the probe's
+    * dropDuplicates collapses. Compact on the usual cadence. */
+  private[graft] def appendPostings(idxPath: String, docs: DataFrame): Unit =
+    postings(docs).write.mode("append").parquet(idxPath)
+
+  /** The probe: docs containing ALL `terms`, ranked by total tf. */
+  private[graft] def searchIndex(idx: DataFrame, terms: Seq[String],
+                                 k: Int): DataFrame =
+    idx.filter(col("term").isin(terms: _*))
+      .dropDuplicates()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("score"))
+      .filter(col("n_terms") === terms.size)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+
+  def keywordSearch(s: SparkSession, d: String): DataFrame = {
+    val tag = Tables.datasetTag(s, d, "documents") // stale-proof key
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val idx = graft.etl.Merge.materialize(s, s"$wh/graft_postings_$tag",
+      postings(Tables.documents(s, d)))
+    searchIndex(idx, Seq("hash", "join", "scan"), 20)
+  }
+  val keywordSearchSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE term IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+       |hits AS (
+       |  SELECT doc_id, count(*) AS n_terms, sum(tf) AS score
+       |  FROM tf GROUP BY doc_id HAVING count(*) = 3)
+       |SELECT doc_id, CAST(score AS BIGINT) AS score
+       |FROM hits ORDER BY score DESC, doc_id ASC
+       |LIMIT 20""".stripMargin
+
   // ── q70: TF-IDF top-k keywords per document ─────────────────────────────
   /** Per-document top-5 keywords by smoothed TF-IDF — the feature-
     * engineering pass that turns a raw corpus into sparse document
@@ -1982,7 +2052,8 @@ object Documents {
     "q20_text_stats"      -> (textStats _),
     "q21_lang_id"         -> (langIdBreakdown _),
     "q22_fingerprint"     -> (fingerprints _),
-    "q37_top_terms"       -> (topTerms _))
+    "q37_top_terms"       -> (topTerms _),
+    "q99_keyword_search"  -> (keywordSearch _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q52_char_ngram_langid" -> charNgramLangIdSql,
@@ -2013,5 +2084,6 @@ object Documents {
     "q20_text_stats"      -> textStatsSql,
     "q21_lang_id"         -> langIdBreakdownSql,
     "q22_fingerprint"     -> fingerprintsSql,
-    "q37_top_terms"       -> topTermsSql)
+    "q37_top_terms"       -> topTermsSql,
+    "q99_keyword_search"  -> keywordSearchSql)
 }

@@ -568,6 +568,19 @@ class PlanSpec extends SparkSpec {
       s"probe plan still trains (posexplode present):\n$p")
   }
 
+  test("q99: the search probe reads the MATERIALIZED posting index — term " +
+       "filter pushed to the scan, no tokenize explode, top-k heap-merged") {
+    val p = atScaleShape { plan(q("q99_keyword_search")) }
+    assert(p.contains("graft_postings"),
+      s"postings not read from the warehouse index:\n$p")
+    assert(!p.contains("Generate"),
+      s"tokenization explode leaked into the probe plan:\n$p")
+    assert(p.replaceAll("\\s", "").contains("In(term,"),
+      s"probe-term filter not pushed to the index scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 is not a per-partition heap merge:\n$p")
+  }
+
   test("q87: batch scoring reads the FROZEN warehouse LM through broadcast " +
        "joins — no corpus-side count shuffle in the steady state") {
     val p = atScaleShape { plan(q("q87_lm_indexed")) }
