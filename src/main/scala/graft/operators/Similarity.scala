@@ -474,8 +474,31 @@ object Similarity {
     * order anywhere. Scale shape: nlist centroid rows broadcast;
     * assignment is map-side; ONE partial-agg'd two-row aggregate. The
     * corpus×dim posexplode runs only at model build, exactly like q86. */
-  def centroidDrift(s: SparkSession, d: String): DataFrame = {
+  /** Nearest-centroid assignment with integer-micros distance: for each
+    * input vector (any passthrough columns + `vec_id`, `v`), the L2
+    * distance to its argmin centroid — (dist, label) tie-break, floored
+    * to micros per vector, the q38/q86 determinism arithmetic. Broadcast
+    * of the nlist-row model; map-side otherwise. Shared by the q89 drift
+    * statistic and [[refreshIfDrifted]]. */
+  private def nearestDistMicro(vecs: DataFrame, cents: DataFrame)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val l2 = aggregate(
+      zip_with(col("v"), col("cv"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (a, x) => a + x)
+    vecs.crossJoin(broadcast(cents.select(col("label").as("c_label"),
+        col("cv"))))
+      .withColumn("dist", l2)
+      .withColumn("arank", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist").asc, col("c_label").asc)))
+      .filter(col("arank") === 1)
+      .withColumn("dist_micro",
+        floor(col("dist") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .drop("arank", "dist", "cv", "c_label")
+  }
+
+  def centroidDrift(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
       .withColumn("bucket", pmod(graft.functions.Text.portableHash(
         col("vec_id").cast("string")), lit(100L)))
@@ -485,24 +508,50 @@ object Similarity {
       s"$wh/graft_ivf_cents_c90_$tag",
       trainCentroids(e.filter(col("bucket") < 90)
         .select(col("label"), col("v"))))
-    val l2 = aggregate(
-      zip_with(col("v"), col("cv"), (x, c) => (x - c) * (x - c)),
-      lit(0.0), (a, x) => a + x)
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist").asc, col("label").asc)
-    e.select(col("vec_id"), col("bucket"), col("v"))
-      .crossJoin(broadcast(cents))
-      .withColumn("dist", l2)
-      .withColumn("arank", row_number().over(w))
-      .filter(col("arank") === 1)
-      .select(col("bucket"),
-        floor(col("dist") * lit(1000000.0) + lit(0.5)).cast("long")
-          .as("dist_micro"))
+    nearestDistMicro(e.select(col("vec_id"), col("bucket"), col("v")), cents)
       .groupBy(when(col("bucket") >= 90, lit("batch")).otherwise(lit("corpus"))
         .as("side"))
       .agg(count(lit(1)).as("n_vecs"),
         expr("sum(dist_micro) div count(1)").as("mean_dist_micro"))
       .orderBy(col("side"))
+  }
+
+  /** Drift-triggered REFRESH — the ACTION half of the q89 decision,
+    * closing the materialized-model lifecycle (build: q86 → drift
+    * statistic: q89 → refresh: this, mirroring the q82 index's
+    * append/compact pair). Computes the q89 statistic under the FROZEN
+    * model at `modelPath` (building it from `corpus` if absent); when the
+    * batch's mean distance-to-assigned-centroid exceeds the corpus's by
+    * more than `maxDriftBp` basis points, the quantizer retrains on
+    * corpus ∪ batch and REPLACES the artifact through the crash-safe
+    * [[graft.etl.Merge.writeAndSwap]] — an in-flight reader keeps the old
+    * generation (its plan holds the old file listing), the next read
+    * picks up the new model. Returns whether a refresh happened. The
+    * decision arithmetic is the integer-micros / basis-points convention,
+    * so it is deterministic across runs and engines; IvfRecallSpec drives
+    * both branches (an in-distribution batch refreshes nothing, a shifted
+    * batch triggers and the refreshed artifact equals a from-scratch
+    * train on the union, byte-for-byte through the probe).
+    *
+    * Scale: the decision costs one broadcast assignment over corpus ∪
+    * batch and a one-row aggregate per side (the q89 shape — no shuffle
+    * of vectors); the retrain is the one-time q86 build cost, paid on
+    * drift EVENTS, not query traffic. */
+  def refreshIfDrifted(s: SparkSession, modelPath: String, corpus: DataFrame,
+                       batch: DataFrame, maxDriftBp: Long = 2000L): Boolean = {
+    val cents = graft.etl.Merge.materialize(s, modelPath,
+      trainCentroids(corpus.select(col("label"), col("v"))))
+    def meanMicro(vecs: DataFrame): Long =
+      nearestDistMicro(vecs.select(col("vec_id"), col("v")), cents)
+        .agg(expr("sum(dist_micro) div count(1)")).head.getLong(0)
+    val drifted =
+      meanMicro(batch) * 10000L > meanMicro(corpus) * (10000L + maxDriftBp)
+    if (drifted)
+      graft.etl.Merge.writeAndSwap(
+        trainCentroids(corpus.select(col("label"), col("v"))
+          .unionByName(batch.select(col("label"), col("v")))),
+        modelPath, "refresh")
+    drifted
   }
 
   /** Oracle: corpus-side quantized centroids, full-table assignment,

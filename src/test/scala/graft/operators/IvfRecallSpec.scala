@@ -86,4 +86,49 @@ class IvfRecallSpec extends SparkSpec {
       assert(r2 >= r1 + 0.1, f"multi-probe gained too little: $r1%.3f -> $r2%.3f")
     } finally { e.unpersist(); () }
   }
+
+  /** A fresh batch with the corpus's member distribution (new ids). */
+  private def inDistributionBatch: DataFrame =
+    (2000L until 2100L).map { id =>
+      val cl = (id % 10).toInt
+      val a = centroid(cl); val n = noise(id)
+      (id, cl, Array.tabulate(Dim)(i => a(i) + 0.15 * n(i)).toSeq)
+    }.toDF("vec_id", "label", "v")
+
+  /** The same batch pushed 0.8 per dimension off every centroid —
+    * embedding drift (a re-trained upstream encoder, a new modality). */
+  private def shiftedBatch: DataFrame =
+    (3000L until 3100L).map { id =>
+      val cl = (id % 10).toInt
+      val a = centroid(cl); val n = noise(id)
+      (id, cl, Array.tabulate(Dim)(i => a(i) + 0.15 * n(i) + 0.8).toSeq)
+    }.toDF("vec_id", "label", "v")
+
+  test("refreshIfDrifted: in-distribution batch keeps the frozen model; " +
+       "a shifted batch retrains to exactly the from-scratch union model") {
+    val corpus = clusteredCorpus
+    def model(path: String) = spark.read.parquet(path)
+      .select(col("label"), col("cv")).as[(Int, Seq[Double])]
+      .collect().sortBy(_._1).toSeq
+    def tmp(n: String) =
+      java.nio.file.Files.createTempDirectory(n).toString + "/model"
+
+    val steady = tmp("graft-refresh-steady")
+    assert(!Similarity.refreshIfDrifted(spark, steady, corpus,
+      inDistributionBatch), "in-distribution batch triggered a refresh")
+    assert(model(steady) ===
+      Similarity.trainCentroids(corpus.select(col("label"), col("v")))
+        .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq,
+      "model changed without a refresh")
+
+    val drifted = tmp("graft-refresh-drift")
+    assert(Similarity.refreshIfDrifted(spark, drifted, corpus, shiftedBatch),
+      "shifted batch did not trigger a refresh")
+    assert(model(drifted) ===
+      Similarity.trainCentroids(
+          corpus.select(col("label"), col("v"))
+            .unionByName(shiftedBatch.select(col("label"), col("v"))))
+        .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq,
+      "refreshed model != from-scratch train on corpus ∪ batch")
+  }
 }
