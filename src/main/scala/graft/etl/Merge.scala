@@ -213,6 +213,20 @@ object Merge {
   def cdcView(table: DataFrame, opCol: String = "op"): DataFrame =
     table.filter(col(opCol) =!= "D")
 
+  /** Tombstone RETENTION — the lifecycle half of [[cdcApply]]'s
+    * keep-tombstones contract (the Kafka-compaction `delete.retention`
+    * analog): tombstones whose seq is below a LOW-WATERMARK — a sequence
+    * every producer is guaranteed past, so no future batch can carry an
+    * older seq — can never again out-rank an arrival, and compact away.
+    * Live rows are untouched at any seq (they are the data). Correctness
+    * contract, proven as a MergeSpec property: for every batch whose rows
+    * all carry seq ≥ watermark, the live view after applying to the
+    * retained table equals the live view after applying to the full one.
+    * Compose with [[compact]] for the file-level rewrite. */
+  def cdcRetain(table: DataFrame, seqCol: String, watermarkSeq: Long,
+                opCol: String = "op"): DataFrame =
+    table.filter(!(col(opCol) === "D" && col(seqCol) < watermarkSeq))
+
   /** S7's CDC twin — crash-safe sink apply of a CDC batch via the same
     * recover-first [[writeAndSwap]] protocol as [[mergeWrite]] /
     * [[upsertWrite]]. Re-running a batch is a no-op and batches may land

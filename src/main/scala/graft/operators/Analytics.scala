@@ -465,7 +465,47 @@ object Analytics {
       |    * 1000000.0 + 0.5) AS BIGINT) AS corr_micro
       |FROM m ORDER BY c_mktsegment""".stripMargin
 
+  // ── q100: equi-width histogram — the profiling primitive ────────────────
+  /** 20-bin equi-width histogram of order totals in integer cents — the
+    * column-distribution profile a warehouse runs over every numeric
+    * column (and the basis of range-partition planning). Edges derive
+    * from the data's own min/max; bin assignment is pure integer
+    * arithmetic, `((c − lo) · 20) div (hi − lo + 1)`, so both engines
+    * land every value in the same bin with no float edge ambiguity, and
+    * each bin reports its inclusive lower edge so the output is
+    * self-describing.
+    *
+    * Scale: two scans (the exact-profile norm — a one-pass form needs a
+    * range sketch): the min/max pre-aggregate reduces to ONE row and
+    * broadcasts back over the binning scan (BroadcastNestedLoopJoin of a
+    * 1-row side — constant, not a real cartesian); binning is map-side
+    * expression work and the rollup partial-aggregates to ≤ 20 rows. */
+  def totalsHistogram(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(cents(col("o_totalprice")).as("c"))
+    val mm = o.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+    o.crossJoin(broadcast(mm))
+      .withColumn("bin", expr("((c - lo) * 20) div (hi - lo + 1)"))
+      .groupBy(col("bin"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("c")).as("sum_cents"))
+      .select(col("bin"),
+        expr("lo + (bin * (hi - lo + 1)) div 20").as("bin_lo_cents"),
+        col("n_orders"), col("sum_cents"))
+      .orderBy(col("bin"))
+  }
+  val totalsHistogramSql: String =
+    """WITH c AS (
+      |  SELECT CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c FROM orders),
+      |mm AS (SELECT min(c) AS lo, max(c) AS hi FROM c),
+      |binned AS (
+      |  SELECT ((c - lo) * 20) // (hi - lo + 1) AS bin, c, lo, hi
+      |  FROM c, mm)
+      |SELECT bin, lo + (bin * (hi - lo + 1)) // 20 AS bin_lo_cents,
+      |  count(*) AS n_orders, CAST(sum(c) AS BIGINT) AS sum_cents
+      |FROM binned GROUP BY bin, lo, hi
+      |ORDER BY bin""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q100_histogram"      -> (totalsHistogram _),
     "q53_balance_order_corr" -> (balanceOrderCorr _),
     "q50_balance_moments" -> (balanceMoments _),
     "q51_percentiles"     -> (balancePercentiles _),
@@ -483,6 +523,7 @@ object Analytics {
     "q32_approx_distinct" -> (approxDistinct _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q100_histogram"      -> totalsHistogramSql,
     "q53_balance_order_corr" -> balanceOrderCorrSql,
     "q50_balance_moments" -> balanceMomentsSql,
     "q51_percentiles"     -> balancePercentilesSql,

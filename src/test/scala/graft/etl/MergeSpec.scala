@@ -409,6 +409,25 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("property: cdcRetain below a honored low-watermark never changes " +
+       "any future live view") {
+    for (seed <- 100L until 108L) {
+      val raw = cdcGen(Gen.Parameters.default, Seed(seed)).get
+        .distinctBy(t => (t._1, t._2))
+      val wm = 8 + (seed % 6)
+      val (old, fresh) = raw.partition(_._2 < wm)
+      val net = Merge.cdcNet(cdcDf(old), "k", "seq")
+      val retained = Merge.cdcRetain(net, "seq", wm)
+      // every future batch honors the watermark (all seqs >= wm)
+      val liveFull = cdcRows(Merge.cdcView(
+        Merge.cdcApply(net, cdcDf(fresh), "k", "seq")))
+      val liveRetained = cdcRows(Merge.cdcView(
+        Merge.cdcApply(retained, cdcDf(fresh), "k", "seq")))
+      assert(liveRetained === liveFull,
+        s"seed $seed: retention at wm=$wm changed the live view")
+    }
+  }
+
   test("cdcWrite: the sink apply is idempotent and order-independent " +
        "across runs") {
     val path = java.nio.file.Files

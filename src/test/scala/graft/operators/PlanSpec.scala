@@ -568,6 +568,22 @@ class PlanSpec extends SparkSpec {
       s"probe plan still trains (posexplode present):\n$p")
   }
 
+  test("q97: the touch-count window and both rollups ride the join's " +
+       "user_id partitioning — no exchange between join and output sort") {
+    val p = atScaleShape { plan(q("q97_multitouch_attribution")) }
+    assert(p.contains("SortMergeJoin"),
+      s"pair join is not the equi+residual sort-merge shape:\n$p")
+    // exchanges: one per join input + the final sort's range exchange —
+    // the per-purchase window (user_id, purchase_id) and the per-click
+    // rollup (user_id, click_id) must be satisfied by the join's
+    // HashPartitioning(user_id), adding NONE
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")
+        && !l.contains("ReusedExchange"))
+    assert(shuffles === 3,
+      s"expected 3 exchanges (2 join inputs + output sort), got $shuffles:\n$p")
+  }
+
   test("q99: the search probe reads the MATERIALIZED posting index — term " +
        "filter pushed to the scan, no tokenize explode, top-k heap-merged") {
     val p = atScaleShape { plan(q("q99_keyword_search")) }
