@@ -504,8 +504,66 @@ object Analytics {
       |FROM binned GROUP BY bin, lo, hi
       |ORDER BY bin""".stripMargin
 
+  // ── q101: mergeable bottom-k quantile sketch ────────────────────────────
+  /** Per-priority p50/p90/p99 of order totals from a bottom-256-by-hash
+    * row sample ([[graft.functions.QuantileSketch]]) — the mergeable
+    * quantile shape that replaces q51's exact per-group sort at 100 TB.
+    * The sample is a pure set function of the data (k smallest portable
+    * row hashes), so the DuckDB oracle replays the IDENTICAL sample and
+    * order statistics: the estimate itself hash-compares, the q45/q93
+    * portability argument extended to quantiles. Order-statistic index
+    * is pure integer arithmetic, `((m−1)·p) div 100`.
+    *
+    * Scale: partial aggregation map-side; the shuffle carries ≤ 256
+    * pairs per group; a standing sketch table absorbs incremental batch
+    * sketches via [[graft.functions.QuantileSketch.mergeTables]]
+    * (associativity proven in QuantileSketchSpec). Estimate error is
+    * O(1/√k) ≈ 6% rank error at k=256 — the spec bounds it against the
+    * exact quantile on the harness data. */
+  def quantileSketch(s: SparkSession, d: String): DataFrame = {
+    val qsk = udaf(new graft.functions.QuantileSketch.Agg(256))
+    def pct(p: Int): Column =
+      element_at(col("vals"),
+        (expr(s"((n_kept - 1) * $p) div 100") + 1).cast("int"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority").as("grp"),
+        graft.functions.Text.portableHash(col("o_orderkey").cast("string"))
+          .as("h"),
+        cents(col("o_totalprice")).as("v"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), qsk(col("h"), col("v")).as("sk"))
+      .withColumn("n_kept", size(col("sk.pairs")).cast("long"))
+      .withColumn("vals",
+        array_sort(transform(col("sk.pairs"), _.getField("v"))))
+      .select(col("grp"), col("n_rows"), col("n_kept"),
+        pct(50).as("p50_cents"), pct(90).as("p90_cents"),
+        pct(99).as("p99_cents"))
+      .orderBy(col("grp"))
+  }
+  val quantileSketchSql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS grp,
+      |    CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+      |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS v
+      |  FROM orders),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn,
+      |    count(*) OVER (PARTITION BY grp) AS n_rows
+      |  FROM o),
+      |sk AS (
+      |  SELECT grp, max(n_rows) AS n_rows, count(*) AS n_kept,
+      |    list_sort(list(v)) AS vals
+      |  FROM r WHERE rn <= 256 GROUP BY grp)
+      |SELECT grp, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(n_kept AS BIGINT) AS n_kept,
+      |  vals[CAST(((n_kept - 1) * 50) // 100 + 1 AS INT)] AS p50_cents,
+      |  vals[CAST(((n_kept - 1) * 90) // 100 + 1 AS INT)] AS p90_cents,
+      |  vals[CAST(((n_kept - 1) * 99) // 100 + 1 AS INT)] AS p99_cents
+      |FROM sk ORDER BY grp""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q100_histogram"      -> (totalsHistogram _),
+    "q101_quantile_sketch"-> (quantileSketch _),
     "q53_balance_order_corr" -> (balanceOrderCorr _),
     "q50_balance_moments" -> (balanceMoments _),
     "q51_percentiles"     -> (balancePercentiles _),
@@ -524,6 +582,7 @@ object Analytics {
 
   val oracles: Seq[(String, String)] = Seq(
     "q100_histogram"      -> totalsHistogramSql,
+    "q101_quantile_sketch"-> quantileSketchSql,
     "q53_balance_order_corr" -> balanceOrderCorrSql,
     "q50_balance_moments" -> balanceMomentsSql,
     "q51_percentiles"     -> balancePercentilesSql,
