@@ -295,8 +295,16 @@ object Relational {
       asCents(col("o_totalprice")).as("bal_cents"),
       col("o_orderpriority").as("segment"))
     val mid = 3000L // splits the harness orderkey range at every sf
+    // In production each apply lands through cdcWrite, so batch N+1 reads
+    // batch N's result from PARQUET; chaining the applies in ONE plan (to
+    // drive the out-of-order evidence through the oracle) would instead
+    // replicate the inner apply's window subtree into every consumer
+    // (anti + semi + union = 3 recomputes). localCheckpoint stands in for
+    // the sink materialization between batches — same role as in q63's
+    // iterative CC.
     val applied = Merge.cdcApply(
-      Merge.cdcApply(base, log.filter(col("seq") >= mid), "k", "seq"),
+      Merge.cdcApply(base, log.filter(col("seq") >= mid), "k", "seq")
+        .localCheckpoint(),
       log.filter(col("seq") < mid), "k", "seq")
     Merge.cdcView(applied)
       .select(col("k"), col("seq").as("last_seq"), col("bal_cents"),
