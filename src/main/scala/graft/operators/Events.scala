@@ -461,15 +461,30 @@ object Events {
     * session is human-bounded, not corpus-bounded — and the path rollup
     * partial-aggregates map-side on the path string, with the top-20 as
     * TakeOrderedAndProject (per-partition heaps, no global sort). */
-  def sessionPaths(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+  /** Per-session (user_id, session_start, session_end, path) frame —
+    * factored out so the streaming twin
+    * ([[graft.streaming.Streams.statefulSessionPaths]]) has a batch
+    * ground truth to equal (StreamsSpec, the statefulSessions pattern).
+    * `session_end` comes from an AGGREGATE (max(ts) + gap), never from
+    * the session_window struct — the pushdown trap documented on
+    * [[sessionWindows]]. */
+  private[graft] def sessionPathFrame(events: DataFrame): DataFrame = {
+    val gapUs = 30L * 60L * 1000000L
+    events
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(array_sort(collect_list(struct(
-        unix_micros(col("ts")).as("us"), col("event_id"),
-        col("event_type")))).as("evs"))
+          unix_micros(col("ts")).as("us"), col("event_id"),
+          col("event_type")))).as("evs"),
+        (max(unix_micros(col("ts"))) + gapUs).as("session_end"))
       .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start"),
+        col("session_end"),
         array_join(transform(col("evs"), _.getField("event_type")), ">")
           .as("path"))
+  }
+
+  def sessionPaths(s: SparkSession, d: String): DataFrame =
+    sessionPathFrame(Tables.events(s, d))
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n_sessions"),
            countDistinct(col("user_id")).as("n_users"))

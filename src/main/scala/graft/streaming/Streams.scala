@@ -464,6 +464,78 @@ object Streams {
   case class SessionAgg(userId: Long, start: Long, lastTs: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: Long, n_events: Long)
 
+  /** Open-session event buffer for [[statefulSessionPaths]]: the events of
+    * the ONE open session, kept sorted by (us, event_id) — bounded by
+    * session length (human-bounded), never by stream history. */
+  case class PathAgg(userId: Long, evs: Vector[(Long, Long, String)])
+  case class PathOut(user_id: Long, session_start: Long, path: String)
+
+  /** q98's streaming twin — per-user session PATHS via
+    * `flatMapGroupsWithState` (the [[statefulSessions]] pattern with the
+    * event-type sequence riding in the state): each closed session emits
+    * its '>'-joined event-type string, ordered by (ts, event_id) exactly
+    * like the batch [[graft.operators.Events.sessionPathFrame]], whose
+    * q98 rollup a downstream foreachBatch can then maintain
+    * incrementally. Boundary semantics are the pinned inclusive merge
+    * (an event at exactly lastTs + gap joins). Within a micro-batch
+    * events sort before folding; ACROSS batches a late event that still
+    * belongs to the open session splices into the buffer (the sorted
+    * insert), so in-watermark disorder inside an open session cannot
+    * corrupt the path — only the session-split decision assumes batches
+    * arrive in event-time order, the same contract statefulSessions and
+    * the funnel document. State is the open session's events only:
+    * bounded by session length × row width, flushed on every close. */
+  def statefulSessionPaths(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    def pathOf(a: PathAgg): PathOut =
+      PathOut(a.userId, a.evs.head._1, a.evs.map(_._3).mkString(">"))
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp],
+        col("event_id").as[Long], col("event_type").as[String])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PathAgg, PathOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long,
+         rowsIn: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: GroupState[PathAgg]) =>
+          if (state.hasTimedOut) {
+            val agg = state.get
+            state.remove()
+            Iterator(pathOf(agg))
+          } else {
+            val sorted = rowsIn.map { case (_, t, id, et) =>
+              (t.getTime * 1000L + (t.getNanos / 1000) % 1000L, id, et)
+            }.toArray.sortBy(e => (e._1, e._2))
+            var agg = state.getOption.orNull
+            val out = Seq.newBuilder[PathOut]
+            sorted.foreach { case ev @ (us, _, _) =>
+              agg match {
+                case null =>
+                  agg = PathAgg(userId, Vector(ev))
+                case a if us - a.evs.last._1 <= gapUs =>
+                  // in-session: sorted splice (a late in-watermark event
+                  // may land BEFORE buffered ones)
+                  val idx = a.evs.indexWhere(b =>
+                    b._1 > us || (b._1 == us && b._2 > ev._2))
+                  agg = a.copy(evs =
+                    if (idx < 0) a.evs :+ ev
+                    else (a.evs.take(idx) :+ ev) ++ a.evs.drop(idx))
+                case a =>
+                  out += pathOf(a)
+                  agg = PathAgg(userId, Vector(ev))
+              }
+            }
+            state.update(agg)
+            state.setTimeoutTimestamp(
+              agg.evs.last._1 / 1000L + gapMinutes * 60L * 1000L)
+            out.result().iterator
+          }
+      }
+      .toDF()
+  }
+
   /** Custom stateful sessionization via `flatMapGroupsWithState` — the
     * hand-rolled form of `session_window` for when per-group logic outgrows
     * declarative aggregation (SURVEY §2 absent-categories: stateful ops).

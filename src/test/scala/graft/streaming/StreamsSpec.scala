@@ -453,6 +453,46 @@ class StreamsSpec extends SparkSpec {
       "a closed (timed-out) session was never emitted")
   }
 
+  test("stateful session paths == batch sessionPathFrame over the full " +
+       "sf0.01 events (q98's streaming twin)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val dir = Files.createTempDirectory("graft-paths-dir")
+    Files.createSymbolicLink(
+      dir.resolve("part-0.parquet"),
+      java.nio.file.Paths.get(s"$sf01/events.parquet"))
+    val out = tmp("graft-paths-out")
+    val q = Streams.statefulSessionPaths(
+        Streams.readEvents(spark, dir.toString), 30)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmp("graft-paths-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+
+    val streamed = spark.read.parquet(out)
+      .select(col("user_id"), col("session_start"), col("path"))
+    assert(streamed.count() > 0, "no session paths emitted")
+    val batch = graft.operators.Events.sessionPathFrame(
+      Tables.events(spark, sf01))
+    // every emitted path must be a batch session's exact string
+    assert(streamed.exceptAll(batch.select(col("user_id"),
+        col("session_start"), col("path"))).count() === 0,
+      "stateful paths emitted a session the batch frame disagrees with")
+    // every batch session whose timeout the final watermark passed must
+    // have been emitted (the statefulSessions mustEmit contract)
+    val maxTsUs = Tables.events(spark, sf01)
+      .agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val mustEmit = batch
+      .filter(col("session_end") + 60L * 1000000L <
+        lit(maxTsUs) - 2L * 3600L * 1000000L)
+      .select(col("user_id"), col("session_start"), col("path"))
+    assert(mustEmit.exceptAll(streamed).count() === 0,
+      "a closed (timed-out) session path was never emitted")
+  }
+
   test("retention sketch: folding in-order day-split batches == one-shot " +
        "q93, and replay is absorbing") {
     val state = tmp("graft-ret-state")
