@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.etl.{Extract, Layout, Merge, Skew}
+import graft.etl.{Extract, Layout, Merge, Quality, Skew}
 import graft.functions.Bloom
 
 /** Core relational surface — the reference's dataflow semantics (SURVEY.md
@@ -330,6 +330,62 @@ object Relational {
       |SELECT k, seq AS last_seq, bal_cents, segment
       |FROM net WHERE rn = 1 AND op <> 'D'
       |ORDER BY k""".stripMargin
+
+  // ── q103: data-quality expectations report ──────────────────────────────
+  /** The DQ gate ([[graft.etl.Quality]]) run as a query: five constraint
+    * checks over the harness tables, one row each — the report a
+    * promotion rule reads before a batch goes live. Two checks pass on
+    * the clean data (orderkey uniqueness, priority null-rate) and three
+    * are made to FIRE so the violation arithmetic itself is
+    * oracle-verified, not just the zeros: custkey "uniqueness" over
+    * orders counts every row of a multi-order customer, the FK check
+    * runs lineitem against only the even half of orders (the odd half's
+    * lineitems are orphans), and the range check bounds order totals at
+    * [0, 200k$] in cents. Every check is a single-row aggregate; the
+    * report is their union — at 100 TB the five checks are two map-side
+    * reduces, one keyed count shuffle, and one broadcast anti-join. */
+  def dqReport(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val lineitem = Tables.lineitem(s, d)
+    Quality.report(Seq(
+      Quality.unique(orders, Seq("o_orderkey")),
+      Quality.unique(orders, Seq("o_custkey")),
+      Quality.notNull(orders, "o_orderpriority"),
+      Quality.inRange(
+        orders.select(asCents(col("o_totalprice")).as("total_cents")),
+        "total_cents", lit(0L), lit(20000000L)),
+      Quality.fkCovered(lineitem, "l_orderkey",
+        orders.filter(col("o_orderkey") % 2 === 0), "o_orderkey")))
+  }
+  val dqReportSql: String =
+    """WITH u1 AS (SELECT count(*) AS n FROM orders GROUP BY o_orderkey),
+      |u2 AS (SELECT count(*) AS n FROM orders GROUP BY o_custkey),
+      |c AS (SELECT CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS v
+      |      FROM orders)
+      |SELECT * FROM (
+      |  SELECT 'unique(o_orderkey)' AS check_name,
+      |    CAST(sum(n) AS BIGINT) AS n_checked,
+      |    CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) AS n_violations
+      |  FROM u1
+      |  UNION ALL
+      |  SELECT 'unique(o_custkey)', CAST(sum(n) AS BIGINT),
+      |    CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT)
+      |  FROM u2
+      |  UNION ALL
+      |  SELECT 'not_null(o_orderpriority)', count(*),
+      |    count(CASE WHEN o_orderpriority IS NULL THEN 1 END)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'in_range(total_cents)', count(*),
+      |    count(CASE WHEN v < 0 OR v > 20000000 THEN 1 END)
+      |  FROM c
+      |  UNION ALL
+      |  SELECT 'fk(l_orderkey)',
+      |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
+      |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+      |       AND l_orderkey NOT IN
+      |         (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0)))
+      |ORDER BY check_name""".stripMargin
 
   // ── q06: union-by-name with missing columns (U1) ────────────────────────
   def unionByName(s: SparkSession, d: String): DataFrame = {
@@ -711,6 +767,7 @@ object Relational {
     "q64_upsert_merge"        -> (upsertMerge _),
     "q92_scd2_history"        -> (scd2History _),
     "q96_cdc_apply"           -> (cdcApplyNet _),
+    "q103_dq_report"          -> (dqReport _),
     "q66_bucketed_join"       -> (bucketedJoin _),
     "q73_bloom_join"          -> (bloomFilteredJoin _),
     "q74_zorder_cells"        -> (zOrderCells _),
@@ -731,6 +788,7 @@ object Relational {
     "q64_upsert_merge"         -> upsertMergeSql,
     "q92_scd2_history"         -> scd2HistorySql,
     "q96_cdc_apply"            -> cdcApplyNetSql,
+    "q103_dq_report"           -> dqReportSql,
     "q66_bucketed_join"        -> bucketedJoinSql,
     "q73_bloom_join"           -> bloomFilteredJoinSql,
     "q74_zorder_cells"         -> zOrderCellsSql,
