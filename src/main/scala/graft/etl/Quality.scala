@@ -66,6 +66,31 @@ object Quality {
         col("__o").as("n_violations"))
   }
 
+  /** A row-level check: name + the violation predicate. */
+  case class RowCheck(name: String, violation: Column)
+  def notNullCheck(c: String): RowCheck =
+    RowCheck(s"not_null($c)", col(c).isNull)
+  def inRangeCheck(c: String, lo: Column, hi: Column): RowCheck =
+    RowCheck(s"in_range($c)", col(c) < lo || col(c) > hi)
+
+  /** ALL row-level checks of one table in ONE scan — the fusion that
+    * matters at 100 TB (N separate [[notNull]]/[[inRange]] calls scan the
+    * table N times; predicates over the same rows belong in one
+    * aggregate). One map-side-combined reduce produces every counter;
+    * the per-check rows then unpivot from the single aggregate row
+    * (constant-size stack, driver-free). Keyed checks ([[unique]],
+    * [[fkCovered]]) still need their shuffle/join and stay separate. */
+  def rowChecks(df: DataFrame, checks: Seq[RowCheck]): DataFrame = {
+    val aggs = count(lit(1)).as("__n") +:
+      checks.zipWithIndex.map { case (c, i) =>
+        count(when(c.violation, 1)).as(s"__v$i") }
+    val stacked = checks.zipWithIndex.map { case (c, i) =>
+      s"'${c.name.replace("'", "''")}', __n, __v$i" }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${checks.size}, $stacked) AS " +
+        "(check_name, n_checked, n_violations)")
+  }
+
   /** The report: one row per check, stable order for comparison. */
   def report(checks: Seq[DataFrame]): DataFrame =
     checks.reduce(_.unionByName(_)).orderBy(col("check_name"))

@@ -350,10 +350,11 @@ object Relational {
     Quality.report(Seq(
       Quality.unique(orders, Seq("o_orderkey")),
       Quality.unique(orders, Seq("o_custkey")),
-      Quality.notNull(orders, "o_orderpriority"),
-      Quality.inRange(
-        orders.select(asCents(col("o_totalprice")).as("total_cents")),
-        "total_cents", lit(0L), lit(20000000L)),
+      // both row-level checks fused into ONE orders scan
+      Quality.rowChecks(
+        orders.withColumn("total_cents", asCents(col("o_totalprice"))),
+        Seq(Quality.notNullCheck("o_orderpriority"),
+            Quality.inRangeCheck("total_cents", lit(0L), lit(20000000L)))),
       Quality.fkCovered(lineitem, "l_orderkey",
         orders.filter(col("o_orderkey") % 2 === 0), "o_orderkey")))
   }
