@@ -388,6 +388,86 @@ object Relational {
       |         (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0)))
       |ORDER BY check_name""".stripMargin
 
+  // ── q104: triangle counting on the co-purchase graph ────────────────────
+  /** Graph analytics beyond connected components (q63): the number of
+    * part-co-purchase TRIANGLES — three parts that pairwise co-occur in
+    * orders — the clustering-coefficient numerator and the standard
+    * "does my engine do graphs" benchmark. Edges = distinct part pairs
+    * sharing an order, ORIENTED low-id → high-id, which is what makes
+    * distributed triangle counting subquadratic: each triangle {a<b<c}
+    * is generated exactly once as the wedge a→b→c closed by edge a→c —
+    * no 6-fold overcounting, no direction flip joins.
+    *
+    * Scale: the edge build's per-order self-join fans out ≤ C(items,2)
+    * pairs per order (order size is business-bounded, not corpus-
+    * bounded); the wedge join shuffles edges on their shared vertex and
+    * the closing join on the (a, c) pair — both equi-joins. At a real
+    * graph's scale the orientation would be by DEGREE (low-degree →
+    * high-degree, the standard fix making wedge counts Σ min-degree —
+    * robust to power-law hubs); id orientation suffices for the harness
+    * graph and keeps the oracle trivially identical. */
+  def triangleCount(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+      .filter(col("pk") < col("pk2"))
+      .select(col("pk").as("a"), col("pk2").as("b"))
+      .distinct()
+    // DEGREE orientation: every edge points low-(deg, id) → high-(deg, id).
+    // Each triangle then has exactly ONE vertex with two out-edges (its
+    // minimum under the total order), so wedges = per-source out-pairs
+    // and the closing edge is the oriented b→c — Σ C(outdeg, 2) wedges
+    // with outdeg = O(√m) guaranteed, the subquadratic bound that holds
+    // even on power-law graphs where id orientation degenerates.
+    val deg = e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(broadcast(deg.select(col("v").as("a"), col("deg").as("da"))),
+        Seq("a"))
+      .join(broadcast(deg.select(col("v").as("b"), col("deg").as("db"))),
+        Seq("b"))
+    val o = withDeg.select(
+      when(col("da") < col("db") ||
+           (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("s"), col("b").as("t"),
+               col("da").as("ds"), col("db").as("dt")))
+        .otherwise(
+          struct(col("b").as("s"), col("a").as("t"),
+                 col("db").as("ds"), col("da").as("dt"))).as("e"))
+      .select(col("e.s"), col("e.t"), col("e.dt"))
+    // out-pair wedges (s → b, s → c) canonicalized by the SAME order, so
+    // the closing edge is exactly b → c; the probe BROADCASTS the edge
+    // set (16 bytes/edge — fits far beyond harness scale), so the wedge
+    // stream is generated, probed, and counted PIPELINED, never shuffled
+    // or materialized. When the edge set outgrows broadcast, the drop-in
+    // replacement is the q73 pattern: probe a Bloom filter of the edges
+    // map-side, shuffle only the surviving candidates to exact-verify.
+    val wedges = o.select(col("s"), col("t").as("b"), col("dt").as("deg_b"))
+      .join(o.select(col("s"), col("t").as("c"), col("dt").as("deg_c")),
+        Seq("s"))
+      .filter(col("deg_b") < col("deg_c") ||
+        (col("deg_b") === col("deg_c") && col("b") < col("c")))
+    val tri = wedges.join(
+      broadcast(o.select(col("s").as("b"), col("t").as("c"))),
+      Seq("b", "c"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_vertices")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+  val triangleCountSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |   AND a.l_partkey < b.l_partkey)
+      |SELECT
+      |  (SELECT count(*) FROM e) AS n_edges,
+      |  (SELECT count(DISTINCT v) FROM (
+      |     SELECT a AS v FROM e UNION ALL SELECT b FROM e)) AS n_vertices,
+      |  (SELECT count(*) FROM e e1
+      |     JOIN e e2 ON e2.a = e1.b
+      |     JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin
+
   // ── q06: union-by-name with missing columns (U1) ────────────────────────
   def unionByName(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
@@ -769,6 +849,7 @@ object Relational {
     "q92_scd2_history"        -> (scd2History _),
     "q96_cdc_apply"           -> (cdcApplyNet _),
     "q103_dq_report"          -> (dqReport _),
+    "q104_triangle_count"     -> (triangleCount _),
     "q66_bucketed_join"       -> (bucketedJoin _),
     "q73_bloom_join"          -> (bloomFilteredJoin _),
     "q74_zorder_cells"        -> (zOrderCells _),
@@ -790,6 +871,7 @@ object Relational {
     "q92_scd2_history"         -> scd2HistorySql,
     "q96_cdc_apply"            -> cdcApplyNetSql,
     "q103_dq_report"           -> dqReportSql,
+    "q104_triangle_count"      -> triangleCountSql,
     "q66_bucketed_join"        -> bucketedJoinSql,
     "q73_bloom_join"           -> bloomFilteredJoinSql,
     "q74_zorder_cells"         -> zOrderCellsSql,
