@@ -446,6 +446,71 @@ object Events {
       |FROM pairs GROUP BY click_id, user_id
       |ORDER BY click_id""".stripMargin
 
+  // ── q102: time-decay multi-touch attribution ────────────────────────────
+  /** The third standard attribution model, completing the family
+    * (last-touch q36 → linear q97 → TIME-DECAY): clicks closer to the
+    * purchase earn more — each touch's weight HALVES per 30 minutes of
+    * gap, and the purchase value splits proportionally. Determinism
+    * discipline: the weight is `10000 >> (gap div 30min)` (integer
+    * halving — a float exp() would not cross-engine replay), the shift
+    * capped at 13 so the weight never reaches 0 (a zero-weight touch
+    * inside the horizon would silently drop from its purchase's
+    * denominator), and the share is `(v_cents·10000·w) div W` on longs.
+    * Max intermediate: 5e7 cents × 1e4 × 1e4 = 5e15 < 2^63.
+    *
+    * Scale: identical envelope to q97 — one sort-merge pair join on
+    * user_id with the horizon as residual, per-purchase weight sum and
+    * per-click rollup riding the join's partitioning (the q97 PlanSpec
+    * argument), no additional exchange. */
+  def decayAttribution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), cents(col("value")).as("v_cents"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val w = Window.partitionBy(col("user_id"), col("purchase_id"))
+    p.join(c,
+        col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS") &&
+        col("c_ts") <= col("p_ts"))
+      .withColumn("wgt", expr(
+        "10000L div shiftleft(1L, cast(least(" +
+        "(unix_micros(p_ts) - unix_micros(c_ts)) div 1800000000L, 13L)" +
+        " as int))"))
+      .withColumn("w_sum", sum(col("wgt")).over(w))
+      .withColumn("credit_bp",
+        expr("(v_cents * 10000 * wgt) div w_sum"))
+      .groupBy(col("user_id"), col("click_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+           sum(col("credit_bp")).as("credit_bp"))
+      .select(col("click_id"), col("user_id"), col("n_purchases"),
+        col("credit_bp"))
+      .orderBy(col("click_id"))
+  }
+  val decayAttributionSql: String =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts,
+      |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v_cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT event_id AS click_id, user_id AS c_user, CAST(ts AS TIMESTAMP) AS c_ts
+      |  FROM events WHERE event_type = 'click'),
+      |pairs AS (
+      |  SELECT purchase_id, click_id, p.user_id, v_cents,
+      |    10000 // (1 << least((epoch_us(p_ts) - epoch_us(c_ts)) // 1800000000, 13)) AS wgt
+      |  FROM p JOIN c ON p.user_id = c_user
+      |    AND c_ts BETWEEN p_ts - INTERVAL 2 HOUR AND p_ts),
+      |weighted AS (
+      |  SELECT *, sum(wgt) OVER (PARTITION BY purchase_id) AS w_sum
+      |  FROM pairs)
+      |SELECT click_id, user_id, count(*) AS n_purchases,
+      |  CAST(sum((v_cents * 10000 * wgt) // w_sum) AS BIGINT) AS credit_bp
+      |FROM weighted GROUP BY click_id, user_id
+      |ORDER BY click_id""".stripMargin
+
   // ── q98: session conversion paths (top-k ordered sequences) ─────────────
   /** Path analysis — per 30-minute-gap session, the ordered event-type
     * sequence as a '>'-joined string, then the top-20 paths by session
@@ -645,7 +710,8 @@ object Events {
     "q93_retention_sketch" -> (retentionSketch _),
     "q94_funnel_bucketed" -> (funnelStepsBucketed _),
     "q97_multitouch_attribution" -> (multiTouchAttribution _),
-    "q98_session_paths"   -> (sessionPaths _))
+    "q98_session_paths"   -> (sessionPaths _),
+    "q102_decay_attribution" -> (decayAttribution _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q25_json_props"      -> jsonPropsSql,
@@ -658,5 +724,6 @@ object Events {
     "q93_retention_sketch" -> retentionSketchSql,
     "q94_funnel_bucketed" -> funnelStepsSql,
     "q97_multitouch_attribution" -> multiTouchAttributionSql,
-    "q98_session_paths"   -> sessionPathsSql)
+    "q98_session_paths"   -> sessionPathsSql,
+    "q102_decay_attribution" -> decayAttributionSql)
 }
