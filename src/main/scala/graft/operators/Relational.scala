@@ -409,10 +409,15 @@ object Relational {
   def triangleCount(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    // the edge set feeds FOUR consumers (degree table, orientation,
+    // closing bloom, exact verify) — materialize it once (q96's argument;
+    // MEMORY_AND_DISK, spills rather than recomputing the pair join)
     val e = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
       .filter(col("pk") < col("pk2"))
       .select(col("pk").as("a"), col("pk2").as("b"))
       .distinct()
+      .localCheckpoint()
+    val nEdges = e.count() // free on the checkpoint; sizes the bloom
     // DEGREE orientation: every edge points low-(deg, id) → high-(deg, id).
     // Each triangle then has exactly ONE vertex with two out-edges (its
     // minimum under the total order), so wedges = per-source out-pairs
@@ -437,23 +442,45 @@ object Relational {
                  col("db").as("ds"), col("da").as("dt"))).as("e"))
       .select(col("e.s"), col("e.t"), col("e.dt"))
     // out-pair wedges (s → b, s → c) canonicalized by the SAME order, so
-    // the closing edge is exactly b → c; the probe BROADCASTS the edge
-    // set (16 bytes/edge — fits far beyond harness scale), so the wedge
-    // stream is generated, probed, and counted PIPELINED, never shuffled
-    // or materialized. When the edge set outgrows broadcast, the drop-in
-    // replacement is the q73 pattern: probe a Bloom filter of the edges
-    // map-side, shuffle only the surviving candidates to exact-verify.
+    // the closing edge is exactly b → c. The closing probe is the q73
+    // runtime-filter pattern, which is what survives ANY graph size: the
+    // wedge stream — the big intermediate, Σ C(outdeg, 2) rows — is
+    // generated pipelined out of the self-join and probed MAP-SIDE
+    // against a broadcast Bloom of the edge keys (10 bits/edge, ~0.8%
+    // FPP), so only triangles + the FP tail ever shuffle; the exact
+    // semi-join downstream clears the tail, keeping the count exact.
+    // Broadcasting the raw edge set instead dies around 10^8 edges,
+    // and shuffling raw wedges IS the naive quadratic.
     val wedges = o.select(col("s"), col("t").as("b"), col("dt").as("deg_b"))
       .join(o.select(col("s"), col("t").as("c"), col("dt").as("deg_c")),
         Seq("s"))
       .filter(col("deg_b") < col("deg_c") ||
         (col("deg_b") === col("deg_c") && col("b") < col("c")))
-    val tri = wedges.join(
-      broadcast(o.select(col("s").as("b"), col("t").as("c"))),
-      Seq("b", "c"), "left_semi")
-    e.agg(count(lit(1)).as("n_edges"))
+    // COST-BASED closing choice off the nEdges driver stat (what AQE does
+    // with exchange stats, done explicitly): a dimension-sized edge set
+    // broadcasts whole and the wedge stream semi-joins map-side with NO
+    // false positives to clear; past ~8M edges (128 MB) the broadcast is
+    // the thing that dies, and the bloom keeps the map-side probe at 10
+    // bits/edge with the exact semi-join clearing the ~0.8% FP tail.
+    val oriented = o.select(col("s").as("b"), col("t").as("c"))
+    val tri =
+      if (nEdges <= 8L * 1000 * 1000)
+        wedges.select(col("b"), col("c"))
+          .join(broadcast(oriented), Seq("b", "c"), "left_semi")
+      else {
+        val bloomAgg = udaf(new graft.functions.Bloom.Agg(
+          graft.functions.Bloom.sizeWords(nEdges)))
+        val bloom = o.agg(bloomAgg(xxhash64(col("s"), col("t"))).as("bf"))
+        wedges.crossJoin(broadcast(bloom)) // ONE row by construction
+          .filter(graft.functions.Bloom.mightContainCol(col("bf.bits"),
+            xxhash64(col("b"), col("c"))))
+          .select(col("b"), col("c"))
+          .join(oriented, Seq("b", "c"), "left_semi")
+      }
+    tri.agg(count(lit(1)).as("n_triangles"))
+      .select(lit(nEdges).as("n_edges"), col("n_triangles"))
       .crossJoin(deg.agg(count(lit(1)).as("n_vertices")))
-      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_edges"), col("n_vertices"), col("n_triangles"))
   }
   val triangleCountSql: String =
     """WITH e AS (
