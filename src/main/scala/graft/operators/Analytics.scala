@@ -561,9 +561,72 @@ object Analytics {
       |  vals[CAST(((n_kept - 1) * 99) // 100 + 1 AS INT)] AS p99_cents
       |FROM sk ORDER BY grp""".stripMargin
 
+  // ── q105: quantile-bucket binning (feature discretizer) ─────────────────
+  /** Decile binning of order totals with edges from the q101 bottom-k
+    * sample — Spark ML's QuantileDiscretizer re-expressed as the
+    * composition of two shipped pieces (sketch → transform), and the
+    * production shape for feature bucketization at 100 TB: the exact
+    * per-column sort a naive discretizer needs is replaced by the
+    * mergeable 1024-pair sample, whose edges broadcast back over the
+    * scan as a ONE-ROW array. A value lands in bucket b = #(edges ≤ v)
+    * (edges at the sample's 10%..90% order statistics), so buckets are
+    * left-closed and the population is near-uniform to O(1/√k) rank
+    * error — and because the sample is a pure set function of the data,
+    * the oracle replays the same edges and every row lands in the SAME
+    * bucket: the discretization itself hash-compares.
+    *
+    * Plan: one partial-agg'd sketch reduce → one-row edge array →
+    * broadcast nested-loop of the constant row → map-side bucket expr →
+    * ≤10-row rollup. Two scans of orders, like q100 — the profile norm. */
+  def quantileBuckets(s: SparkSession, d: String): DataFrame = {
+    val qsk = udaf(new graft.functions.QuantileSketch.Agg(1024))
+    val o = Tables.orders(s, d).select(
+      graft.functions.Text.portableHash(col("o_orderkey").cast("string"))
+        .as("h"),
+      cents(col("o_totalprice")).as("v"))
+    val edges = o.agg(qsk(col("h"), col("v")).as("sk"))
+      .withColumn("vals",
+        array_sort(transform(col("sk.pairs"), _.getField("v"))))
+      .withColumn("m", size(col("vals")))
+      .select(transform(sequence(lit(1), lit(9)), p =>
+        element_at(col("vals"),
+          (floor(((col("m") - 1) * p * 10) / lit(100)) + 1).cast("int")))
+        .as("edges"))
+    o.crossJoin(broadcast(edges))
+      .withColumn("bucket",
+        aggregate(col("edges"), lit(0L),
+          (acc, e) => acc + when(col("v") >= e, 1L).otherwise(0L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("v")).as("sum_cents"))
+      .orderBy(col("bucket"))
+  }
+  val quantileBucketsSql: String =
+    """WITH o AS (
+      |  SELECT
+      |    CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+      |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS v
+      |  FROM orders),
+      |r AS (SELECT *, row_number() OVER (ORDER BY h) AS rn FROM o),
+      |sk AS (SELECT list_sort(list(v)) AS vals, count(*) AS m
+      |       FROM r WHERE rn <= 1024),
+      |ed AS (
+      |  SELECT list_transform(range(1, 10), p ->
+      |    vals[CAST((m - 1) * p * 10 // 100 + 1 AS INT)]) AS edges
+      |  FROM sk),
+      |b AS (
+      |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(edges, e -> CASE WHEN v >= e
+      |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+      |    (a, x) -> a + x) AS bucket, v
+      |  FROM o, ed)
+      |SELECT bucket, count(*) AS n_orders,
+      |  CAST(sum(v) AS BIGINT) AS sum_cents
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q100_histogram"      -> (totalsHistogram _),
     "q101_quantile_sketch"-> (quantileSketch _),
+    "q105_quantile_buckets"-> (quantileBuckets _),
     "q53_balance_order_corr" -> (balanceOrderCorr _),
     "q50_balance_moments" -> (balanceMoments _),
     "q51_percentiles"     -> (balancePercentiles _),
@@ -583,6 +646,7 @@ object Analytics {
   val oracles: Seq[(String, String)] = Seq(
     "q100_histogram"      -> totalsHistogramSql,
     "q101_quantile_sketch"-> quantileSketchSql,
+    "q105_quantile_buckets"-> quantileBucketsSql,
     "q53_balance_order_corr" -> balanceOrderCorrSql,
     "q50_balance_moments" -> balanceMomentsSql,
     "q51_percentiles"     -> balancePercentilesSql,
