@@ -82,9 +82,13 @@ class LayoutSpec extends SparkSpec {
       s"y-slice should touch all $nFiles x-sorted files, got $linY")
     // z-order bounds BOTH: 16 files = top 4 z bits = (y₇x₇y₆x₆), a
     // 16-wide slice fixes its coordinate's two top bits → ≤ 4 files,
-    // plus at most 2 more straddled at range-partition boundaries
-    assert(zX <= 6 && zY <= 6,
-      s"z-order should touch ≤6/$nFiles files per slice, got x=$zX y=$zY")
+    // plus boundary straddles: repartitionByRange draws its range
+    // boundaries from a RANDOM-seeded sample, so the straddle count
+    // varies run-to-run (observed 2 usually, 3 under full-suite load —
+    // the r11 flake). ≤ 8 = the analytic 4 + up to 4 straddles, still
+    // half the linear layout's worst case before the 2× assert below.
+    assert(zX <= 8 && zY <= 8,
+      s"z-order should touch ≤8/$nFiles files per slice, got x=$zX y=$zY")
     // and the worst case over the two dimensions is what data skipping
     // actually buys: max(z) must beat max(linear) by ≥ 2×
     assert(math.max(zX, zY) * 2 <= math.max(linX, linY),
