@@ -118,6 +118,55 @@ object Streams {
     mergingSink(changes, key, path, checkpoint,
       (existing, batch, k) => graft.etl.Merge.cdcApply(existing, batch, k, seqCol))
 
+  /** Expectations-gated ingestion — the streaming face of
+    * [[graft.etl.Quality]] (the Delta-Live-Tables expectations pattern):
+    * each micro-batch splits on the disjunction of the row-check
+    * violation predicates; clean rows first-wins-merge into the sink,
+    * violating rows land in a QUARANTINE sink (same crash-safe merge,
+    * keyed identically) instead of being dropped — quarantined data is
+    * inspectable and replayable after the upstream fix, which is the
+    * difference between a gate and a silent filter. Both sinks go
+    * through the recover-first writeAndSwap protocol, so a checkpoint
+    * replay is absorbing on both sides and a crash between the two
+    * writes re-heals on the next batch. The split predicate is the same
+    * `Column` the batch [[graft.etl.Quality.rowChecks]] counts — one
+    * definition, two surfaces. */
+  def dqSplitSink(events: DataFrame, key: String,
+                  checks: Seq[graft.etl.Quality.RowCheck],
+                  sinkPath: String, quarantinePath: String,
+                  checkpoint: String): StreamingQuery = {
+    val violation = checks.map(_.violation).reduce(_ || _)
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF().localCheckpoint() // split reads it twice
+        applyMergeBatch(b.filter(!coalesce(violation, lit(false))),
+          key, sinkPath, batchId)
+        applyMergeBatch(b.filter(coalesce(violation, lit(false))),
+          key, quarantinePath, batchId)
+        ()
+      }
+      .start()
+  }
+
+  /** One merge application of [[mergingSink]]'s per-batch body, shared
+    * with [[dqSplitSink]]'s two-target split. */
+  private def applyMergeBatch(incoming: DataFrame, key: String,
+                              path: String, batchId: Long): Unit = {
+    val s = incoming.sparkSession
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, path) // BEFORE reading existing
+    val existing =
+      if (fs.exists(target))
+        s.read.schema(incoming.schema).parquet(path)
+      else incoming.limit(0)
+    val merged = graft.etl.Merge.firstWinsMerge(existing, incoming, key)
+    graft.etl.Merge.writeAndSwap(merged, path, batchId.toString)
+  }
+
   private def mergingSink(events: DataFrame, key: String, path: String,
       checkpoint: String,
       merge: (DataFrame, DataFrame, String) => DataFrame,

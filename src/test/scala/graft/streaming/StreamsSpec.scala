@@ -102,6 +102,41 @@ class StreamsSpec extends SparkSpec {
     assert(counts() === Map("orig" -> (total - fixed), "fixed" -> fixed))
   }
 
+  test("dqSplitSink: violations quarantine instead of dropping; clean " +
+       "rows merge; replay is a no-op on both sinks") {
+    import spark.implicits._
+    // value NULL (not_null check) or negative (in_range check) → quarantine
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_id"), when(col("event_id") % 7 === 0, lit(null))
+        .otherwise(when(col("event_id") % 5 === 0, -col("value"))
+          .otherwise(col("value"))).as("value"))
+    val checks = Seq(
+      graft.etl.Quality.notNullCheck("value"),
+      graft.etl.Quality.inRangeCheck("value", lit(0.0), lit(1e9)))
+    val sink = tmp("graft-dq-sink") + "/clean"
+    val quarantine = tmp("graft-dq-sink") + "/quarantine"
+    val dir = Files.createTempDirectory("graft-dq-dir")
+    rows.coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("batch").toString)
+    def runOnce(ck: String): Unit = {
+      val q = Streams.dqSplitSink(
+        spark.readStream.schema(rows.schema)
+          .parquet(dir.resolve("batch").toString),
+        "event_id", checks, sink, quarantine, tmp(s"graft-dq-ck-$ck"))
+      q.awaitTermination(120000)
+    }
+    runOnce("1")
+    runOnce("2") // full replay on a fresh checkpoint: absorbing
+    val clean = spark.read.parquet(sink)
+    val bad = spark.read.parquet(quarantine)
+    val nViol = rows.filter(col("value").isNull || col("value") < 0).count()
+    assert(bad.count() === nViol, "quarantine row count wrong")
+    assert(clean.count() === rows.count() - nViol, "clean row count wrong")
+    // exact partition of the input: clean ∪ quarantine == input, disjoint
+    assert(clean.join(bad, Seq("event_id"), "inner").count() === 0)
+    assert(clean.unionByName(bad).exceptAll(rows).count() === 0)
+  }
+
   test("cdcSink: out-of-order batches + replay land the one-shot net table") {
     import spark.implicits._
     // a CDC log on events: each event row is an update to its user's row,
