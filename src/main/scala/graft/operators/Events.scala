@@ -137,6 +137,45 @@ object Events {
       |FROM grouped GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ── q106: sliding event-time windows ────────────────────────────────────
+  /** 1-hour windows sliding every 15 minutes, per event_type — the
+    * windowing variant between tumbling (q26) and session (q27): each
+    * event belongs to window/slide = 4 overlapping windows, which is
+    * exactly how Spark plans it (a 4-row Expand per event, then the
+    * SAME partial-aggregated rollup as tumbling — the fan-out happens
+    * map-side BEFORE the combine, so the shuffle still carries one row
+    * per (window, type) group, not per event·window). The oracle
+    * reproduces membership arithmetically: window starts are the 4
+    * 15-minute buckets at or before the event, those > ts − 1 h.
+    * Identical code under readStream + watermark — the standard
+    * "smoothed rate over the last hour, refreshed every 15 min" shape. */
+  def slidingHourly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(cents(col("value"))).as("sum_value_cents"))
+      .select(date_format(col("window.start"), tsFmt).as("window_start"),
+              col("event_type"), col("n_events"), col("sum_value_cents"))
+      .orderBy(col("window_start"), col("event_type"))
+  val slidingHourlySql: String =
+    """WITH e AS (
+      |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v_cents
+      |  FROM events),
+      |w AS (
+      |  SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+      |           - CAST(k * 15 AS INTEGER) * INTERVAL 1 MINUTE AS window_start,
+      |    event_type, v_cents
+      |  FROM e, range(0, 4) t(k)
+      |  WHERE time_bucket(INTERVAL 15 MINUTE, ts)
+      |          - CAST(k * 15 AS INTEGER) * INTERVAL 1 MINUTE
+      |        > ts - INTERVAL 1 HOUR)
+      |SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(v_cents) AS BIGINT) AS sum_value_cents
+      |FROM w GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
   // ── q36: as-of join (purchase → latest click at or before it) ───────────
   /** Backward as-of join, the operator Spark has no built-in for: per
     * purchase, the same user's latest click with `click.ts <= purchase.ts`
@@ -711,7 +750,8 @@ object Events {
     "q94_funnel_bucketed" -> (funnelStepsBucketed _),
     "q97_multitouch_attribution" -> (multiTouchAttribution _),
     "q98_session_paths"   -> (sessionPaths _),
-    "q102_decay_attribution" -> (decayAttribution _))
+    "q102_decay_attribution" -> (decayAttribution _),
+    "q106_sliding_hourly" -> (slidingHourly _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q25_json_props"      -> jsonPropsSql,
@@ -725,5 +765,6 @@ object Events {
     "q94_funnel_bucketed" -> funnelStepsSql,
     "q97_multitouch_attribution" -> multiTouchAttributionSql,
     "q98_session_paths"   -> sessionPathsSql,
-    "q102_decay_attribution" -> decayAttributionSql)
+    "q102_decay_attribution" -> decayAttributionSql,
+    "q106_sliding_hourly" -> slidingHourlySql)
 }
