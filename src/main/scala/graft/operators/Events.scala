@@ -574,16 +574,28 @@ object Events {
     * [[sessionWindows]]. */
   private[graft] def sessionPathFrame(events: DataFrame): DataFrame = {
     val gapUs = 30L * 60L * 1000000L
-    events
+    // Dictionary-encode the event types BEFORE the per-session collect:
+    // the type set is tiny (one partial-agg'd distinct, broadcast as a
+    // one-row array) while the session arrays are the query's whole
+    // memory footprint — collecting a 4-byte index instead of a string
+    // cut the sf100 sort/array payload ~4× (the decode back to strings
+    // happens once per SESSION at path build, not per event).
+    val types = events.select(col("event_type")).distinct()
+      .agg(array_sort(collect_list(col("event_type"))).as("types"))
+    events.crossJoin(broadcast(types))
+      .withColumn("et",
+        array_position(col("types"), col("event_type")).cast("int"))
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(array_sort(collect_list(struct(
           unix_micros(col("ts")).as("us"), col("event_id"),
-          col("event_type")))).as("evs"),
-        (max(unix_micros(col("ts"))) + gapUs).as("session_end"))
+          col("et")))).as("evs"),
+        (max(unix_micros(col("ts"))) + gapUs).as("session_end"),
+        first(col("types")).as("types"))
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("session_start"),
         col("session_end"),
-        array_join(transform(col("evs"), _.getField("event_type")), ">")
+        array_join(transform(col("evs"),
+          e => element_at(col("types"), e.getField("et"))), ">")
           .as("path"))
   }
 
