@@ -150,13 +150,24 @@ object Events {
     * Identical code under readStream + watermark — the standard
     * "smoothed rate over the last hour, refreshed every 15 min" shape. */
   def slidingHourly(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+    slidingCore(Tables.events(s, d))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** [[slidingHourly]]'s core over an arbitrary `(ts, event_type, value)`
+    * frame — factored out so EventsSpec can pin the BOUNDARY membership
+    * semantics with a constructed corpus (events exactly on 15-minute
+    * marks and ±1 µs), the q27 lesson: harness data never lands on the
+    * exact boundary, so only a constructed corpus can decide which
+    * windows an on-the-mark event joins (Spark's windows are
+    * [start, end) half-open → an event at exactly a window's END is
+    * OUT of it, IN the next slide's windows). */
+  private[graft] def slidingCore(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
            sum(cents(col("value"))).as("sum_value_cents"))
       .select(date_format(col("window.start"), tsFmt).as("window_start"),
               col("event_type"), col("n_events"), col("sum_value_cents"))
-      .orderBy(col("window_start"), col("event_type"))
   val slidingHourlySql: String =
     """WITH e AS (
       |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,

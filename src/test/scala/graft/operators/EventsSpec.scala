@@ -115,4 +115,46 @@ class EventsSpec extends SparkSpec {
       assert(run(rows) === islands(rows), s"trial $trial diverged")
     }
   }
+
+  /** Independent sliding-window model: an event at micros `us` belongs to
+    * the windows whose start s is a 15-minute mark with
+    * s ≤ us < s + 1 h — half-open [start, end), the membership the q106
+    * oracle derives arithmetically. */
+  private def slidingModel(rows: Seq[(Long, String, Double)])
+      : Set[(String, String, Long, Long)] = {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    val slide = 15L * 60L * 1000000L
+    val win = 4L * slide
+    rows.flatMap { case (us, et, v) =>
+      val b0 = math.floorDiv(us, slide) * slide
+      (0L until 4L).map(k => b0 - k * slide)
+        .filter(s => s <= us && us < s + win)
+        .map(s => (fmt.format(java.time.Instant.ofEpochSecond(
+          s / 1000000L, (s % 1000000L) * 1000L)), et, v))
+    }.groupBy(r => (r._1, r._2)).map { case ((w, et), g) =>
+      (w, et, g.size.toLong, g.map(r => cents(r._3)).sum)
+    }.toSet
+  }
+
+  test("sliding-window boundary corpus: on-the-mark events obey half-open " +
+       "[start, end) membership through the production aggregation") {
+    // events at exact 15-minute marks, ±1 µs, and mid-bucket — including
+    // one exactly at a window END (base + 1h), which must be OUT of the
+    // window starting at base and IN the four windows starting at
+    // base+15m .. base+1h
+    val marks = Seq(0L, 1L, -1L, slideProbe, slideProbe - 1L,
+      4L * slideProbe, 4L * slideProbe + 1L, 7L * slideProbe / 2L)
+    val rows = marks.zipWithIndex.map { case (off, i) =>
+      (baseUs + off, if (i % 2 == 0) "click" else "view", 1.0 + i)
+    }
+    val got = Events.slidingCore(rows.toDF("us", "event_type", "value")
+        .select(timestamp_micros(col("us")).as("ts"), col("event_type"),
+          col("value")))
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        col("sum_value_cents"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === slidingModel(rows), s"sliding membership diverged:\n$got")
+  }
+  private val slideProbe = 15L * 60L * 1000000L
 }
