@@ -455,9 +455,20 @@ object Events {
     * one non-broadcast exchange per side). Per-user cost is
     * clicks×purchases inside the horizon; a pathological hot user takes
     * the q94 bounded-horizon bucket widening. */
-  def multiTouchAttribution(s: SparkSession, d: String): DataFrame = {
+  def multiTouchAttribution(s: SparkSession, d: String): DataFrame =
+    attributionCore(Tables.events(s, d), decay = false)
+      .orderBy(col("click_id"))
+
+  /** Shared pair-join + credit core of q97 (linear) and q102 (time-decay)
+    * over an arbitrary events frame — factored so AttributionSpec can pin
+    * the BOUNDARY semantics on a constructed corpus: both horizon ends
+    * are INCLUSIVE (a click exactly at the purchase ts and a click
+    * exactly 2 h before both count — the oracle's BETWEEN), and the
+    * decay shift within the 2 h horizon ranges 0..4 only (the cap at 13
+    * is pure overflow armor for a wider horizon). */
+  private[graft] def attributionCore(e: DataFrame, decay: Boolean)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables.events(s, d)
     val p = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("p_ts"), cents(col("value")).as("v_cents"))
@@ -465,18 +476,30 @@ object Events {
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
     val w = Window.partitionBy(col("user_id"), col("purchase_id"))
-    p.join(c,
+    val pairs = p.join(c,
         col("user_id") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS") &&
         col("c_ts") <= col("p_ts"))
-      .withColumn("n_touches", count(lit(1)).over(w))
-      .withColumn("credit_bp", expr("(v_cents * 10000) div n_touches"))
+    val credited =
+      if (decay)
+        pairs
+          .withColumn("wgt", expr(
+            "10000L div shiftleft(1L, cast(least(" +
+            "(unix_micros(p_ts) - unix_micros(c_ts)) div 1800000000L, 13L)" +
+            " as int))"))
+          .withColumn("w_sum", sum(col("wgt")).over(w))
+          .withColumn("credit_bp",
+            expr("(v_cents * 10000 * wgt) div w_sum"))
+      else
+        pairs
+          .withColumn("n_touches", count(lit(1)).over(w))
+          .withColumn("credit_bp", expr("(v_cents * 10000) div n_touches"))
+    credited
       .groupBy(col("user_id"), col("click_id"))
       .agg(count(lit(1)).as("n_purchases"),
            sum(col("credit_bp")).as("credit_bp"))
       .select(col("click_id"), col("user_id"), col("n_purchases"),
         col("credit_bp"))
-      .orderBy(col("click_id"))
   }
   val multiTouchAttributionSql: String =
     """WITH p AS (
@@ -512,34 +535,9 @@ object Events {
     * user_id with the horizon as residual, per-purchase weight sum and
     * per-click rollup riding the join's partitioning (the q97 PlanSpec
     * argument), no additional exchange. */
-  def decayAttribution(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = Tables.events(s, d)
-    val p = e.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("ts").as("p_ts"), cents(col("value")).as("v_cents"))
-    val c = e.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-        col("ts").as("c_ts"))
-    val w = Window.partitionBy(col("user_id"), col("purchase_id"))
-    p.join(c,
-        col("user_id") === col("c_user") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS") &&
-        col("c_ts") <= col("p_ts"))
-      .withColumn("wgt", expr(
-        "10000L div shiftleft(1L, cast(least(" +
-        "(unix_micros(p_ts) - unix_micros(c_ts)) div 1800000000L, 13L)" +
-        " as int))"))
-      .withColumn("w_sum", sum(col("wgt")).over(w))
-      .withColumn("credit_bp",
-        expr("(v_cents * 10000 * wgt) div w_sum"))
-      .groupBy(col("user_id"), col("click_id"))
-      .agg(count(lit(1)).as("n_purchases"),
-           sum(col("credit_bp")).as("credit_bp"))
-      .select(col("click_id"), col("user_id"), col("n_purchases"),
-        col("credit_bp"))
+  def decayAttribution(s: SparkSession, d: String): DataFrame =
+    attributionCore(Tables.events(s, d), decay = true)
       .orderBy(col("click_id"))
-  }
   val decayAttributionSql: String =
     """WITH p AS (
       |  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts,
