@@ -62,7 +62,11 @@ object Bench {
     * and our own decaying contribution between passes sits well under it
     * at sf0.1 pass lengths. */
   val GateLoad = 1.5
-  val GateBudgetMs = 5 * 60 * 1000L
+  // 5 min sufficed through the 87-query r10 surface; at 106 queries with
+  // q104's graph passes keeping the 1-minute loadavg elevated between
+  // queries, the budget exhausts mid-run and flags the tail ungated even
+  // on an otherwise idle box — scale it with the surface.
+  val GateBudgetMs = 12 * 60 * 1000L
 
   /** Milliseconds of gate budget spent so far this run. */
   private var gateSpentMs = 0L
