@@ -470,7 +470,14 @@ object Relational {
       else {
         val bloomAgg = udaf(new graft.functions.Bloom.Agg(
           graft.functions.Bloom.sizeWords(nEdges)))
-        val bloom = o.agg(bloomAgg(xxhash64(col("s"), col("t"))).as("bf"))
+        // bound the PARTIAL count for the build: every partial holds a
+        // full m-bit buffer, and in local mode all partials share one
+        // heap (32 × 134 MB at 10⁸ edges killed the default heap — on a
+        // real cluster the same allocation is per-executor and fine).
+        // coalesce(8) narrows without a shuffle; the build scan is a
+        // trivial fraction of the query, the wedge stream dominates.
+        val bloom = o.coalesce(8)
+          .agg(bloomAgg(xxhash64(col("s"), col("t"))).as("bf"))
         wedges.crossJoin(broadcast(bloom)) // ONE row by construction
           .filter(graft.functions.Bloom.mightContainCol(col("bf.bits"),
             xxhash64(col("b"), col("c"))))
