@@ -81,6 +81,9 @@ object Quality {
     * (constant-size stack, driver-free). Keyed checks ([[unique]],
     * [[fkCovered]]) still need their shuffle/join and stay separate. */
   def rowChecks(df: DataFrame, checks: Seq[RowCheck]): DataFrame = {
+    // an empty list would generate stack(0, ) — a malformed expression
+    // failing with an opaque parse error; name the contract instead
+    require(checks.nonEmpty, "rowChecks needs at least one check")
     val aggs = count(lit(1)).as("__n") +:
       checks.zipWithIndex.map { case (c, i) =>
         count(when(c.violation, 1)).as(s"__v$i") }

@@ -50,10 +50,17 @@ object QuantileSketch {
 
     private def insert(b: Buf, p: HV): Buf = {
       val ps = b.pairs
-      if (ps.length >= k && p.h >= ps.last.h) b
+      // strict >: an equal last hash still needs the collision min-merge
+      if (ps.length >= k && p.h > ps.last.h) b
       else {
-        val idx = search(ps, p.h) // -1 → hash present, skip
-        if (idx < 0) b
+        val idx = lowerBound(ps, p.h)
+        if (idx < ps.length && ps(idx).h == p.h)
+          // hash collision: keep the MINIMUM value — a pure set function
+          // of the (h, v) pairs, so the sketch stays arrival-order-free
+          // even across colliding hashes (the advisor's r11 note: "keep
+          // first seen" depended on shuffle order; the DuckDB oracle
+          // replays min-per-hash exactly)
+          if (p.v < ps(idx).v) Buf(ps.updated(idx, p)) else b
         else {
           val inserted = (ps.take(idx) :+ p) ++ ps.drop(idx)
           Buf(if (inserted.length > k) inserted.take(k) else inserted)
@@ -61,14 +68,15 @@ object QuantileSketch {
       }
     }
 
-    private def search(ps: Vector[HV], h: Long): Int = {
+    /** First index with hash ≥ h (insertion point; callers test for an
+      * exact hit at the returned slot). */
+    private def lowerBound(ps: Vector[HV], h: Long): Int = {
       var lo = 0
       var hi = ps.length - 1
       while (lo <= hi) {
         val mid = (lo + hi) >>> 1
         val v = ps(mid).h
-        if (v == h) return -1
-        else if (v < h) lo = mid + 1
+        if (v < h) lo = mid + 1
         else hi = mid - 1
       }
       lo

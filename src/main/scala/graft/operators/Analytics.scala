@@ -546,10 +546,13 @@ object Analytics {
       |    CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
       |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS v
       |  FROM orders),
+      |d AS (
+      |  SELECT grp, h, min(v) AS v, count(*) AS dup
+      |  FROM o GROUP BY grp, h),
       |r AS (
       |  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn,
-      |    count(*) OVER (PARTITION BY grp) AS n_rows
-      |  FROM o),
+      |    sum(dup) OVER (PARTITION BY grp) AS n_rows
+      |  FROM d),
       |sk AS (
       |  SELECT grp, max(n_rows) AS n_rows, count(*) AS n_kept,
       |    list_sort(list(v)) AS vals
@@ -606,7 +609,8 @@ object Analytics {
       |    CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
       |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS v
       |  FROM orders),
-      |r AS (SELECT *, row_number() OVER (ORDER BY h) AS rn FROM o),
+      |d AS (SELECT h, min(v) AS v FROM o GROUP BY h),
+      |r AS (SELECT *, row_number() OVER (ORDER BY h) AS rn FROM d),
       |sk AS (SELECT list_sort(list(v)) AS vals, count(*) AS m
       |       FROM r WHERE rn <= 1024),
       |ed AS (

@@ -427,10 +427,18 @@ object Relational {
     val deg = e.select(col("a").as("v"))
       .unionByName(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // the degree table is VERTEX-count-sized: broadcast it only under the
+    // same driver-stat gate as the closing join (|V| ≤ 2·|E|, so the
+    // nEdges stat bounds it) — an unconditional hint here would be the
+    // exact failure mode the closing join's switch exists to avoid on a
+    // billion-vertex graph; past the gate the degree join is a plain
+    // shuffle equi-join on the vertex key
+    def degSide(keyed: DataFrame): DataFrame =
+      if (nEdges <= 8L * 1000 * 1000) broadcast(keyed) else keyed
     val withDeg = e
-      .join(broadcast(deg.select(col("v").as("a"), col("deg").as("da"))),
+      .join(degSide(deg.select(col("v").as("a"), col("deg").as("da"))),
         Seq("a"))
-      .join(broadcast(deg.select(col("v").as("b"), col("deg").as("db"))),
+      .join(degSide(deg.select(col("v").as("b"), col("deg").as("db"))),
         Seq("b"))
     val o = withDeg.select(
       when(col("da") < col("db") ||

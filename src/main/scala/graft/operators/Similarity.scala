@@ -587,144 +587,199 @@ object Similarity {
        |FROM ass WHERE arank = 1
        |GROUP BY 1 ORDER BY side""".stripMargin
 
-  // ── q90: SEMANTIC dedup — centroid-bucketed within-cluster cosine ───────
-  /** The missing member of the dedup ladder (exact q17 → chunk q77 →
+  // ── q90: SEMANTIC dedup — canopy leader quantizer, exact recall ─────────
+  /** The semantic member of the dedup ladder (exact q17 → chunk q77 →
     * lexical near-dup q18/q68 → SEMANTIC), SemDeDup-style: duplicates
     * that share no n-gram — paraphrases, translations-of-boilerplate,
     * re-embedded templates — surface only in embedding space. All-pairs
     * cosine over a corpus is O(N²·d) and never runs at scale; SemDeDup's
-    * move is to let a COARSE QUANTIZER bound the candidate set: assign
-    * every vector to its nearest centroid, compare only within a
-    * cluster. This composes two shipped components: the q86 materialized
-    * centroid artifact (the SAME warehouse path — semantic dedup and ANN
-    * serving share one model build) and q80's keep-the-minimal-member
-    * election philosophy.
+    * move is to bound the candidate set with a COARSE QUANTIZER and
+    * compare only within a cluster.
     *
     * Drop rule, declarative on purpose: vector v is dropped iff some
-    * EARLIER vector u (u.vec_id < v.vec_id) in the same cluster has
-    * cosine ≥ 0.95; the reported witness is the lowest-id such u. This
-    * is the order-free closure of SemDeDup's greedy scan — on a chain
-    * a~b, b~c, a≁c greedy keeps c (its only kept earlier neighbor a is
-    * below τ) while this rule drops it (b witnesses, though b itself
-    * dropped) — i.e. it dedups slightly more aggressively on chain
-    * structures, the same min-label transitive stance as q63/q80, and
-    * unlike the greedy scan it needs no sequential pass over the
-    * cluster. The harness embeddings carry no organic high-cosine pairs
-    * (measured max pairwise cosine ≈ 0.51 at sf0.01), so the corpus is
-    * augmented with PLANTED semantic duplicates exactly as q35 does —
-    * every 25th vector re-enters scaled by 1.0001 (direction-identical,
-    * cosine ≈ 1) under id+100000 — and 0.95 sits between those and the
-    * random-pair tail; the planted copies land in their original's
-    * cluster (same direction ⇒ same nearest centroid) and must each be
-    * dropped with their original as witness, which the oracle verifies
-    * pair-exactly.
+    * EARLIER vector u (u.vec_id < v.vec_id) has cosine ≥ 0.95; the
+    * reported witness is the lowest-id such u (q80's canonical-election
+    * policy). This is the order-free closure of SemDeDup's greedy scan —
+    * on a chain a~b, b~c, a≁c greedy keeps c while this rule drops it
+    * (b witnesses, though b itself dropped) — the same min-label
+    * transitive stance as q63/q80, needing no sequential pass.
     *
-    * Scale shape: nlist centroid rows broadcast → assignment is
-    * map-side; the pairwise stage is an EQUI-join on (cluster, sketch
-    * band) — the r11 ladder caught the bare cluster join's cliff
-    * (clusters inherit the data's FIXED 10-way label, so n_c grows with
-    * the corpus and Σ_c n_c² turned a 10× decade into 55× time: 2.9 s at
-    * sf1 → 161 s at sf10). The fix is q35's inline-verify banding INSIDE
-    * the cluster: each side fans out to its [[NChunks]] sign-sketch band
-    * rows (vector + norm riding along — no candidate-pair
-    * materialization, q35's r9 lesson) and only band collisions reach
-    * the exact cosine, so candidate work is band-bucket-bounded instead
-    * of cluster-quadratic. Measured: sf1 2.9 → 1.8 s, sf10 161 →
-    * 4.0 s. The trade is RECALL AT THE BOUNDARY, stated with its
-    * measured size: the ladder corpus's ScaleUp-perturbed replicas are
-    * near-τ pairs by construction (cosine 0.95–0.99, sketch Hamming
-    * ~4–10 over 120 bits), and 5×24-bit banding misses the
-    * high-Hamming tail of them — drop rows 16762 → 10588 at sf1
-    * (−37%), 201309 → 171769 at sf10 (−15%).
-    * Direction-identical duplicates — the class semantic dedup actually
-    * hunts (re-encodes, scaled/quantized copies; cosine ≈ 1, Hamming 0)
-    * — are caught with ZERO miss risk, which is also what keeps the
-    * brute-force oracle exact on gate data (organic harness pairs all
-    * sit < 0.8; planted ×1.0001 copies sketch identically). The
-    * recall-preserving production fix at 100 TB is not banding but
-    * QUANTIZER GRANULARITY — SemDeDup's own answer: cluster count
-    * scaling with the corpus (k ∝ N, hierarchically assigned), which
-    * keeps within-cluster exact compare LINEAR (C·N) and which the
-    * materialized-model plumbing here (datasetTag keying,
-    * Merge.materialize) already supports; the fixed 10-way toy quantizer
-    * is the harness's, not the operator family's. The cluster key still
-    * rides the join: SemDeDup's semantics — only same-cluster pairs
-    * compare — are preserved exactly, banding only PRUNES within the
-    * cluster. Never a CartesianProduct (PlanSpec pins it); the witness
-    * election is ONE window over the drop candidates. */
+    * QUANTIZER (r12, replacing the r11 in-cluster banded form — VERDICT
+    * r11 item 1): a CANOPY LEADER model with k ∝ N and a PROVABLE exact
+    * recall guarantee, instead of a fixed-count centroid table whose
+    * cluster populations grow with the corpus (the measured Σn_c²
+    * quadratic: 2.9 → 161.5 s on the sf1→sf10 decade bare; banding
+    * bought that decade back but cost −37%/−15% boundary recall at
+    * sf1/sf10). Leaders are hash-sampled corpus vectors, thinned by
+    * min-id election, so the leader count tracks the corpus's NATURAL
+    * cluster count (one leader per dense region + one per sampled
+    * sparse vector) — k grows with the data, never a harness constant:
+    *
+    *  1. coarse seeds = portableHash(vec_id) ≡ 0 (mod 256), deduped
+    *     min-id-first at the cover radius T (a seed with an earlier seed
+    *     at cosine ≥ T is absorbed) — (N/256)² exact dot products, the
+    *     only superlinear term, 6.4e7 at a 2M-vector corpus;
+    *  2. fine seeds = hash ≡ 0 (mod 16) not coarse, absorbed first
+    *     against the coarse leaders (linear in fine seeds × leaders),
+    *     then deduped among the SURVIVORS only — survivors are seeds of
+    *     regions the coarse sample missed, a small set precisely when
+    *     the coarse pass covered the mass (two fixed levels keep the
+    *     oracle SQL fixed-shape; a third nested level is the same move
+    *     again if (N/256)² ever dominates).
+    *
+    * The leader table is a pure function of the corpus and materializes
+    * once into the warehouse ([[graft.etl.Merge.materialize]], datasetTag
+    * keyed — the q82/q86/q87 amortized-model plumbing); the steady state
+    * pays only assignment + within-cluster compare.
+    *
+    * EXACT RECALL by triangle inequality (the canopy-clustering
+    * overlap argument, CanopySpec property-checks it against brute
+    * force): every vector joins the COMPARE set of every leader within
+    * A_c = 0.76 cosine, and is COVERED if some leader is within
+    * T = 0.93; uncovered vectors form the outlier set, compared
+    * all-pairs among themselves. For any pair (u,w) with cos ≥ τ = 0.95:
+    * if u is covered by leader L then angle(w,L) ≤ angle(w,u) +
+    * angle(u,L) ≤ acos(0.95) + acos(0.93) = 39.77°, so cos(w,L) ≥
+    * 0.7688 > A_c and BOTH sit in L's compare set; symmetrically if w is
+    * covered; if neither is covered both are outliers. Every τ-pair is
+    * therefore co-located somewhere — recall 1.0 BY CONSTRUCTION, no
+    * banding trade (the integer-micro thresholds keep ~0.0088 cosine of
+    * slack above A_c for the floor-rounding). Overlap double-counts
+    * collapse in the one witness window.
+    *
+    * Scale shape: leader training is one-time and hash-bounded;
+    * assignment is a broadcast nested-loop of N × L exact dots (the IVF
+    * assignment shape, map-side, embarrassingly parallel — L tracks
+    * natural-region count, not N); within-cluster compare is an
+    * equi-join on the leader id with cluster populations bounded by the
+    * compare radius's region size; the outlier self-compare broadcasts
+    * the outlier set (sparse-region vectors — on clustered corpora a
+    * small residue; its size is the operator's monitorable health
+    * statistic). The checkpoint after membership cuts the N × L
+    * assignment to ONE execution across its three consumers (the q96
+    * chained-plan lesson). Harness embeddings carry no organic
+    * high-cosine pairs (measured max pairwise cosine ≈ 0.51), so the
+    * corpus augments with planted duplicates exactly as q35 does (every
+    * 25th vector scaled by 1.0001 under id+100000); the DuckDB oracle
+    * replays seeds, election, assignment, and outliers bit-exactly. */
   val SemDedupTauMicro = 950000L
+  /** Cover radius T: a vector within this of a leader is quantized. */
+  val CanopyCoverMicro = 930000L
+  /** Compare radius A_c < cos(acos(T) + acos(τ)) = 0.76876 — the overlap
+    * that makes recall exact; the gap to 760000 absorbs micro-rounding. */
+  val CanopyCompareMicro = 760000L
+  val CanopySeedModFine = 16L
+  val CanopySeedModCoarse = 256L
 
-  def semanticDedup(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = withNorm(Tables.embeddings(s, d))
-    val tag = Tables.datasetTag(s, d, "embeddings")
-    val wh = s.conf.get("spark.sql.warehouse.dir")
-    val cents = graft.etl.Merge.materialize(s, s"$wh/graft_ivf_cents_$tag",
-      trainCentroids(e)) // q86's artifact, shared
-    // corpus ∪ planted semantic duplicates (q35's convention; coalesce is
-    // q35's nullability launder so the join predicate can't re-inline a
-    // second dot_product below the Project)
+  private def cosMicro(av: Column, an: Column, bv: Column, bn: Column)
+      : Column = simMicro(Native.dotProduct(av, bv) / (an * bn))
+
+  /** The corpus under dedup: embeddings ∪ planted scaled twins, with
+    * elementwise-double vectors and norms (q35's planting convention). */
+  private def semDedupCorpus(s: SparkSession, d: String): DataFrame = {
     val base = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-    val aug = base.unionByName(
+    base.unionByName(
         base.filter(col("vec_id") % 25 === 0)
           .select((col("vec_id") + 100000L).as("vec_id"),
             transform(col("v"), x => x * 1.0001).as("v")))
-      .withColumn("nrm", coalesce(sqrt(dot(col("v"), col("v"))), lit(0.0)))
-    val l2 = aggregate(
-      zip_with(col("v"), col("cv"), (x, c) => (x - c) * (x - c)),
-      lit(0.0), (a, x) => a + x)
-    val wA = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist").asc, col("label").asc)
-    val assigned = aug.select(col("vec_id"), col("v"), col("nrm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("dist", l2)
-      .withColumn("arank", row_number().over(wA))
-      .filter(col("arank") === 1)
-      .select(col("vec_id"), col("label").as("cluster"), col("v"), col("nrm"))
-    // fan each assigned vector out to its sign-sketch band rows (vector +
-    // norm riding along — q35's no-pair-materialization contract); only
-    // same-cluster same-band collisions reach the exact cosine
-    val chunks = assigned.select(col("vec_id"), col("cluster"), col("v"),
-        col("nrm"),
-        explode(Native.signSketchBands(col("v"), SketchBits, NChunks))
-          .as("ch"))
-      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"),
-        col("ch.band").as("chunk"), col("ch.bh").as("cv"))
-    val pairs = chunks.as("a").join(chunks.as("b"),
-        col("a.cluster") === col("b.cluster") &&
-        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("b.vec_id").as("drop_id"),
-        col("a.cluster").as("cluster"),
-        col("a.vec_id").as("keep_id"),
-        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
-          .as("sim"))
-      .filter(simMicro(col("sim")) >= lit(SemDedupTauMicro))
-    // a surviving pair repeats once per shared band; row_number over the
-    // deterministic (keep_id) order collapses them with the election
-    val wD = Window.partitionBy(col("drop_id")).orderBy(col("keep_id").asc)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
+
+  /** Canopy leader election over an `(vec_id, v, nrm)` corpus — the k ∝ N
+    * model build (steps 1–2 of the q90 scaladoc). Pure function of the
+    * corpus; [[semanticDedup]] materializes it, CanopySpec drives it over
+    * constructed corpora. */
+  private[graft] def canopyLeaders(aug: DataFrame): DataFrame = {
+    val h = graft.functions.Text.portableHash(col("vec_id").cast("string"))
+    def ren(df: DataFrame, p: String) = df.select(
+      col("vec_id").as(s"${p}_id"), col("v").as(s"${p}v"),
+      col("nrm").as(s"${p}n"))
+    def cov(a: String, b: String) =
+      cosMicro(col(s"${a}v"), col(s"${a}n"), col(s"${b}v"), col(s"${b}n")) >=
+        lit(CanopyCoverMicro)
+    // min-id-first election: b dies if an earlier member of `pool` covers
+    // it (self-pairs excluded by the strict id order)
+    def dedup(pool: DataFrame): DataFrame = {
+      val dropped = ren(pool, "b").crossJoin(broadcast(ren(pool, "a")))
+        .filter(col("a_id") < col("b_id") && cov("a", "b"))
+        .select(col("b_id").as("vec_id")).distinct()
+      pool.join(dropped, Seq("vec_id"), "left_anti")
+    }
+    val sc = aug.filter(pmod(h, lit(CanopySeedModCoarse)) === 0)
+      .select("vec_id", "v", "nrm").localCheckpoint()
+    val leadC = dedup(sc).localCheckpoint()
+    val sfSurv = ren(aug.filter(pmod(h, lit(CanopySeedModFine)) === 0 &&
+          pmod(h, lit(CanopySeedModCoarse)) =!= 0)
+        .select("vec_id", "v", "nrm"), "b")
+      .join(broadcast(ren(leadC, "a")), cov("a", "b"), "left_anti")
+      .select(col("b_id").as("vec_id"), col("bv").as("v"), col("bn").as("nrm"))
+      .localCheckpoint()
+    leadC.unionByName(dedup(sfSurv))
+      .select(col("vec_id").as("lead_id"), col("v"), col("nrm"))
+  }
+
+  /** Assignment + within-cluster/outlier compare + witness election over
+    * an `(vec_id, v, nrm)` corpus and a given leader table — factored so
+    * CanopySpec can drive the full operator on constructed corpora. */
+  private[graft] def canopyDedup(aug: DataFrame, leaders: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lead = broadcast(leaders.select(col("lead_id"),
+      col("v").as("lv"), col("nrm").as("ln")))
+    // ONE N×L assignment pass feeds memberships, coverage, and both pair
+    // joins — checkpointed so the three consumers don't re-run it
+    val mem = aug.repartition(col("vec_id")).crossJoin(lead)
+      .withColumn("lsim", cosMicro(col("v"), col("nrm"), col("lv"), col("ln")))
+      .filter(col("lsim") >= lit(CanopyCompareMicro))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("lead_id").as("cluster"), col("lsim"))
+      .localCheckpoint()
+    val covered = mem.filter(col("lsim") >= lit(CanopyCoverMicro))
+      .select("vec_id").distinct()
+    val outliers = aug.join(covered, Seq("vec_id"), "left_anti")
+      .select("vec_id", "v", "nrm")
+    def side(df: DataFrame, p: String, extra: Column*) = df.select(
+      (extra :+ col("vec_id").as(s"${p}_id") :+ col("v").as(s"${p}v")
+        :+ col("nrm").as(s"${p}n")): _*)
+    val sim = Native.dotProduct(col("av"), col("bv")) / (col("an") * col("bn"))
+    val memPairs = side(mem, "a", col("cluster"))
+      .join(side(mem, "b", col("cluster").as("bc")),
+        col("cluster") === col("bc") && col("a_id") < col("b_id"))
+    val outPairs = side(outliers, "b")
+      .crossJoin(broadcast(side(outliers, "a")))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cluster", lit(-1L))
+    val pairs = memPairs.drop("bc").unionByName(outPairs)
+      .withColumn("sim_micro", simMicro(sim))
+      .filter(col("sim_micro") >= lit(SemDedupTauMicro))
+    val wD = Window.partitionBy(col("b_id"))
+      .orderBy(col("a_id").asc, col("cluster").asc)
     pairs.withColumn("wrank", row_number().over(wD))
       .filter(col("wrank") === 1)
-      .select(col("drop_id"), col("cluster"), col("keep_id"),
-        simMicro(col("sim")).as("sim_micro"))
+      .select(col("b_id").as("drop_id"), col("cluster"),
+        col("a_id").as("keep_id"), col("sim_micro"))
       .orderBy(col("drop_id"))
   }
 
-  /** Oracle: brute-force within-cluster pairs under the identical
-    * quantized-centroid assignment (VERDICT r10 item 2). */
-  val semanticDedupSql: String =
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val aug = semDedupCorpus(s, d)
+    val tag = Tables.datasetTag(s, d, "embeddings")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val leaders = graft.etl.Merge.materialize(s,
+      s"$wh/graft_canopy_leaders_$tag", canopyLeaders(aug))
+    canopyDedup(aug, leaders)
+  }
+
+  /** Oracle: the identical seed sampling, min-id leader election,
+    * compare/cover assignment, and outlier residue, replayed in DuckDB
+    * over the same planted corpus — every threshold in integer micros. */
+  val semanticDedupSql: String = {
+    def cosM(a: String, b: String): String =
+      s"""CAST(floor(${dotSql(s"$a.v", s"$b.v")}
+         |      / ($a.nrm * $b.nrm) * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
     s"""WITH $normedSql,
-       |perdim AS (
-       |  SELECT label, i AS pos, CAST(floor(v[i + 1] * 1000.0 + 0.5) AS BIGINT) AS qx
-       |  FROM n, range(0, 64) t(i)),
-       |cents AS (
-       |  SELECT label, list(c ORDER BY pos) AS cv FROM (
-       |    SELECT label, pos,
-       |      CAST(sum(qx) AS DOUBLE) / 1000.0 / CAST(count(*) AS DOUBLE) AS c
-       |    FROM perdim GROUP BY label, pos)
-       |  GROUP BY label),
        |corpus AS (
        |  SELECT vec_id, v FROM n
        |  UNION ALL
@@ -733,32 +788,45 @@ object Similarity {
        |m AS (
        |  SELECT vec_id, v,
        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |      list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+       |      list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm,
+       |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS h
        |  FROM corpus),
-       |ass AS (
-       |  SELECT vec_id, cluster FROM (
-       |    SELECT e.vec_id, c.label AS cluster, row_number() OVER (
-       |        PARTITION BY e.vec_id ORDER BY
-       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |          list_transform(range(1, 65),
-       |            i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))),
-       |          (a, b) -> a + b) ASC, c.label ASC) AS arank
-       |    FROM m e, cents c)
-       |  WHERE arank = 1),
+       |sc AS (SELECT vec_id, v, nrm FROM m WHERE h % $CanopySeedModCoarse = 0),
+       |dropc AS (SELECT DISTINCT b.vec_id FROM sc a, sc b
+       |  WHERE a.vec_id < b.vec_id AND ${cosM("a", "b")} >= $CanopyCoverMicro),
+       |lc AS (SELECT * FROM sc WHERE vec_id NOT IN (SELECT vec_id FROM dropc)),
+       |sfs AS (SELECT vec_id, v, nrm FROM m
+       |  WHERE h % $CanopySeedModFine = 0 AND h % $CanopySeedModCoarse <> 0),
+       |covf AS (SELECT DISTINCT b.vec_id FROM lc a, sfs b
+       |  WHERE ${cosM("a", "b")} >= $CanopyCoverMicro),
+       |sfv AS (SELECT * FROM sfs WHERE vec_id NOT IN (SELECT vec_id FROM covf)),
+       |dropf AS (SELECT DISTINCT b.vec_id FROM sfv a, sfv b
+       |  WHERE a.vec_id < b.vec_id AND ${cosM("a", "b")} >= $CanopyCoverMicro),
+       |lf AS (SELECT * FROM sfv WHERE vec_id NOT IN (SELECT vec_id FROM dropf)),
+       |leaders AS (SELECT vec_id AS lead_id, v, nrm FROM lc
+       |  UNION ALL SELECT vec_id, v, nrm FROM lf),
+       |mem AS (
+       |  SELECT e.vec_id, e.v, e.nrm, l.lead_id AS cluster,
+       |    ${cosM("e", "l")} AS lsim
+       |  FROM m e, leaders l WHERE ${cosM("e", "l")} >= $CanopyCompareMicro),
+       |cov AS (SELECT DISTINCT vec_id FROM mem WHERE lsim >= $CanopyCoverMicro),
+       |outl AS (SELECT vec_id, v, nrm FROM m
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM cov)),
        |pairs AS (
-       |  SELECT bb.vec_id AS drop_id, aa.cluster AS cluster,
-       |    aa.vec_id AS keep_id,
-       |    CAST(floor(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm)
-       |      * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
-       |  FROM ass aa JOIN ass bb ON aa.cluster = bb.cluster
-       |    AND aa.vec_id < bb.vec_id
-       |  JOIN m a ON a.vec_id = aa.vec_id
-       |  JOIN m b ON b.vec_id = bb.vec_id)
+       |  SELECT b.vec_id AS drop_id, a.cluster, a.vec_id AS keep_id,
+       |    ${cosM("a", "b")} AS sim_micro
+       |  FROM mem a JOIN mem b ON a.cluster = b.cluster
+       |    AND a.vec_id < b.vec_id
+       |  UNION ALL
+       |  SELECT b.vec_id, CAST(-1 AS BIGINT), a.vec_id, ${cosM("a", "b")}
+       |  FROM outl a JOIN outl b ON a.vec_id < b.vec_id)
        |SELECT drop_id, cluster, keep_id, sim_micro
        |FROM (SELECT *, row_number() OVER (
-       |        PARTITION BY drop_id ORDER BY keep_id ASC) AS wrank
+       |        PARTITION BY drop_id ORDER BY keep_id ASC, cluster ASC) AS wrank
        |      FROM pairs WHERE sim_micro >= $SemDedupTauMicro)
        |WHERE wrank = 1 ORDER BY drop_id""".stripMargin
+  }
 
   // ── q59: multi-probe IVF (nprobe = 3) ───────────────────────────────────
   /** Same computed-centroid IVF, probing the query's 3 nearest clusters.

@@ -33,16 +33,11 @@ class QuantileSketchSpec extends SparkSpec {
     Gen.listOfN(60, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 40L),
       Gen.choose(0L, 999L)))
 
-  /** The aggregator's distinct-hash rule: first value wins per hash —
-    * make generated rows hash-unique so splits can't disagree on which
-    * duplicate arrives first (the q101 contract: hash = unique row id). */
-  private def uniq(raw: List[(Long, Long, Long)]) =
-    raw.distinctBy(t => (t._1, t._2))
-
   test("property: mergeTables over any batch split equals the one-shot " +
-       "sketch, in any association order") {
+       "sketch, in any association order — WITHOUT hash-unique inputs " +
+       "(r11 advisor note: collisions keep min value, a pure set function)") {
     for (seed <- 0L until 8L) {
-      val raw = uniq(gen(Gen.Parameters.default, Seed(seed)).get)
+      val raw = gen(Gen.Parameters.default, Seed(seed)).get
       val oneShot = rowsOf(sketch(raw))
       val (b1, rest) = raw.splitAt(raw.length / 3)
       val (b2, b3) = rest.splitAt(rest.length / 2)
@@ -59,19 +54,22 @@ class QuantileSketchSpec extends SparkSpec {
   }
 
   test("mergeTables is idempotent: a table absorbed into itself is unchanged") {
-    val raw = uniq(gen(Gen.Parameters.default, Seed(99L)).get)
+    val raw = gen(Gen.Parameters.default, Seed(99L)).get
     val t = sketch(raw)
     assert(rowsOf(QuantileSketch.mergeTables(t, t, Seq("g"), "pairs", K))
       === rowsOf(t))
   }
 
   test("sketch keeps the pairs of the k smallest distinct hashes, sorted " +
-       "by hash, first value winning per hash") {
+       "by hash, minimum value winning per hash") {
     val raw = Seq.tabulate(30)(i => (1L, (i % 15) * 7L, 100L + i)) // h dupes
     val out = rowsOf(sketch(raw))
-    // hashes 0,7,…,49; per hash the FIRST arrival's value (i = h/7)
+    // hashes 0,7,…,49; per hash arrivals i = h/7 and h/7 + 15 carry
+    // values 100+h/7 < 115+h/7 — the minimum survives either order
     assert(out === List((1L,
       (0 until K).map(j => (j * 7L, 100L + j)).toList)))
+    val rev = rowsOf(sketch(raw.reverse))
+    assert(rev === out, "collision winner depended on arrival order")
   }
 
   test("order-statistic estimate lands within O(1/sqrt(k)) rank error of " +

@@ -686,24 +686,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q90: semantic dedup's pairwise stage is a cluster equi-join reading " +
-       "the materialized centroid model — never all-pairs, no training " +
-       "posexplode in the steady state") {
+  test("q90: semantic dedup's pairwise stage is a cluster equi-join over " +
+       "the materialized canopy leader model — never all-pairs") {
     atScaleShape {
-      val p = plan(q("q90_semantic_dedup"))
-      // the SemDeDup contract: candidates come from the cluster-id
+      val df = q("q90_semantic_dedup")
+      val p = plan(df)
+      // the SemDeDup contract: candidates come from the leader-id
       // equi-join; a CartesianProduct means within-cluster degenerated
       // to corpus all-pairs (the O(N^2 d) shape the quantizer exists to
-      // avoid). The 10-row centroid crossJoin for ASSIGNMENT broadcasts
-      // (nlist rows), so the only legal nested-loop is a broadcast one.
+      // avoid). The leader assignment and the outlier-residue compare
+      // broadcast their small side, so the only legal nested-loop is a
+      // broadcast one.
       assert(!p.contains("CartesianProduct"),
         s"semantic dedup degenerated to all-pairs:\n$p")
-      // steady state reads the q86 warehouse artifact, it never retrains:
-      // the corpus-x-dim posexplode is the training pass's signature
-      assert(!p.contains("posexplode"),
-        s"centroid training stage leaked into the steady-state plan:\n$p")
-      assert(p.contains("graft_ivf_cents"),
-        s"plan does not read the materialized centroid artifact:\n$p")
+      // the leader model trained through Merge.materialize: the artifact
+      // must exist in the warehouse after construction (the assignment
+      // itself is checkpointed, so the final plan reads the snapshot,
+      // not the training lineage)
+      val wh = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      assert(wh.listFiles != null &&
+        wh.listFiles.exists(_.getName.startsWith("graft_canopy_leaders_")),
+        s"canopy leader model was not materialized under $wh")
     }
   }
 }
