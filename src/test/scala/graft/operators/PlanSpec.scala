@@ -686,6 +686,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q108: pagerank's result is a top-k (TakeOrderedAndProject), and " +
+       "the iteration left no join lineage in the final plan (checkpoint " +
+       "per round — the q63 truncation contract)") {
+    atScaleShape {
+      val p = plan(q("q108_pagerank"))
+      assert(!p.contains("CartesianProduct"),
+        s"pagerank degenerated to all-pairs:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"top-20 became a global sort:\n$p")
+      // 10 rounds re-derived into one plan tree is the exponential-plan
+      // failure localCheckpoint exists to prevent: the final plan must
+      // read the last round's snapshot, not re-join all 10
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"iteration lineage leaked into the final plan:\n$p")
+    }
+  }
+
   test("q90: semantic dedup's pairwise stage is a cluster equi-join over " +
        "the materialized canopy leader model — never all-pairs") {
     atScaleShape {
