@@ -1056,9 +1056,17 @@ object Documents {
   def keywordSearch(s: SparkSession, d: String): DataFrame = {
     val tag = Tables.datasetTag(s, d, "documents") // stale-proof key
     val wh = s.conf.get("spark.sql.warehouse.dir")
-    val idx = graft.etl.Merge.materialize(s, s"$wh/graft_postings_$tag",
-      postings(Tables.documents(s, d)))
-    searchIndex(idx, Seq("hash", "join", "scan"), 20)
+    // postings AND a corpus snapshot publish as ONE [[graft.etl.Manifest]]
+    // snapshot (r12): a consumer that searches the index then fetches the
+    // hit documents resolves BOTH from the same publish — a concurrent
+    // index refresh can no longer pair new postings with an old corpus
+    // (each artifact's swap was individually atomic; the manifest makes
+    // the PAIR atomic). The probe itself reads only the postings member.
+    val snap = graft.etl.Manifest.ensure(s, s"$wh/graft_search_$tag", Map(
+      "corpus"   -> (() => Tables.documents(s, d)),
+      "postings" -> (() => postings(Tables.documents(s, d)))))
+    searchIndex(s.read.parquet(snap("postings")), Seq("hash", "join", "scan"),
+      20)
   }
   val keywordSearchSql: String =
     s"""WITH toks AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),

@@ -574,38 +574,76 @@ object Events {
     * session is human-bounded, not corpus-bounded — and the path rollup
     * partial-aggregates map-side on the path string, with the top-20 as
     * TakeOrderedAndProject (per-partition heaps, no global sort). */
+  /** Hard per-session event cap (r11 verdict item 7): "a session is
+    * human-bounded" is an argument about users, not about the engine — a
+    * bot or instrumentation loop can feed one user a 100k-event session
+    * and the per-session collect becomes the memory failure the operator
+    * must not have. Paths keep the FIRST [[SessionPathCap]] events (by
+    * (ts, event_id) order) and mark truncation with `>...+N` carrying
+    * the cut count, so the full event count stays readable from the
+    * path itself. EventsSpec drives a constructed 100k-event session. */
+  private[graft] val SessionPathCap = 64
+
   /** Per-session (user_id, session_start, session_end, path) frame —
     * factored out so the streaming twin
     * ([[graft.streaming.Streams.statefulSessionPaths]]) has a batch
     * ground truth to equal (StreamsSpec, the statefulSessions pattern).
-    * `session_end` comes from an AGGREGATE (max(ts) + gap), never from
-    * the session_window struct — the pushdown trap documented on
-    * [[sessionWindows]]. */
+    *
+    * r12 shape: gaps-and-islands sessionization (the oracle's own form;
+    * boundary semantics unchanged — inclusive ≤ 30 min merge, q27's
+    * pin) instead of `session_window`, because the CAP needs a rank
+    * within the session BEFORE the collect: rows beyond
+    * [[SessionPathCap]] are filtered pre-collect, so the per-session
+    * array — the query's whole memory footprint — is bounded by the cap,
+    * not by the input. All windows and the final collect ride ONE
+    * user_id exchange (HashPartitioning(user_id) satisfies every
+    * (user_id, sid) clustering requirement downstream). Full-session
+    * count and end ride the same pass as unbounded window aggregates,
+    * so truncation loses no metadata: `session_end` is still
+    * max(ts)+gap over ALL events, and the marker carries the cut
+    * count. */
   private[graft] def sessionPathFrame(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val gapUs = 30L * 60L * 1000000L
     // Dictionary-encode the event types BEFORE the per-session collect:
     // the type set is tiny (one partial-agg'd distinct, broadcast as a
-    // one-row array) while the session arrays are the query's whole
-    // memory footprint — collecting a 4-byte index instead of a string
-    // cut the sf100 sort/array payload ~4× (the decode back to strings
-    // happens once per SESSION at path build, not per event).
+    // one-row array) while the session arrays are the collect's payload —
+    // a 4-byte index instead of a string cut the sf100 sort/array
+    // payload ~4× (decode back to strings happens once per SESSION).
     val types = events.select(col("event_type")).distinct()
       .agg(array_sort(collect_list(col("event_type"))).as("types"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val ws = Window.partitionBy(col("user_id"), col("sid"))
+    val wsOrd = ws.orderBy(col("us").asc, col("event_id").asc)
     events.crossJoin(broadcast(types))
       .withColumn("et",
         array_position(col("types"), col("event_type")).cast("int"))
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("brk",
+        when(col("us") - lag(col("us"), 1).over(w) <= gapUs, 0L)
+          .otherwise(1L))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(wsOrd))
+      .withColumn("n_events", count(lit(1)).over(ws))
+      .withColumn("max_us", max(col("us")).over(ws))
+      .filter(col("rn") <= SessionPathCap) // the cap: collect is bounded
+      .groupBy(col("user_id"), col("sid"))
       .agg(array_sort(collect_list(struct(
-          unix_micros(col("ts")).as("us"), col("event_id"),
-          col("et")))).as("evs"),
-        (max(unix_micros(col("ts"))) + gapUs).as("session_end"),
+          col("us"), col("event_id"), col("et")))).as("evs"),
+        min(col("us")).as("session_start"),
+        (first(col("max_us")) + gapUs).as("session_end"),
+        first(col("n_events")).as("n_events"),
         first(col("types")).as("types"))
-      .select(col("user_id"),
-        unix_micros(col("session_window.start")).as("session_start"),
-        col("session_end"),
-        array_join(transform(col("evs"),
-          e => element_at(col("types"), e.getField("et"))), ">")
-          .as("path"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        concat(
+          array_join(transform(col("evs"),
+            e => element_at(col("types"), e.getField("et"))), ">"),
+          when(col("n_events") > SessionPathCap,
+            concat(lit(">...+"),
+              (col("n_events") - SessionPathCap).cast("string")))
+            .otherwise(lit(""))).as("path"))
   }
 
   def sessionPaths(s: SparkSession, d: String): DataFrame =
@@ -629,10 +667,18 @@ object Events {
       |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                           ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM marked),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+      |                               ORDER BY ts, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id, sid) AS n_events
+      |  FROM grouped),
       |paths AS (
       |  SELECT user_id, sid,
-      |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
-      |  FROM grouped GROUP BY user_id, sid)
+      |    string_agg(event_type, '>' ORDER BY ts, event_id) ||
+      |      CASE WHEN max(n_events) > 64
+      |           THEN '>...+' || CAST(max(n_events) - 64 AS VARCHAR)
+      |           ELSE '' END AS path
+      |  FROM ranked WHERE rn <= 64 GROUP BY user_id, sid)
       |SELECT path, count(*) AS n_sessions,
       |  count(DISTINCT user_id) AS n_users
       |FROM paths GROUP BY path

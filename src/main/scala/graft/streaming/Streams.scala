@@ -151,10 +151,12 @@ object Streams {
       .start()
   }
 
-  /** One merge application of [[mergingSink]]'s per-batch body, shared
-    * with [[dqSplitSink]]'s two-target split. */
-  private def applyMergeBatch(incoming: DataFrame, key: String,
-                              path: String, batchId: Long): Unit = {
+  /** One merge application of [[mergingSink]]'s per-batch body with a
+    * pluggable merge rule — shared by [[dqSplitSink]]'s two-target split
+    * and [[gatedCdcSink]]'s gate-then-apply composition. */
+  private def applyBatch(incoming: DataFrame, key: String, path: String,
+      batchId: Long,
+      merge: (DataFrame, DataFrame, String) => DataFrame): Unit = {
     val s = incoming.sparkSession
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -163,8 +165,54 @@ object Streams {
       if (fs.exists(target))
         s.read.schema(incoming.schema).parquet(path)
       else incoming.limit(0)
-    val merged = graft.etl.Merge.firstWinsMerge(existing, incoming, key)
-    graft.etl.Merge.writeAndSwap(merged, path, batchId.toString)
+    graft.etl.Merge.writeAndSwap(merge(existing, incoming, key), path,
+      batchId.toString)
+  }
+
+  private def applyMergeBatch(incoming: DataFrame, key: String,
+                              path: String, batchId: Long): Unit =
+    applyBatch(incoming, key, path, batchId,
+      graft.etl.Merge.firstWinsMerge(_, _, _))
+
+  /** CDC ingest gated by EXPECTATIONS before apply (VERDICT r11 item 6) —
+    * the composition production change-capture actually runs: a corrupt
+    * upstream change must neither mutate the net table NOR vanish. Each
+    * micro-batch splits on the same violation predicates the batch
+    * [[graft.etl.Quality.rowChecks]] counts; clean changes apply with
+    * [[graft.etl.Merge.cdcApply]]'s last-wins-by-sequence semantics
+    * (tombstones retained — the q96 order/replay contracts), violating
+    * CHANGES land whole in a quarantine table keyed by their change
+    * identity (key:seq), so nothing collapses and an operator can replay
+    * the quarantine through the same gate after the upstream fix — the
+    * quarantined unit is the CHANGE, never the post-apply state, which
+    * is what keeps the net table's history linear. Both targets go
+    * through the recover-first writeAndSwap protocol: a checkpoint
+    * replay re-applies absorbing merges on both sides (cdcApply is
+    * replay-absorbing by the MergeSpec property; the quarantine's
+    * first-wins merge on change identity is idempotent), and a crash
+    * between the two writes re-heals on the next batch. */
+  def gatedCdcSink(changes: DataFrame, key: String, seqCol: String,
+                   checks: Seq[graft.etl.Quality.RowCheck],
+                   netPath: String, quarantinePath: String,
+                   checkpoint: String): StreamingQuery = {
+    val violation = checks.map(_.violation).reduce(_ || _)
+    changes.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val b = batch.toDF().localCheckpoint() // split reads it twice
+        applyBatch(b.filter(!coalesce(violation, lit(false))), key, netPath,
+          batchId, graft.etl.Merge.cdcApply(_, _, _, seqCol))
+        applyMergeBatch(
+          b.filter(coalesce(violation, lit(false)))
+            .withColumn("__change_id",
+              concat_ws(":", col(key), col(seqCol))),
+          "__change_id", quarantinePath, batchId)
+        ()
+      }
+      .start()
   }
 
   private def mergingSink(events: DataFrame, key: String, path: String,
@@ -513,10 +561,14 @@ object Streams {
   case class SessionAgg(userId: Long, start: Long, lastTs: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: Long, n_events: Long)
 
-  /** Open-session event buffer for [[statefulSessionPaths]]: the events of
-    * the ONE open session, kept sorted by (us, event_id) — bounded by
-    * session length (human-bounded), never by stream history. */
-  case class PathAgg(userId: Long, evs: Vector[(Long, Long, String)])
+  /** Open-session event buffer for [[statefulSessionPaths]]: the FIRST
+    * [[graft.operators.Events.SessionPathCap]] events of the ONE open
+    * session, kept sorted by (us, event_id) — r12: HARD-bounded by the
+    * cap (the batch q98 contract), never by input behavior; `nTotal`
+    * and `maxUs` track the full session so truncation loses neither the
+    * count (it rides the path marker) nor the gap/timeout clock. */
+  case class PathAgg(userId: Long, evs: Vector[(Long, Long, String)],
+                     nTotal: Long, maxUs: Long)
   case class PathOut(user_id: Long, session_start: Long, path: String)
 
   /** q98's streaming twin — per-user session PATHS via
@@ -537,8 +589,10 @@ object Streams {
   def statefulSessionPaths(events: DataFrame, gapMinutes: Int): DataFrame = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val cap = graft.operators.Events.SessionPathCap
     def pathOf(a: PathAgg): PathOut =
-      PathOut(a.userId, a.evs.head._1, a.evs.map(_._3).mkString(">"))
+      PathOut(a.userId, a.evs.head._1, a.evs.map(_._3).mkString(">") +
+        (if (a.nTotal > cap) ">...+" + (a.nTotal - cap) else ""))
     events
       .withWatermark("ts", "2 hours")
       .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp],
@@ -562,23 +616,27 @@ object Streams {
             sorted.foreach { case ev @ (us, _, _) =>
               agg match {
                 case null =>
-                  agg = PathAgg(userId, Vector(ev))
-                case a if us - a.evs.last._1 <= gapUs =>
+                  agg = PathAgg(userId, Vector(ev), 1L, us)
+                case a if us - a.maxUs <= gapUs =>
                   // in-session: sorted splice (a late in-watermark event
-                  // may land BEFORE buffered ones)
+                  // may land BEFORE buffered ones), then re-trim to the
+                  // cap — the kept prefix stays exactly the first `cap`
+                  // events by (us, event_id) under any arrival order
                   val idx = a.evs.indexWhere(b =>
                     b._1 > us || (b._1 == us && b._2 > ev._2))
-                  agg = a.copy(evs =
+                  val spliced =
                     if (idx < 0) a.evs :+ ev
-                    else (a.evs.take(idx) :+ ev) ++ a.evs.drop(idx))
+                    else (a.evs.take(idx) :+ ev) ++ a.evs.drop(idx)
+                  agg = a.copy(evs = spliced.take(cap),
+                    nTotal = a.nTotal + 1L, maxUs = math.max(a.maxUs, us))
                 case a =>
                   out += pathOf(a)
-                  agg = PathAgg(userId, Vector(ev))
+                  agg = PathAgg(userId, Vector(ev), 1L, us)
               }
             }
             state.update(agg)
             state.setTimeoutTimestamp(
-              agg.evs.last._1 / 1000L + gapMinutes * 60L * 1000L)
+              agg.maxUs / 1000L + gapMinutes * 60L * 1000L)
             out.result().iterator
           }
       }

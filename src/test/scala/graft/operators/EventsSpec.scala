@@ -157,4 +157,41 @@ class EventsSpec extends SparkSpec {
     assert(got === slidingModel(rows), s"sliding membership diverged:\n$got")
   }
   private val slideProbe = 15L * 60L * 1000000L
+
+  test("q98 cap: a constructed 100k-event bot session truncates the path " +
+       "at the cap with a count-preserving marker; session metadata " +
+       "reflects the FULL session") {
+    val n = 100000
+    val cap = Events.SessionPathCap
+    // one user, one event per second → a single 100k-event session: the
+    // input a bot or an instrumentation loop produces, where an uncapped
+    // per-session collect is the memory failure mode
+    val rows = (0 until n).map(i =>
+      (1L, baseUs + i * 1000000L, i.toLong, if (i % 2 == 0) "a" else "b"))
+    val df = rows.toDF("user_id", "us", "event_id", "event_type")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("event_id"), col("event_type"))
+    val out = Events.sessionPathFrame(df).collect()
+    assert(out.length === 1, s"expected one session, got ${out.length}")
+    val r = out.head
+    val expectPath = (0 until cap)
+      .map(i => if (i % 2 == 0) "a" else "b").mkString(">") +
+      s">...+${n - cap}"
+    assert(r.getAs[String]("path") === expectPath)
+    assert(r.getAs[Long]("session_start") === baseUs)
+    // session_end = max ts over ALL events + gap — truncation must not
+    // shorten the session's clock
+    assert(r.getAs[Long]("session_end") ===
+      baseUs + (n - 1) * 1000000L + gapUs)
+  }
+
+  test("q98 cap: sessions at and below the cap carry no marker") {
+    val rows = (0 until Events.SessionPathCap).map(i =>
+      (1L, baseUs + i * 1000000L, i.toLong, "a"))
+    val df = rows.toDF("user_id", "us", "event_id", "event_type")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("event_id"), col("event_type"))
+    val p = Events.sessionPathFrame(df).collect().head.getAs[String]("path")
+    assert(p === Seq.fill(Events.SessionPathCap)("a").mkString(">"))
+  }
 }

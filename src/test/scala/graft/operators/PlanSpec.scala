@@ -587,8 +587,21 @@ class PlanSpec extends SparkSpec {
   test("q99: the search probe reads the MATERIALIZED posting index — term " +
        "filter pushed to the scan, no tokenize explode, top-k heap-merged") {
     val p = atScaleShape { plan(q("q99_keyword_search")) }
-    assert(p.contains("graft_postings"),
-      s"postings not read from the warehouse index:\n$p")
+    // r12: the index resolves through the Manifest snapshot — the scan
+    // reads under the search root (explain truncates the full path; the
+    // pinned generation + manifest are asserted on the filesystem)
+    assert(p.contains("graft_search_"),
+      s"postings not read from the manifest's search root:\n$p")
+    val wh = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val searchRoot = wh.listFiles.filter(_.getName.startsWith("graft_search_"))
+    assert(searchRoot.nonEmpty, s"no search root under $wh")
+    val members = searchRoot.head.listFiles.map(_.getName).toSet
+    assert(members.contains("MANIFEST") && members.contains("postings") &&
+           members.contains("corpus"),
+      s"search root lacks manifest members: $members")
+    assert(new java.io.File(searchRoot.head, "postings/gen-1").isDirectory,
+      "postings generation dir missing")
     assert(!p.contains("Generate"),
       s"tokenization explode leaked into the probe plan:\n$p")
     assert(p.replaceAll("\\s", "").contains("In(term,"),

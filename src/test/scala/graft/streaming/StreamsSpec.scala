@@ -168,6 +168,57 @@ class StreamsSpec extends SparkSpec {
       rows(graft.etl.Merge.cdcNet(log, "k", "seq")))
   }
 
+  test("gatedCdcSink: violating changes quarantine whole, never touch the " +
+       "net table; replay absorbs; the fixed quarantine re-applies " +
+       "through the same gate") {
+    import spark.implicits._
+    // CDC log with corruption: every 7th change carries a NULL value —
+    // the gate must hold the CHANGE back, not apply-then-flag the state
+    val log = Tables.events(spark, sfDir)
+      .select(col("user_id").as("k"), col("event_id").as("seq"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        when(col("event_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("event_type")).as("v"))
+    val checks = Seq(graft.etl.Quality.notNullCheck("v"))
+    val net = tmp("graft-gated") + "/net"
+    val quar = tmp("graft-gated") + "/quarantine"
+    def runOnce(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val dir = Files.createTempDirectory(s"graft-gated-$name")
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(dir.resolve("batch").toString)
+      val q = Streams.gatedCdcSink(
+        spark.readStream.schema(df.schema)
+          .parquet(dir.resolve("batch").toString),
+        "k", "seq", checks, net, quar, tmp(s"graft-gated-ck-$name"))
+      q.awaitTermination(120000)
+    }
+    val mid = log.agg(org.apache.spark.sql.functions.avg("seq"))
+      .head.getDouble(0).toLong
+    runOnce("newer", log.filter(col("seq") >= mid)) // out of order
+    runOnce("older", log.filter(col("seq") < mid))
+    runOnce("older2", log.filter(col("seq") < mid)) // replay: absorbing
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "seq", "op", "v")
+        .as[(Long, Long, String, Option[String])].collect().sorted
+    val clean = log.filter(col("v").isNotNull)
+    // net table == one-shot CDC net of the CLEAN changes only
+    assert(rows(spark.read.parquet(net)) ===
+      rows(graft.etl.Merge.cdcNet(clean, "k", "seq")))
+    // quarantine holds EVERY violating change (keyed by change identity,
+    // so the replay collapsed to one copy each)
+    val bad = spark.read.parquet(quar)
+    assert(bad.count() === log.filter(col("v").isNull).count())
+    // upstream fix: repair the quarantined changes and feed them through
+    // the SAME gate — they apply, and the net table becomes the full log's
+    val fixed = bad.drop("__change_id")
+      .withColumn("v", coalesce(col("v"), lit("fixed")))
+      .localCheckpoint() // the gate's own swap replaces the files below
+    runOnce("fixed", fixed)
+    assert(rows(spark.read.parquet(net)) ===
+      rows(graft.etl.Merge.cdcNet(
+        clean.unionByName(fixed), "k", "seq")))
+  }
+
   test("mergeSink survives a kill between delete and rename (orphan recovery)") {
     import java.nio.file.{Paths, StandardCopyOption}
     // two disjoint slices of events, staged as separate files so the
