@@ -128,6 +128,23 @@ object Merge {
           Window.partitionBy(col(key)).orderBy(col("valid_from"))))
   }
 
+  /** Point-in-time (AS OF) read of an SCD2 table — the time-travel
+    * consumer the history exists FOR (r12): the row version effective at
+    * `ts` is the one with `valid_from ≤ ts < valid_to` (open versions
+    * have a null `valid_to`). Versions partition each key's timeline, so
+    * the snapshot holds AT MOST one row per key, with keys born after
+    * `ts` absent — equal to "latest attribute per key at eff ≤ ts"
+    * computed directly from the change log, which is exactly how q109's
+    * DuckDB oracle and the MergeSpec property check it (an independent
+    * derivation, not a history replay). A pure filter: partition/file
+    * pruning on `valid_from`/`valid_to` makes it a metadata operation on
+    * a date-partitioned lake table. */
+  def scd2AsOf(hist: DataFrame, ts: org.apache.spark.sql.Column,
+               validFrom: String = "valid_from",
+               validTo: String = "valid_to"): DataFrame =
+    hist.filter(col(validFrom) <= ts &&
+      (col(validTo).isNull || ts < col(validTo)))
+
   /** Incremental SCD2 merge: apply a batch of effective-dated changes to an
     * existing SCD2 table (one built by [[scd2FromLog]] or by previous
     * merges). Semantics = rebuild-from-log for the TOUCHED keys only:

@@ -1450,6 +1450,65 @@ object Documents {
       |WHERE rk <= 3
       |ORDER BY source, rk""".stripMargin
 
+  // ── q110: EXACT weighted sampling without replacement (quality-biased) ──
+  /** Quality-weighted corpus sampling — the training-mix primitive q72's
+    * fixed per-source rates can't express: sample k documents with
+    * probability proportional to an integer QUALITY weight, without
+    * replacement, deterministically. `rand()`-based weighted sampling is
+    * non-reproducible and cross-engine dead; Efraimidis–Spirakis keys
+    * (u^(1/w)) need float `pow`, whose last-ulp behavior no two engines
+    * share. The trick that keeps the hash gate exact: for integer weight
+    * w, give each document w INDEPENDENT hash draws (portableHash of
+    * "doc_id:j", j < w) and key it by the MINIMUM draw; bottom-k keys =
+    * the sample. This is DISTRIBUTIONALLY EXACT successive WRS: among
+    * the remaining items' pooled draws every draw is equally likely to
+    * be the minimum, so P(item i next) = w_i / Σ_remaining w_j — the
+    * Efraimidis–Spirakis chain rule — while staying pure integer/hash
+    * arithmetic both engines replay bit-for-bit (WeightedSampleSpec
+    * measures the selection frequencies against the w-proportional law
+    * across disjoint salt universes). Weight here = length-derived
+    * quality band (1..8); any integer weight column works.
+    *
+    * Scale: the explode fans each doc to w ≤ 8 rows map-side, the min
+    * collapses map-side (partial agg), and the bottom-k is one
+    * TakeOrderedAndProject — no shuffle carries more than a (doc, hash)
+    * pair; nothing depends on corpus order or partitioning. */
+  val WeightedSampleK = 100
+
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    val w = (least(expr("n_chars div 500"), lit(7L)) + lit(1L)).as("weight")
+    Tables.documents(s, d)
+      .select(col("doc_id"), w)
+      .withColumn("j", explode(sequence(lit(0L), col("weight") - 1L)))
+      .withColumn("h", Text.portableHash(
+        concat(col("doc_id").cast("string"), lit(":"), col("j"))))
+      .groupBy(col("doc_id"), col("weight"))
+      .agg(min(col("h")).as("minh"))
+      .orderBy(col("minh").asc, col("doc_id").asc)
+      .limit(WeightedSampleK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("minh").asc, col("doc_id").asc)).cast("long"))
+      .select(col("rank"), col("doc_id"), col("weight"))
+      .orderBy(col("rank"))
+  }
+  val weightedSampleSql: String =
+    s"""WITH wts AS (
+       |  SELECT doc_id, least(n_chars // 500, 7) + 1 AS weight
+       |  FROM documents),
+       |draws AS (
+       |  SELECT doc_id, weight,
+       |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+       |      CAST(j AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+       |  FROM wts, range(0, 8) t(j) WHERE j < weight),
+       |keys AS (
+       |  SELECT doc_id, CAST(weight AS BIGINT) AS weight, min(h) AS minh
+       |  FROM draws GROUP BY doc_id, weight)
+       |SELECT CAST(rank AS BIGINT) AS rank, doc_id, weight FROM (
+       |  SELECT *, row_number() OVER (ORDER BY minh ASC, doc_id ASC) AS rank
+       |  FROM keys)
+       |WHERE rank <= $WeightedSampleK ORDER BY rank""".stripMargin
+
   // ── q71: training-shard packing by cumulative token budget ──────────────
   val PackBudgetTokens = 2048L
 
@@ -2036,6 +2095,7 @@ object Documents {
     "q43_scrub_pii"       -> (scrubPii _),
     "q44_repetition"      -> (repetitionRatio _),
     "q41_group_sample"    -> (groupSample _),
+    "q110_weighted_sample"-> (weightedSample _),
     "q42_train_test_split"-> (trainTestSplit _),
     "q71_sequence_pack"   -> (sequencePack _),
     "q95_token_pack"      -> (tokenPack _),
@@ -2068,6 +2128,7 @@ object Documents {
     "q43_scrub_pii"       -> scrubPiiSql,
     "q44_repetition"      -> repetitionRatioSql,
     "q41_group_sample"    -> groupSampleSql,
+    "q110_weighted_sample"-> weightedSampleSql,
     "q42_train_test_split"-> trainTestSplitSql,
     "q71_sequence_pack"   -> sequencePackSql,
     "q95_token_pack"      -> tokenPackSql,

@@ -720,10 +720,26 @@ object Similarity {
       .select(col("vec_id").as("lead_id"), col("v"), col("nrm"))
   }
 
+  /** Outlier-compare broadcast gate: below this row count the outlier
+    * residue self-compares through a broadcast nested loop (streamed
+    * side parallel, ~50 MB of vectors broadcast at the limit); above it
+    * the same pair set computes through a TRIANGULAR BLOCK join — each
+    * side replicates across [[CanopyOutlierBlocks]] block keys so every
+    * (i, j) block pair lands on its own reducer: exact, no broadcast,
+    * B²-way parallel (the q104 advisor lesson: an unconditional
+    * broadcast of a corpus-proportional side is the thing that dies
+    * first at scale — a structureless corpus makes the residue
+    * corpus-sized, and all-pairs over it is then the operator's honest
+    * intrinsic cost, which must distribute rather than OOM). */
+  val CanopyOutlierBroadcastLimit = 100000L
+  val CanopyOutlierBlocks = 64
+
   /** Assignment + within-cluster/outlier compare + witness election over
     * an `(vec_id, v, nrm)` corpus and a given leader table — factored so
-    * CanopySpec can drive the full operator on constructed corpora. */
-  private[graft] def canopyDedup(aug: DataFrame, leaders: DataFrame)
+    * CanopySpec can drive the full operator on constructed corpora
+    * (including the blocked outlier branch via `outlierBroadcastLimit`). */
+  private[graft] def canopyDedup(aug: DataFrame, leaders: DataFrame,
+      outlierBroadcastLimit: Long = CanopyOutlierBroadcastLimit)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lead = broadcast(leaders.select(col("lead_id"),
@@ -738,8 +754,10 @@ object Similarity {
       .localCheckpoint()
     val covered = mem.filter(col("lsim") >= lit(CanopyCoverMicro))
       .select("vec_id").distinct()
+    // checkpointed: the residue feeds a driver-stat size gate + both
+    // sides of its self-compare
     val outliers = aug.join(covered, Seq("vec_id"), "left_anti")
-      .select("vec_id", "v", "nrm")
+      .select("vec_id", "v", "nrm").localCheckpoint()
     def side(df: DataFrame, p: String, extra: Column*) = df.select(
       (extra :+ col("vec_id").as(s"${p}_id") :+ col("v").as(s"${p}v")
         :+ col("nrm").as(s"${p}n")): _*)
@@ -747,8 +765,21 @@ object Similarity {
     val memPairs = side(mem, "a", col("cluster"))
       .join(side(mem, "b", col("cluster").as("bc")),
         col("cluster") === col("bc") && col("a_id") < col("b_id"))
-    val outPairs = side(outliers, "b")
-      .crossJoin(broadcast(side(outliers, "a")))
+    val outPairs = (
+      if (outliers.count() <= outlierBroadcastLimit)
+        side(outliers, "b").crossJoin(broadcast(side(outliers, "a")))
+      else {
+        // triangular block join: row of block b meets row of block b'
+        // exactly once, at key (b, b') — a-side replicates over its row
+        // coordinate, b-side over its column coordinate
+        val B = CanopyOutlierBlocks
+        val bi = pmod(col("vec_id"), lit(B.toLong))
+        val ja = side(outliers.withColumn("bi", bi), "a", col("bi"))
+          .withColumn("bj", explode(lit((0 until B).toArray)))
+        val jb = side(outliers.withColumn("bj", bi), "b", col("bj"))
+          .withColumn("bi", explode(lit((0 until B).toArray)))
+        ja.join(jb, Seq("bi", "bj")).drop("bi", "bj")
+      })
       .filter(col("a_id") < col("b_id"))
       .withColumn("cluster", lit(-1L))
     val pairs = memPairs.drop("bc").unionByName(outPairs)

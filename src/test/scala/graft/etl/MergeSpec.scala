@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -355,6 +355,26 @@ class MergeSpec extends SparkSpec {
       assert(scd2Rows(folded) === oneShot, s"seed $seed: fold != one-shot")
       val replayed = Merge.scd2Merge(folded, logDf(b2), "k", "eff", Seq("attr"))
       assert(scd2Rows(replayed) === oneShot, s"seed $seed: replay not absorbing")
+    }
+  }
+
+  test("property: scd2AsOf == latest change per key at eff <= ts, derived " +
+       "independently from the log (q109's oracle stance)") {
+    for (seed <- 20L until 26L) {
+      val raw = scd2Gen(Gen.Parameters.default, Seed(seed)).get
+        .distinctBy(t => (t._1, t._2))
+      val hist = Merge.scd2FromLog(logDf(raw), "k", "eff", Seq("attr"))
+      for (ts <- Seq(0, 3, 6, 11, 20)) {
+        val snap = Merge.scd2AsOf(hist, lit(ts))
+          .select(col("k"), col("attr"))
+          .as[(Long, String)].collect().sorted.toList
+        val expect = raw.filter(_._2 <= ts)
+          .groupBy(_._1).map { case (k, vs) => (k, vs.maxBy(_._2)._3) }
+          .toList.sorted
+        assert(snap === expect, s"seed $seed ts $ts: snapshot diverged")
+        assert(snap.map(_._1).distinct.size === snap.size,
+          s"seed $seed ts $ts: duplicate key in snapshot")
+      }
     }
   }
 

@@ -122,6 +122,25 @@ class CanopySpec extends SparkSpec {
     assertExact(base ++ twins)
   }
 
+  test("blocked outlier branch (past the broadcast gate): exact on an " +
+       "all-outlier corpus with planted pairs") {
+    // uniform corpus + scaled twins: everything is residue; a limit of 10
+    // forces the triangular block join instead of the broadcast loop
+    val base = uniformCorpus(200)
+    val twins = base.collect { case (id, v) if id % 20 == 0 =>
+      (id + 100000L, v.map(_ * 1.0001)) }
+    val rows = base ++ twins
+    val aug = frame(rows)
+    val expect = brute(aug)
+    val got = Similarity.canopyDedup(aug, Similarity.canopyLeaders(aug),
+        outlierBroadcastLimit = 10L)
+      .select("drop_id", "keep_id", "sim_micro")
+      .orderBy("drop_id").collect().toSeq
+    assert(got == expect, s"blocked branch != brute: ${got.size} vs " +
+      s"${expect.size}")
+    assert(expect.nonEmpty)
+  }
+
   test("degenerate leader tables stay exact: empty (all-outlier) and " +
        "all-vectors (maximal overlap)") {
     val rows = familyCorpus(5, 8, 0.20) ++ uniformCorpus(60, idBase = 3000L)
