@@ -629,6 +629,46 @@ object Documents {
     labels
   }
 
+  /** INCREMENTAL connected components (r12) — the q79/q107 R-S move for
+    * the cluster graph: fold a batch of NEW near-dup pairs (plus any new
+    * documents) into STANDING component labels without re-running CC
+    * over the corpus. The key identity: components of G ∪ ΔE equal
+    * components of the REDUCED graph whose nodes are current labels and
+    * whose edges are the Δ-pairs mapped into label space — and min-label
+    * composes (the min of merged components is the min of their mins),
+    * so relabeling affected components through the reduced CC's remap
+    * reproduces the one-shot labels EXACTLY (q112's gate proves it
+    * against the q63 oracle, which never sees the split; DedupClusterSpec
+    * proves it on random graphs under random batch orders, including
+    * merges of two standing components and brand-new nodes).
+    *
+    * Scale: resolving Δ-endpoints to labels is an equi-join keyed by the
+    * (small) batch; the reduced graph holds only labels TOUCHED by a
+    * merging edge, so the iterative CC runs on Δ-sized input; the remap
+    * broadcasts (affected components ∝ batch); untouched labels pass
+    * through the coalesce unchanged. Batch cost ∝ Δ, never corpus. */
+  private[graft] def incrementalCC(labels: DataFrame, newNodes: DataFrame,
+                                   newPairs: DataFrame): DataFrame = {
+    val l0 = labels.unionByName(
+        newNodes.join(labels, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("doc_id").as("lbl")))
+      .localCheckpoint(true)
+    val la = newPairs
+      .join(l0.select(col("doc_id").as("a_id"), col("lbl").as("la")),
+        Seq("a_id"))
+      .join(l0.select(col("doc_id").as("b_id"), col("lbl").as("lb")),
+        Seq("b_id"))
+      .select(col("la"), col("lb")).filter(col("la") =!= col("lb"))
+      .distinct()
+    val redNodes = la.select(col("la").as("doc_id"))
+      .unionByName(la.select(col("lb").as("doc_id"))).distinct()
+    val remap = connectedComponents(redNodes,
+        la.select(col("la").as("a_id"), col("lb").as("b_id")))
+      .select(col("doc_id").as("old_lbl"), col("lbl").as("new_lbl"))
+    l0.join(broadcast(remap), col("lbl") === col("old_lbl"), "left")
+      .select(col("doc_id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+  }
+
   /** Round cap for [[connectedComponents]]: rounds = component diameter,
     * 2-3 measured for near-dup clusters; 50 is two orders of headroom.
     * Off-by-one note (ADVICE r7): convergence detection needs one extra
@@ -660,6 +700,29 @@ object Documents {
        |SELECT doc_id, CAST(min(lbl) AS BIGINT) AS cluster_rep,
        |  (doc_id = min(lbl)) AS keep
        |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ── q112: incremental cluster maintenance (Δ-pair batches) ──────────────
+  /** q63's labels folded INCREMENTALLY: the near-dup pair list splits
+    * 2-way on the portable pair hash (both engines see identical
+    * batches), batch 0 builds the standing labels, batch 1 merges
+    * through [[incrementalCC]] — and the oracle is EXACTLY q63's
+    * one-shot recursive-CTE clustering, which never sees the split: the
+    * gate is the independent proof that fold ≡ one-shot. */
+  def incrementalClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashNearDup(s, d).select(col("a_id"), col("b_id"))
+      .withColumn("ph", pmod(Text.portableHash(
+          concat(col("a_id").cast("string"), lit(","),
+            col("b_id").cast("string"))), lit(2L)))
+      .localCheckpoint(true)
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    val base = connectedComponents(nodes,
+      pairs.filter(col("ph") === 0).select("a_id", "b_id"))
+    incrementalCC(base, nodes.limit(0),
+        pairs.filter(col("ph") === 1).select("a_id", "b_id"))
+      .select(col("doc_id"), col("lbl").as("cluster_rep"),
+        (col("doc_id") === col("lbl")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
 
   // ── q80: quality-ranked canonical election over near-dup clusters ───────
   /** Dedup with QUALITY-RANKED canonical selection. q63 answers "which
@@ -2114,6 +2177,7 @@ object Documents {
     "q69_decontaminate"   -> (decontaminate _),
     "q70_tfidf_keywords"  -> (tfidfKeywords _),
     "q63_dedup_clusters"  -> (dedupClusters _),
+    "q112_incr_clusters"  -> (incrementalClusters _),
     "q80_quality_canonical" -> (qualityCanonical _),
     "q19_simhash"         -> (simhashSign _),
     "q54_simhash_neardup" -> (simhashNearDup _),
@@ -2147,6 +2211,7 @@ object Documents {
     "q69_decontaminate"   -> decontaminateSql,
     "q70_tfidf_keywords"  -> tfidfKeywordsSql,
     "q63_dedup_clusters"  -> dedupClustersSql,
+    "q112_incr_clusters"  -> dedupClustersSql,
     "q80_quality_canonical" -> qualityCanonicalSql,
     "q19_simhash"         -> simhashSignSql,
     "q54_simhash_neardup" -> simhashNearDupSql,

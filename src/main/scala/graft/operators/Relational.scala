@@ -537,12 +537,34 @@ object Relational {
     * deployment (datasetTag + append + compact, the q82 plumbing); the
     * registered query folds a 4-way portable-hash split of the edge log
     * (q79's convention) so both engines see identical batches. */
-  private[graft] def deltaTriangles(old: DataFrame, delta: DataFrame)
-      : DataFrame = {
+  private[graft] def deltaTriangles(old: DataFrame, delta: DataFrame,
+      nOld: Long = -1L): DataFrame = {
     def undir(df: DataFrame): DataFrame =
       df.select(col("a").as("u"), col("b").as("w"))
         .unionByName(df.select(col("b").as("u"), col("a").as("w")))
     val adjO = undir(old)
+    // both closing probes (class 1 and class 2) check candidate pairs
+    // against the STANDING edge set: past the q104 gate, pre-filter the
+    // candidate stream map-side through ONE shared Bloom of the standing
+    // keys (10 bits/edge) so only ~triangles + the FP tail reach the
+    // exact semi-join's shuffle — the r12 sf10 diag measured the unfiltered
+    // apply shuffling 450M Δ-wedge candidates into the semi-join, most of
+    // which die there; the exact join downstream keeps the count exact.
+    // `nOld` rides in from callers that already counted (the q107 fold);
+    // -1 means count here (the frames are checkpointed in every caller).
+    val n = if (nOld >= 0L) nOld else old.count()
+    val closeOld: DataFrame => DataFrame =
+      if (n <= 8L * 1000 * 1000) identity
+      else {
+        val bloomAgg = udaf(new graft.functions.Bloom.Agg(
+          graft.functions.Bloom.sizeWords(n)))
+        val bloom = old.coalesce(8) // bounded partials, the q104 note
+          .agg(bloomAgg(xxhash64(col("a"), col("b"))).as("bf"))
+        cands => cands.crossJoin(broadcast(bloom))
+          .filter(graft.functions.Bloom.mightContainCol(col("bf.bits"),
+            xxhash64(col("a"), col("b"))))
+          .select(col("a"), col("b"))
+      }
     // class 1: one new edge + two standing. Enumeration from EITHER
     // endpoint is complete (w must neighbor both; the closing semi-join
     // checks the other side), so enumerate from the LOWER-degree one —
@@ -562,19 +584,19 @@ object Relational {
           struct(col("a").as("u"), col("b").as("v")))
         .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
-    val t1 = dPick
+    val t1 = closeOld(dPick
       .join(adjO, Seq("u"))
       .filter(col("w") =!= col("v"))
       .select(least(col("v"), col("w")).as("a"),
-              greatest(col("v"), col("w")).as("b"))
+              greatest(col("v"), col("w")).as("b")))
       .join(old, Seq("a", "b"), "left_semi")
       .agg(count(lit(1)).as("t1"))
     // class 2: two new edges wedged at x, standing closing edge
     val adjD = undir(delta)
-    val t2 = adjD.select(col("u").as("x"), col("w").as("y"))
+    val t2 = closeOld(adjD.select(col("u").as("x"), col("w").as("y"))
       .join(adjD.select(col("u").as("x"), col("w").as("z")), Seq("x"))
       .filter(col("y") < col("z"))
-      .select(col("y").as("a"), col("z").as("b"))
+      .select(col("y").as("a"), col("z").as("b")))
       .join(old, Seq("a", "b"), "left_semi")
       .agg(count(lit(1)).as("t2"))
     // class 3: all three new — oriented node-iterator within the batch
@@ -675,6 +697,77 @@ object Relational {
       |SELECT priority, count(*) AS n_customers
       |FROM latest WHERE rn = 1
       |GROUP BY priority ORDER BY priority""".stripMargin
+
+  // ── q111: temporal SCD2 dimension join (fact ⋈ version at fact time) ────
+  /** The OTHER consumer of an SCD2 dimension, next to q109's fixed-ts
+    * snapshot: join every FACT to the dimension version effective at the
+    * fact's OWN timestamp — "which priority band was this customer in
+    * when the order shipped". Each key's versions partition its
+    * timeline, so the key equi-join + point-in-interval residual
+    * (valid_from ≤ ts < valid_to, open = null) matches AT MOST one
+    * version per fact; facts before the key's first version (or with no
+    * dimension key) keep a left join's null → 'none' band, so the
+    * rollup accounts for every fact. The history derives from the
+    * orders≤1996 slice and joins the 1997+ orders as facts — a genuine
+    * temporal split, not a self-join disguise.
+    *
+    * Scale: a dimension join where the build side is versions (keys ×
+    * few versions each) — broadcast while it fits, shuffle equi-join on
+    * the key beyond, with the interval residual evaluated post-match
+    * (never a range-only join, so no interval explosion); the rollup is
+    * a partial-agg'd two-column groupBy. The oracle replays the same
+    * left join + interval residual. */
+  def scd2DimensionJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val cut = lit("1997-01-01").cast("date")
+    val log = Merge.dedupKeepFirst(
+        o.filter(to_date(col("o_orderdate")) < cut)
+          .select(col("o_custkey").as("ck"),
+            to_date(col("o_orderdate")).as("eff"),
+            col("o_orderpriority").as("band"), col("o_orderkey")),
+        Seq("ck", "eff"), Seq(col("o_orderkey").desc))
+      .drop("o_orderkey")
+    val dim = Merge.scd2FromLog(log, "ck", "eff", Seq("band"))
+    val facts = o.filter(to_date(col("o_orderdate")) >= cut)
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("od"),
+        asCents(col("o_totalprice")).as("cents"))
+    facts.join(dim,
+        col("o_custkey") === col("ck") && col("valid_from") <= col("od") &&
+          (col("valid_to").isNull || col("od") < col("valid_to")),
+        "left")
+      .groupBy(coalesce(col("band"), lit("none")).as("band_at_order"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("band_at_order"))
+  }
+  val scd2DimensionJoinSql: String =
+    """WITH ranked AS (
+      |  SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS eff,
+      |    o_orderpriority AS band,
+      |    row_number() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+      |                       ORDER BY o_orderkey DESC) AS rn
+      |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'),
+      |l AS (SELECT ck, eff, band FROM ranked WHERE rn = 1),
+      |chg AS (
+      |  SELECT *, CASE WHEN lag(band) OVER (PARTITION BY ck ORDER BY eff)
+      |      IS DISTINCT FROM band THEN 1 ELSE 0 END AS c
+      |  FROM l),
+      |v AS (SELECT ck, band, eff AS valid_from FROM chg WHERE c = 1),
+      |dim AS (
+      |  SELECT ck, band, valid_from,
+      |    lead(valid_from) OVER (PARTITION BY ck ORDER BY valid_from)
+      |      AS valid_to
+      |  FROM v),
+      |facts AS (
+      |  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od,
+      |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01')
+      |SELECT coalesce(dim.band, 'none') AS band_at_order,
+      |  count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM facts LEFT JOIN dim ON facts.o_custkey = dim.ck
+      |  AND dim.valid_from <= facts.od
+      |  AND (dim.valid_to IS NULL OR facts.od < dim.valid_to)
+      |GROUP BY 1 ORDER BY band_at_order""".stripMargin
 
   // ── q108: PageRank on the co-purchase graph (iterative convergence) ─────
   /** The second iterative-graph operator (r11 verdict item 4): proves the
@@ -1150,6 +1243,7 @@ object Relational {
     "q107_triangle_delta"     -> (triangleDelta _),
     "q108_pagerank"           -> (pageRank _),
     "q109_scd2_asof"          -> (scd2AsOfSnapshot _),
+    "q111_scd2_dim_join"      -> (scd2DimensionJoin _),
     "q66_bucketed_join"       -> (bucketedJoin _),
     "q73_bloom_join"          -> (bloomFilteredJoin _),
     "q74_zorder_cells"        -> (zOrderCells _),
@@ -1175,6 +1269,7 @@ object Relational {
     "q107_triangle_delta"      -> triangleDeltaSql,
     "q108_pagerank"            -> pageRankSql,
     "q109_scd2_asof"           -> scd2AsOfSql,
+    "q111_scd2_dim_join"       -> scd2DimensionJoinSql,
     "q66_bucketed_join"        -> bucketedJoinSql,
     "q73_bloom_join"           -> bloomFilteredJoinSql,
     "q74_zorder_cells"         -> zOrderCellsSql,

@@ -73,6 +73,38 @@ class DedupClusterSpec extends SparkSpec {
       (7L, 7L, true)))
   }
 
+  test("incrementalCC: fold over random batch orders == one-shot CC, " +
+       "including cross-batch bridges of standing components and " +
+       "brand-new nodes (q112's contract)") {
+    val rnd = new scala.util.Random(777)
+    for (trial <- 0 until 3) {
+      val allNodes = (0L until 40L)
+      val allPairs = Seq.fill(45) {
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)
+      }.filter(p => p._1 != p._2)
+      val oneShot = cc(allNodes, allPairs)
+      // three edge batches in arrival order; nodes 30+ only enter with
+      // batch 2 (the brand-new-document path)
+      val batched = allPairs.map(p => (p, rnd.nextInt(3)))
+      val oldNodes = allNodes.filter(_ < 30L)
+      var labels = Documents.connectedComponents(
+        oldNodes.toDF("doc_id"),
+        batched.collect { case (p, 0) if p._1 < 30 && p._2 < 30 => p }
+          .toDF("a_id", "b_id"))
+      val lateNodes = allNodes.filter(_ >= 30L)
+      val late = batched.collect { case (p, b) if b > 0 => (p, b) } ++
+        batched.collect { case (p, 0) if p._1 >= 30 || p._2 >= 30 =>
+          (p, 1) } // pairs touching late nodes arrive with them
+      for (b <- 1 to 2) {
+        labels = Documents.incrementalCC(labels,
+          (if (b == 1) lateNodes else Seq.empty[Long]).toDF("doc_id"),
+          late.collect { case (p, `b`) => p }.toDF("a_id", "b_id"))
+      }
+      val folded = labels.as[(Long, Long)].collect().toMap
+      assert(folded === oneShot, s"trial $trial: fold != one-shot")
+    }
+  }
+
   test("election policy differs from q63's min-id keep on the same cluster") {
     // the min id (1) is NOT the longest (9): q63 would keep 1, q80 keeps 9
     val g = Seq((1L, 1L, 5), (9L, 1L, 80)).toDF("doc_id", "cluster_rep", "n_words")
