@@ -427,14 +427,18 @@ object Relational {
     val deg = e.select(col("a").as("v"))
       .unionByName(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    // the degree table is VERTEX-count-sized: broadcast it only under the
-    // same driver-stat gate as the closing join (|V| ≤ 2·|E|, so the
-    // nEdges stat bounds it) — an unconditional hint here would be the
-    // exact failure mode the closing join's switch exists to avoid on a
-    // billion-vertex graph; past the gate the degree join is a plain
-    // shuffle equi-join on the vertex key
+    // the degree table is VERTEX-count-sized: gate its broadcast on the
+    // ACTUAL vertex count (r12 — the first cut reused the 8M nEdges gate
+    // and turned the sf1 degree joins into shuffles for no reason: 12M
+    // edges there carry only 200k vertices, and the spot re-measure paid
+    // +30%). 64M vertices ≈ 1 GB broadcast — comfortably under the hard
+    // limit; past it (the billion-vertex graph the advisor named) the
+    // degree join falls back to a plain shuffle equi-join on the vertex
+    // key. The count is one partial-agg'd job over the checkpointed
+    // edge set and is reused for the output's n_vertices column.
+    val nVerts = deg.count()
     def degSide(keyed: DataFrame): DataFrame =
-      if (nEdges <= 8L * 1000 * 1000) broadcast(keyed) else keyed
+      if (nVerts <= 64L * 1000 * 1000) broadcast(keyed) else keyed
     val withDeg = e
       .join(degSide(deg.select(col("v").as("a"), col("deg").as("da"))),
         Seq("a"))
@@ -493,9 +497,8 @@ object Relational {
           .join(oriented, Seq("b", "c"), "left_semi")
       }
     tri.agg(count(lit(1)).as("n_triangles"))
-      .select(lit(nEdges).as("n_edges"), col("n_triangles"))
-      .crossJoin(deg.agg(count(lit(1)).as("n_vertices")))
-      .select(col("n_edges"), col("n_vertices"), col("n_triangles"))
+      .select(lit(nEdges).as("n_edges"), lit(nVerts).as("n_vertices"),
+        col("n_triangles"))
   }
   val triangleCountSql: String =
     """WITH e AS (

@@ -174,6 +174,45 @@ object Streams {
     applyBatch(incoming, key, path, batchId,
       graft.etl.Merge.firstWinsMerge(_, _, _))
 
+  /** Streaming SEARCH-INDEX publication through the cross-artifact
+    * manifest (r12 — [[graft.etl.Manifest]]'s streaming face): each
+    * micro-batch of documents extends BOTH the corpus artifact and its
+    * posting lists, then publishes the pair as ONE manifest generation —
+    * a concurrent searcher that resolves the manifest mid-stream always
+    * reads postings and corpus from the same publish, never new postings
+    * over an old corpus (the tear the per-artifact swaps allowed).
+    * First-wins on doc_id makes a checkpoint replay content-absorbing
+    * (the replayed batch anti-joins away; the publish is a new
+    * generation of identical rows). Each generation is a full rewrite —
+    * the write-amplification trade of snapshot isolation at this size;
+    * at lake scale generations would share unchanged files (the
+    * Delta/Iceberg move) with [[graft.etl.Manifest.vacuum]] unchanged. */
+  def searchPublishSink(docs: DataFrame, root: String,
+                        checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.toDF().localCheckpoint()
+        val snap = graft.etl.Manifest.resolve(s, root)
+        val corpus0 = snap.get("corpus")
+          .map(p => s.read.schema(b.schema).parquet(p))
+          .getOrElse(b.limit(0))
+        val fresh = b.join(corpus0.select("doc_id"), Seq("doc_id"),
+          "left_anti").localCheckpoint()
+        val post0 = snap.get("postings").map(p => s.read.parquet(p))
+          .getOrElse(graft.operators.Documents.postings(b.limit(0)))
+        graft.etl.Manifest.publish(s, root, Map(
+          "corpus" -> corpus0.unionByName(fresh),
+          "postings" -> post0.unionByName(
+            graft.operators.Documents.postings(fresh))))
+        ()
+      }
+      .start()
+
   /** CDC ingest gated by EXPECTATIONS before apply (VERDICT r11 item 6) —
     * the composition production change-capture actually runs: a corrupt
     * upstream change must neither mutate the net table NOR vanish. Each

@@ -219,6 +219,53 @@ class StreamsSpec extends SparkSpec {
         clean.unionByName(fixed), "k", "seq")))
   }
 
+  test("searchPublishSink: corpus + postings publish as one manifest " +
+       "generation per batch — snapshots never tear, replay absorbs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").localCheckpoint()
+    val mid = docs.agg(org.apache.spark.sql.functions.avg("doc_id"))
+      .head.getDouble(0).toLong
+    val root = tmp("graft-searchpub") + "/root"
+    def runOnce(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val dir = Files.createTempDirectory(s"graft-searchpub-$name")
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(dir.resolve("batch").toString)
+      val q = Streams.searchPublishSink(
+        spark.readStream.schema(df.schema)
+          .parquet(dir.resolve("batch").toString),
+        root, tmp(s"graft-searchpub-ck-$name"))
+      q.awaitTermination(120000)
+    }
+    runOnce("b1", docs.filter(col("doc_id") < mid))
+    // consistency invariant a torn pair would break: the resolved
+    // snapshot's postings cover EXACTLY the resolved corpus's documents
+    def check(expectDocs: Long): Unit = {
+      val snap = graft.etl.Manifest.resolve(spark, root)
+      val corpus = spark.read.parquet(snap("corpus"))
+      val post = spark.read.parquet(snap("postings"))
+      assert(corpus.count() === expectDocs)
+      assert(post.select("doc_id").distinct().count() ===
+        corpus.filter(org.apache.spark.sql.functions
+          .length(col("text")) > 0).count())
+      // the snapshot serves the same search the batch index would
+      val got = graft.operators.Documents.searchIndex(
+        post, Seq("hash", "join", "scan"), 20).collect().toSeq
+      val want = graft.operators.Documents.searchIndex(
+        graft.operators.Documents.postings(corpus),
+        Seq("hash", "join", "scan"), 20).collect().toSeq
+      assert(got === want, "snapshot search != corpus-derived search")
+    }
+    check(docs.filter(col("doc_id") < mid).count())
+    runOnce("b2", docs) // second batch: the rest (plus replayed rows)
+    check(docs.count())
+    val genAfter2 = graft.etl.Manifest.current(spark, root)
+    runOnce("b2r", docs) // full replay on a fresh checkpoint
+    check(docs.count()) // content-absorbing
+    assert(graft.etl.Manifest.current(spark, root)("corpus") ===
+      genAfter2("corpus") + 1, "replay did not publish a new generation")
+  }
+
   test("mergeSink survives a kill between delete and rename (orphan recovery)") {
     import java.nio.file.{Paths, StandardCopyOption}
     // two disjoint slices of events, staged as separate files so the
