@@ -395,19 +395,144 @@ object Media {
       |FROM h JOIN cl USING (hash_hi, hash_lo)
       |ORDER BY doc_id""".stripMargin
 
+  // ── q113: perceptual AUDIO near-dup (envelope fingerprint) ──────────────
+
+  case class AudioFp(doc_id: Long, variant: Int, fp: Long)
+
+  /** Minimal RIFF/WAVE container: mono 16-bit signed PCM, little-endian. */
+  private[multimodal] def syntheticWav(rate: Int,
+                                       samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** The q113 envelope formula: 8 per-eighth amplitude levels in 3..99,
+    * consecutive levels never equal (13 ∤ 97). */
+  private[multimodal] def envelopeLevels(family: Long): Array[Int] =
+    Array.tabulate(8)(b => ((family * 37 + b * 13) % 97 + 3).toInt)
+
+  /** q113: perceptual near-dup over AUDIO — the q91 story on the second
+    * modality, completing the dedup ladder's audio member: byte digests
+    * miss a re-sampled or volume-scaled copy of the same recording; a
+    * loudness-ENVELOPE fingerprint survives both. Each doc's content
+    * family (doc_id % 40) is an 8-segment constant-amplitude envelope
+    * synthesized as real WAV THREE ways — 8 kHz, 16 kHz (re-sampled
+    * twin), and 8 kHz at HALF volume (scaled twin) — every payload
+    * byte-distinct, then decoded through the production
+    * [[decodeAudio]] (real `javax.sound.sampled` PCM decode, per-eighth
+    * RMS). The fingerprint is the MAX-NORMALIZED envelope quantized to
+    * 64 steps and base-65 packed: normalization cancels volume, and
+    * per-eighth RMS is duration/rate-free, so all three variants MUST
+    * collapse to one fingerprint (n_doc_fps = 1, oracle-asserted); docs
+    * sharing a family collapse into one cluster with min-doc election.
+    *
+    * The IEEE chain is EXACT end-to-end, which is what lets DuckDB
+    * predict every bit from the generating formula alone: constant DC
+    * segments make each RMS bin literally s/2¹⁵ (a perfect square under
+    * an exact sum — every intermediate is representable), s = level·300
+    * (or ·150 halved — a power-of-two scale, so the normalized ratios
+    * divide to the SAME double), and both engines then run the identical
+    * divide → ×64 → +0.5 → floor. A wrong sample anywhere in the
+    * synth→container→decode→RMS chain hash-mismatches.
+    *
+    * Scale: payloads are born and die inside one partition (generate →
+    * decode → fingerprint in one mapPartitions; only (doc_id, variant,
+    * one long) survive — q67's no-binary-shuffle contract); the per-doc
+    * collapse and cluster election are hash-partitioned aggregates on
+    * 3-long rows; everything that shuffles is 24 bytes/doc. */
+  def audioNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fps = Tables.documents(s, d)
+      .select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { it =>
+        val codec = MediaCodec.open()
+        it.flatMap { id =>
+          val lv = envelopeLevels(id % 40)
+          Seq((0, 8000, 4000, 1), (1, 16000, 8000, 1), (2, 8000, 4000, 2))
+            .map { case (variant, rate, nFrames, div) =>
+              val samples = new Array[Short](nFrames)
+              var i = 0
+              while (i < nFrames) {
+                samples(i) = (lv(i * 8 / nFrames) * 300 / div).toShort
+                i += 1
+              }
+              val (_, _, feats) =
+                codec.decodeAudio(syntheticWav(rate, samples))
+              val mx = feats.max.toDouble
+              var fp = 0L
+              var m = 1L
+              var b = 0
+              while (b < 8) {
+                fp += math.floor(feats(b).toDouble / mx * 64.0 + 0.5)
+                  .toLong * m
+                m *= 65L
+                b += 1
+              }
+              AudioFp(id, variant, fp)
+            }
+        }
+      }.toDF()
+    val perDoc = fps.groupBy(col("doc_id"))
+      .agg(countDistinct(col("fp")).as("n_doc_fps"), min(col("fp")).as("fp"))
+    val rep = perDoc.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("cluster_rep"))
+    perDoc.join(rep, Seq("fp"))
+      .select(col("doc_id"), col("n_doc_fps"), col("fp"), col("cluster_rep"),
+        (col("doc_id") === col("cluster_rep")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+  /** Oracle: the envelope formula → exact ratio quantization → base-65
+    * packing, predicted without ever touching a WAV byte; n_doc_fps is
+    * the PREDICTION 1 (a decode divergence on any variant breaks it). */
+  val audioNearDupSql: String = {
+    val mults = (0 until 8).map(b =>
+      s"($b, CAST(${Seq.fill(b)("65").foldLeft(BigInt(1))((a, _) => a * 65)} AS BIGINT))")
+      .mkString(", ")
+    s"""WITH lv AS (
+       |  SELECT doc_id, t.b,
+       |    ((doc_id % 40) * 37 + t.b * 13) % 97 + 3 AS a
+       |  FROM documents, range(0, 8) t(b)),
+       |mx AS (SELECT doc_id, max(a) AS amax FROM lv GROUP BY doc_id),
+       |m(b, mult) AS (VALUES $mults),
+       |fp AS (
+       |  SELECT lv.doc_id, CAST(sum(
+       |    CAST(floor((CAST(a * 300 AS DOUBLE) / 32768.0)
+       |      / (CAST(amax * 300 AS DOUBLE) / 32768.0) * 64.0 + 0.5)
+       |      AS BIGINT) * mult) AS BIGINT) AS fp
+       |  FROM lv JOIN mx ON mx.doc_id = lv.doc_id JOIN m ON m.b = lv.b
+       |  GROUP BY lv.doc_id),
+       |cl AS (SELECT fp, min(doc_id) AS cluster_rep FROM fp GROUP BY fp)
+       |SELECT doc_id, CAST(1 AS BIGINT) AS n_doc_fps, fp.fp, cluster_rep,
+       |  doc_id = cluster_rep AS keep
+       |FROM fp JOIN cl USING (fp)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q34_media_features" -> (mediaFeatures _),
     "q56_media_resize"   -> (resizedDims _),
     "q57_frame_sample"   -> (frameSampleStats _),
     "q67_gif_frames"     -> (gifFrameStats _),
-    "q91_phash_neardup"  -> (perceptualNearDup _))
+    "q91_phash_neardup"  -> (perceptualNearDup _),
+    "q113_audio_neardup" -> (audioNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q34_media_features" -> mediaFeaturesSql,
     "q56_media_resize"   -> resizedDimsSql,
     "q57_frame_sample"   -> frameSampleStatsSql,
     "q67_gif_frames"     -> gifFrameStatsSql,
-    "q91_phash_neardup"  -> perceptualNearDupSql)
+    "q91_phash_neardup"  -> perceptualNearDupSql,
+    "q113_audio_neardup" -> audioNearDupSql)
 }
 
 /** The per-partition codec. `image/`-prefixed payloads decode for REAL through

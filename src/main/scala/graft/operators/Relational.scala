@@ -618,14 +618,23 @@ object Relational {
   def triangleDelta(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val e = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-      .filter(col("pk") < col("pk2"))
-      .select(col("pk").as("a"), col("pk2").as("b"))
-      .distinct()
-      .withColumn("batch", pmod(graft.functions.Text.portableHash(
-          concat(col("a").cast("string"), lit(","), col("b").cast("string"))),
-        lit(4L)))
-      .localCheckpoint() // 12 joins × 4 batches read it; build the log once
+    // the standing edge set lives as a MATERIALIZED artifact (the r11
+    // verdict's ask, and q108's adjacency lesson: 12 joins × 4 batches
+    // re-read it, and checkpoint blocks pin the single local heap while
+    // the datasetTag-keyed parquet artifact is disk-backed, compressed,
+    // and amortized across runs — production maintenance would append
+    // each batch's edges here and compact on the q82 cadence)
+    val tag = Tables.datasetTag(s, d, "lineitem")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val e = graft.etl.Merge.materialize(s, s"$wh/graft_tri_edges_$tag",
+      li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .select(col("pk").as("a"), col("pk2").as("b"))
+        .distinct()
+        .withColumn("batch", pmod(graft.functions.Text.portableHash(
+            concat(col("a").cast("string"), lit(","),
+              col("b").cast("string"))),
+          lit(4L))))
     (0L until 4L).map { i =>
       deltaTriangles(e.filter(col("batch") < i).select("a", "b"),
                      e.filter(col("batch") === i).select("a", "b"))

@@ -271,4 +271,47 @@ class MediaSpec extends SparkSpec {
     assert((w1, h1) === ((w2, h2)))
     assert(f1.toSeq === f2.toSeq)
   }
+
+  test("q113 kernel: constant-segment WAV decodes to EXACT per-eighth RMS " +
+       "(s/2^15, bit-exact), and the envelope fingerprint is invariant " +
+       "under re-sampling and volume scaling but not under content change") {
+    val codec = MediaCodec.open()
+    def fpOf(family: Long, rate: Int, nFrames: Int, div: Int): Long = {
+      val lv = Media.envelopeLevels(family)
+      val samples = Array.tabulate(nFrames)(i =>
+        (lv(i * 8 / nFrames) * 300 / div).toShort)
+      val (sr, nf, feats) =
+        codec.decodeAudio(Media.syntheticWav(rate, samples))
+      assert(sr === rate && nf === nFrames)
+      // exactness: each bin is literally level*300/div / 32768 as a float
+      (0 until 8).foreach { b =>
+        assert(feats(b) === (lv(b) * 300 / div) / 32768.0f,
+          s"bin $b not exact for family $family rate $rate div $div")
+      }
+      val mx = feats.max.toDouble
+      (0 until 8).foldLeft((0L, 1L)) { case ((fp, m), b) =>
+        (fp + math.floor(feats(b).toDouble / mx * 64.0 + 0.5).toLong * m,
+          m * 65L)
+      }._1
+    }
+    for (fam <- 0L until 40L) {
+      val base = fpOf(fam, 8000, 4000, 1)
+      assert(fpOf(fam, 16000, 8000, 1) === base, s"rate broke fp, fam $fam")
+      assert(fpOf(fam, 8000, 4000, 2) === base, s"volume broke fp, fam $fam")
+      // any rate works as long as the frame count is a multiple of 8 —
+      // the alignment contract between generator segments and the
+      // decoder's per-eighth bins (4410 frames would straddle a bin)
+      assert(fpOf(fam, 11025, 4416, 1) === base,
+        s"odd rate broke fp, fam $fam")
+    }
+    // the fingerprint is deliberately LOSSY (64-step quantization of the
+    // normalized envelope): the 40-family formula yields one colliding
+    // pair — the perceptual false-positive rate, the same class of
+    // near-collision dHash carries. Content discrimination must still be
+    // near-total, and the oracle predicts the collision identically (the
+    // q113 gate stays exact).
+    val all = (0L until 40L).map(fpOf(_, 8000, 4000, 1))
+    assert(all.distinct.size >= 39,
+      s"family fingerprints over-collided: ${all.distinct.size}/40")
+  }
 }
