@@ -504,6 +504,80 @@ object Analytics {
       |FROM binned GROUP BY bin, lo, hi
       |ORDER BY bin""".stripMargin
 
+  // ── q114: tabular distribution drift (total-variation, basis points) ────
+  /** The TABULAR member of the drift-signal family (q88 = frozen-LM
+    * backoff, q89 = centroid assignment distance, this = feature
+    * distribution): the incoming batch's order-total distribution scored
+    * against the standing corpus's, as per-bin share deltas and their
+    * TOTAL VARIATION distance in integer basis points. PSI's ln() term
+    * is the textbook statistic but float logs can't cross-engine
+    * hash-compare; TVD = ½·Σ|p−q| carries the same decision signal (it
+    * bounds any event-probability shift) in pure integer arithmetic, so
+    * the gate is exact — the q83-family portability stance applied to
+    * drift. Bin edges are FROZEN on the corpus side (q100's equi-width
+    * arithmetic over the corpus min/max; batch values outside the
+    * baseline range clamp into the edge bins — the convention that makes
+    * a shifted batch REGISTER instead of erroring), and the split is
+    * q42's portable-hash carve so both engines see identical sides.
+    * Every row carries the headline total_tvd_bp, so the refresh
+    * decision is a one-row read.
+    *
+    * Scale: two scans of orders (edges + binning — the q100 profile
+    * norm), one ≤20-group partial-agg'd reduce, two one-row broadcasts.
+    * Incremental: per-bin counts are mergeable sums, so a standing
+    * (bin, side) count table absorbs batches without re-reading
+    * history. */
+  def tabularDrift(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(cents(col("o_totalprice")).as("c"),
+      pmod(graft.functions.Text.portableHash(
+        col("o_orderkey").cast("string")), lit(100L)).as("bk"))
+    val mm = o.filter(col("bk") < 90)
+      .agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+    val binned = o.crossJoin(broadcast(mm))
+      .withColumn("bin", greatest(lit(0L), least(lit(19L),
+        expr("((c - lo) * 20) div (hi - lo + 1)"))))
+    val tots = binned.agg(
+      count(when(col("bk") < 90, 1)).as("tc"),
+      count(when(col("bk") >= 90, 1)).as("tb"))
+    val shares = binned.groupBy(col("bin"))
+      .agg(count(when(col("bk") < 90, 1)).as("n_c"),
+           count(when(col("bk") >= 90, 1)).as("n_b"))
+      .crossJoin(broadcast(tots))
+      .select(col("bin"),
+        expr("(n_c * 10000) div tc").as("corpus_bp"),
+        expr("(n_b * 10000) div tb").as("batch_bp"))
+      .withColumn("drift_bp", abs(col("corpus_bp") - col("batch_bp")))
+    shares.crossJoin(broadcast(
+        shares.agg(expr("sum(drift_bp) div 2").as("total_tvd_bp"))))
+      .orderBy(col("bin"))
+  }
+  val tabularDriftSql: String =
+    """WITH o AS (
+      |  SELECT CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c,
+      |    CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 100 AS bk
+      |  FROM orders),
+      |mm AS (SELECT min(c) AS lo, max(c) AS hi FROM o WHERE bk < 90),
+      |binned AS (
+      |  SELECT greatest(0, least(19, ((c - lo) * 20) // (hi - lo + 1)))
+      |    AS bin, bk
+      |  FROM o, mm),
+      |tots AS (
+      |  SELECT count(*) FILTER (bk < 90) AS tc,
+      |    count(*) FILTER (bk >= 90) AS tb
+      |  FROM binned),
+      |shares AS (
+      |  SELECT bin,
+      |    CAST(count(*) FILTER (bk < 90) * 10000 // tc AS BIGINT)
+      |      AS corpus_bp,
+      |    CAST(count(*) FILTER (bk >= 90) * 10000 // tb AS BIGINT)
+      |      AS batch_bp
+      |  FROM binned, tots GROUP BY bin, tc, tb),
+      |d AS (SELECT *, abs(corpus_bp - batch_bp) AS drift_bp FROM shares)
+      |SELECT bin, corpus_bp, batch_bp, drift_bp,
+      |  (SELECT CAST(sum(drift_bp) // 2 AS BIGINT) FROM d) AS total_tvd_bp
+      |FROM d ORDER BY bin""".stripMargin
+
   // ── q101: mergeable bottom-k quantile sketch ────────────────────────────
   /** Per-priority p50/p90/p99 of order totals from a bottom-256-by-hash
     * row sample ([[graft.functions.QuantileSketch]]) — the mergeable
@@ -629,6 +703,7 @@ object Analytics {
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q100_histogram"      -> (totalsHistogram _),
+    "q114_tabular_drift"  -> (tabularDrift _),
     "q101_quantile_sketch"-> (quantileSketch _),
     "q105_quantile_buckets"-> (quantileBuckets _),
     "q53_balance_order_corr" -> (balanceOrderCorr _),
@@ -649,6 +724,7 @@ object Analytics {
 
   val oracles: Seq[(String, String)] = Seq(
     "q100_histogram"      -> totalsHistogramSql,
+    "q114_tabular_drift"  -> tabularDriftSql,
     "q101_quantile_sketch"-> quantileSketchSql,
     "q105_quantile_buckets"-> quantileBucketsSql,
     "q53_balance_order_corr" -> balanceOrderCorrSql,
