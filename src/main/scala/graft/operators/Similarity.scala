@@ -769,16 +769,35 @@ object Similarity {
       if (outliers.count() <= outlierBroadcastLimit)
         side(outliers, "b").crossJoin(broadcast(side(outliers, "a")))
       else {
-        // triangular block join: row of block b meets row of block b'
-        // exactly once, at key (b, b') — a-side replicates over its row
-        // coordinate, b-side over its column coordinate
+        // TRIANGULAR block join (ADVICE r12: the old form exploded both
+        // sides over all B blocks, materializing every unordered pair
+        // twice — at (i,j) AND (j,i) — before the id filter). Here block
+        // pair (i,j) exists only for i ≤ j: the a-side row of block i
+        // replicates over column keys j ∈ [i, B), the b-side row of
+        // block j over row keys i ∈ [0, j] — so each unordered block
+        // pair lands on exactly ONE reducer and the candidate stream is
+        // halved. Off-diagonal pairs then carry ids in arbitrary order
+        // (the pair {x,y} appears once, sides fixed by block, not id),
+        // so instead of filtering on id order — which would LOSE the
+        // descending half — the diagonal dedups on a_id < b_id and the
+        // off-diagonal REORIENTS min-id onto the a (witness) side; the
+        // similarity is symmetric, so the swap is free.
         val B = CanopyOutlierBlocks
-        val bi = pmod(col("vec_id"), lit(B.toLong))
-        val ja = side(outliers.withColumn("bi", bi), "a", col("bi"))
-          .withColumn("bj", explode(lit((0 until B).toArray)))
-        val jb = side(outliers.withColumn("bj", bi), "b", col("bj"))
-          .withColumn("bi", explode(lit((0 until B).toArray)))
-        ja.join(jb, Seq("bi", "bj")).drop("bi", "bj")
+        val blk = pmod(col("vec_id"), lit(B.toLong))
+        val ja = side(outliers.withColumn("bi", blk), "a", col("bi"))
+          .withColumn("bj", explode(sequence(col("bi"), lit(B - 1L))))
+        val jb = side(outliers.withColumn("bj", blk), "b", col("bj"))
+          .withColumn("bi", explode(sequence(lit(0L), col("bj"))))
+        val flip = col("a_id") > col("b_id")
+        ja.join(jb, Seq("bi", "bj"))
+          .filter(col("bi") =!= col("bj") || col("a_id") < col("b_id"))
+          .select(
+            when(flip, col("b_id")).otherwise(col("a_id")).as("a_id"),
+            when(flip, col("bv")).otherwise(col("av")).as("av"),
+            when(flip, col("bn")).otherwise(col("an")).as("an"),
+            when(flip, col("a_id")).otherwise(col("b_id")).as("b_id"),
+            when(flip, col("av")).otherwise(col("bv")).as("bv"),
+            when(flip, col("an")).otherwise(col("bn")).as("bn"))
       })
       .filter(col("a_id") < col("b_id"))
       .withColumn("cluster", lit(-1L))

@@ -605,7 +605,19 @@ object Streams {
     * session, kept sorted by (us, event_id) — r12: HARD-bounded by the
     * cap (the batch q98 contract), never by input behavior; `nTotal`
     * and `maxUs` track the full session so truncation loses neither the
-    * count (it rides the path marker) nor the gap/timeout clock. */
+    * count (it rides the path marker) nor the gap/timeout clock.
+    *
+    * STATE-SCHEMA BREAK (r12, flagged by ADVICE): adding `nTotal`/`maxUs`
+    * changed the flatMapGroupsWithState state encoder layout, so a
+    * deployed stream CANNOT restart from a pre-r12 checkpoint — Spark's
+    * state-store schema check fails (or, with checks disabled, misdecodes
+    * buffered open-session state). Operational contract: upgrading
+    * across this boundary requires a NEW checkpoint directory; in-flight
+    * open sessions re-accumulate from the replayed source (the sink is
+    * the idempotent first-wins merge, so the replay is absorbing). The
+    * same contract applies to any future field change here — widen via a
+    * new versioned case class decoded from the old layout only if
+    * cross-version checkpoint continuity ever becomes a requirement. */
   case class PathAgg(userId: Long, evs: Vector[(Long, Long, String)],
                      nTotal: Long, maxUs: Long)
   case class PathOut(user_id: Long, session_start: Long, path: String)

@@ -81,16 +81,79 @@ class ManifestSpec extends SparkSpec {
     assert(s2 === s1)
   }
 
-  test("vacuum sweeps superseded generations and orphans, never the " +
-       "current snapshot") {
+  test("vacuum sweeps superseded generations, aged orphans, and old " +
+       "manifests — never the current snapshot") {
     val root = newRoot()
     Manifest.publish(spark, root, pair(1L))
     Manifest.publish(spark, root, pair(2L))
     Manifest.publish(spark, root, pair(3L))
     Seq((9L, "l")).toDF("ver", "side")
       .write.parquet(s"$root/left/gen-9") // abandoned publish
-    val deleted = Manifest.vacuum(spark, root, keep = 1)
-    assert(deleted === 5, s"expected 2+2 superseded + 1 orphan, got $deleted")
+    // grace=0 ⇒ the abandoned orphan counts as aged out
+    val deleted = Manifest.vacuum(spark, root, keep = 1, graceMs = 0L)
+    assert(deleted === 7,
+      s"expected 2+2 superseded gens + 1 orphan + 2 old manifests, got $deleted")
     assert(versionsOf(Manifest.resolve(spark, root)) === Set(3L))
+  }
+
+  test("vacuum's grace period protects an in-flight publish's " +
+       "not-yet-referenced generations (ADVICE r12)") {
+    val root = newRoot()
+    Manifest.publish(spark, root, pair(1L))
+    // an in-flight publish has written its gen-2 dirs but not yet renamed
+    // its manifest — a default-grace vacuum must leave them alone
+    Seq((2L, "l")).toDF("ver", "side").write.parquet(s"$root/left/gen-2")
+    Seq((2L, "r")).toDF("ver", "side").write.parquet(s"$root/right/gen-2")
+    assert(Manifest.vacuum(spark, root, keep = 1) === 0,
+      "vacuum destroyed a live publish's pending generations")
+    // the publish completes against intact generations
+    Manifest.publish(spark, root, pair(2L))
+    assert(versionsOf(Manifest.resolve(spark, root)) === Set(2L))
+  }
+
+  test("keep=2 retains the previous snapshot whole — a reader one " +
+       "publish behind still resolves every member") {
+    val root = newRoot()
+    Manifest.publish(spark, root, pair(1L))
+    val oldSnap = Manifest.resolve(spark, root)
+    Manifest.publish(spark, root, pair(2L))
+    Manifest.vacuum(spark, root, keep = 2, graceMs = 0L)
+    assert(versionsOf(oldSnap) === Set(1L),
+      "keep=2 vacuum deleted generations the previous manifest references")
+    Manifest.vacuum(spark, root, keep = 1, graceMs = 0L)
+    assert(versionsOf(Manifest.resolve(spark, root)) === Set(2L))
+  }
+
+  test("reads are mutation-free: current/resolve leave the root's file " +
+       "listing bit-identical (ADVICE r12)") {
+    val root = newRoot()
+    Manifest.publish(spark, root, pair(1L))
+    def listing(): Set[String] = {
+      val b = Files.walk(java.nio.file.Paths.get(root))
+      try {
+        import scala.jdk.CollectionConverters._
+        b.iterator().asScala.map(_.toString).toSet
+      } finally b.close()
+    }
+    val before = listing()
+    Manifest.current(spark, root)
+    Manifest.resolve(spark, root)
+    assert(listing() === before, "a pure read mutated the manifest root")
+  }
+
+  test("racing publishers serialize: the loser fails loudly instead of " +
+       "silently dropping a snapshot") {
+    val root = newRoot()
+    Manifest.publish(spark, root, pair(1L))
+    // the rival lands m-2 between this publisher's listing and its
+    // rename — driven through the pinned-sequence seam
+    Seq(("left", 1L), ("right", 1L)).toDF("name", "gen")
+      .coalesce(1).write.parquet(s"$root/_manifests/m-2")
+    intercept[java.io.IOException] {
+      Manifest.publishAt(spark, root, pair(2L), mySeq = 2L)
+    }
+    // the winner's snapshot is untouched by the loser's failure
+    assert(Manifest.current(spark, root) ===
+      Map("left" -> 1L, "right" -> 1L))
   }
 }
