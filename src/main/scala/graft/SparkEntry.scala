@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.multimodal.Media
 import graft.operators.{Analytics, Documents, Events, Extraction, Ingest,
-  Relational, Similarity}
+  Linkage, Relational, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,7 +27,7 @@ object SparkEntry {
     ListMap((Relational.queries ++ Extraction.queries ++
              Documents.queries ++ Similarity.queries ++
              Events.queries ++ Analytics.queries ++ Ingest.queries ++
-             Media.queries): _*)
+             Linkage.queries ++ Media.queries): _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -35,5 +35,5 @@ object SparkEntry {
     ListMap((Relational.oracles ++ Extraction.oracles ++
              Documents.oracles ++ Similarity.oracles ++
              Events.oracles ++ Analytics.oracles ++ Ingest.oracles ++
-             Media.oracles): _*)
+             Linkage.oracles ++ Media.oracles): _*)
 }

@@ -518,7 +518,72 @@ object Media {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ── q118: scene-cut detection over decoded frame sequences ─────────────
+  /** A cut ⇔ consecutive decoded frames' mean luma jumps by more than
+    * this (drift steps are +3, planted scene jumps +63). */
+  val SceneCutThreshold = 30
+
+  /** q118: shot-boundary detection — the video-curation member of the
+    * multimodal ring (training pipelines segment footage at scene cuts
+    * before captioning/sampling; the standard detector thresholds a
+    * frame-to-frame difference signal). Each doc becomes a REAL animated
+    * GIF of `doc_id % 9 + 4` solid frames whose gray DRIFTS by +3 per
+    * frame (in-scene motion) and JUMPS +60 wherever `(doc_id + f) % 5 == 0`
+    * (a planted cut); the GIF is encoded, then every frame decoded back
+    * through `javax.imageio` and reduced to an integer mean luma — exact
+    * for solid frames under GIF palettization, the q67 argument — all
+    * inside ONE `mapPartitions` (payloads born and dead in-partition;
+    * only (doc_id, frame_idx, luma) 3-int rows shuffle, q67's
+    * no-binary-shuffle contract, with the same pre-generate key-spread
+    * repartition). The detector itself is declarative: one lag window
+    * over (doc_id, frame_idx) rides the single exchange, and the per-doc
+    * rollup (frame count, cut count, cut-index sum) reuses the same
+    * hash partitioning. The oracle predicts every row from the planting
+    * formulas alone — a wrong pixel anywhere in the
+    * encode→decode→luma→lag chain hash-mismatches. */
+  def sceneCuts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lumas = Tables.documents(s, d)
+      .select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { it =>
+        val codec = MediaCodec.open()
+        it.flatMap { id =>
+          val n = (id % 9 + 4).toInt
+          var scene = 0
+          val grays = (0 until n).map { f =>
+            if (f > 0 && (id + f) % 5 == 0) scene += 1
+            ((id % 20) + 3 * f + 60 * scene).toInt
+          }
+          codec.frameMeanLumas(syntheticGif(16, 12, grays))
+            .map { case (f, l) => (id, f, l) }
+        }
+      }.toDF("doc_id", "frame_idx", "luma")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    lumas
+      .withColumn("diff", col("luma") - lag(col("luma"), 1).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("diff") > SceneCutThreshold, 1L).otherwise(0L))
+          .as("n_cuts"),
+        sum(when(col("diff") > SceneCutThreshold,
+          col("frame_idx").cast("long")).otherwise(0L)).as("sum_cut_idx"))
+      .orderBy(col("doc_id"))
+  }
+  val sceneCutsSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 9 + 4 AS n FROM documents),
+      |f AS (SELECT doc_id, unnest(range(1, n)) AS fi FROM d),
+      |c AS (SELECT doc_id, fi FROM f WHERE (doc_id + fi) % 5 = 0)
+      |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_frames,
+      |  CAST(count(c.fi) AS BIGINT) AS n_cuts,
+      |  CAST(coalesce(sum(c.fi), 0) AS BIGINT) AS sum_cut_idx
+      |FROM d LEFT JOIN c USING (doc_id)
+      |GROUP BY d.doc_id, d.n ORDER BY d.doc_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q118_scene_cuts"    -> (sceneCuts _),
     "q34_media_features" -> (mediaFeatures _),
     "q56_media_resize"   -> (resizedDims _),
     "q57_frame_sample"   -> (frameSampleStats _),
@@ -527,6 +592,7 @@ object Media {
     "q113_audio_neardup" -> (audioNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q118_scene_cuts"    -> sceneCutsSql,
     "q34_media_features" -> mediaFeaturesSql,
     "q56_media_resize"   -> resizedDimsSql,
     "q57_frame_sample"   -> frameSampleStatsSql,
@@ -637,6 +703,44 @@ class MediaCodec private () {
       val n = reader.getNumImages(true)
       Iterator.range(0, n, stride)
         .map(i => (i, lumaHistogram(reader.read(i)))).toVector.iterator
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** Per-frame INTEGER mean luma of an image sequence — the scene-cut
+    * difference signal (q118). Luma of a pixel = (r + g + b) / 3 summed
+    * exactly, then one integer division by 3·pixels: for a solid frame
+    * the mean is the frame's gray value EXACTLY (3·g·n / (3·n)), which
+    * is what makes the cut detector oracle-predictable under GIF
+    * palettization. Same reader protocol and eager drain as
+    * [[decodeFrames]]; throws on corrupt/unsupported payloads. */
+  def frameMeanLumas(bytes: Array[Byte]): Iterator[(Int, Int)] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) {
+      iis.close()
+      throw new IllegalArgumentException("unsupported or corrupt image payload")
+    }
+    val reader = readers.next()
+    try {
+      reader.setInput(iis, false)
+      val n = reader.getNumImages(true)
+      Iterator.range(0, n).map { i =>
+        val img = reader.read(i)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        (i, (sum / (3L * w * h)).toInt)
+      }.toVector.iterator
     } finally { reader.dispose(); iis.close() }
   }
 

@@ -701,7 +701,177 @@ object Analytics {
       |  CAST(sum(v) AS BIGINT) AS sum_cents
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ── q115: exact heavy hitters — Misra-Gries candidates, exact recount ──
+  /** Heavy ⇔ global count ≥ N / [[HeavyHitterK]] (basis-point share ≥
+    * 10000/K). */
+  val HeavyHitterK = 200
+
+  /** EXACT frequent-item detection in two scans, never shuffling the
+    * distinct-key universe — the classic Misra-Gries + recount pattern
+    * (Misra & Gries 1982; the "frequent" algorithm of Cormode's surveys).
+    *
+    * Why not a plain groupBy-HAVING: at 100 TB the key universe of a
+    * stream (URLs, user ids, n-grams) can be billions of distinct keys,
+    * and a full-count groupBy shuffles one row PER DISTINCT KEY even
+    * though the answer keeps only the few above threshold. Here pass 1
+    * runs a k=[[HeavyHitterK]] Misra-Gries summary INSIDE each partition
+    * (`mapPartitions`, O(k) state) and ships ≤ k candidate keys + one
+    * token-count sentinel per partition — the shuffle is ≤ (k+1)·P rows
+    * regardless of the universe. The MG guarantee makes the candidate
+    * union a PROVABLE superset of every true heavy hitter: if key x is in
+    * no partition's summary, each local count ≤ N_p/(k+1), so the global
+    * count ≤ N/(k+1) < N/k — contradiction. Pass 2 recounts ONLY rows
+    * matching the broadcast candidate set (map-side combine bounds the
+    * shuffle by |candidates|·P) and applies the exact threshold, so the
+    * output is bit-identical to the brute-force groupBy — the oracle IS
+    * that brute force, making the correctness gate the superset proof.
+    *
+    * The probed stream is a deterministic SCALE-FREE skewed key: the
+    * ruler function `l_orderkey & -l_orderkey` caps at 64, giving head
+    * keys 2^j with share ~2^-(j+1) (the same 6 heavies at every sf) over
+    * a long per-order tail that grows linearly with the data — exactly
+    * the head/tail shape MG exists for, reproduced verbatim in DuckDB. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val ruler = col("l_orderkey").bitwiseAND(-col("l_orderkey"))
+    val stream = Tables.lineitem(s, d).select(
+      when(ruler < 64, ruler).otherwise(col("l_orderkey")).as("key"))
+    exactHeavyHitters(stream, HeavyHitterK)
+  }
+
+  /** The MG + recount core over any positive-`key` stream — factored so
+    * RobustStatsSpec can prove the superset/exactness property under
+    * adversarial partitionings. Output is partitioning-independent: the
+    * candidate SET may vary with the split, the exact recount + threshold
+    * never does. */
+  private[operators] def exactHeavyHitters(stream: DataFrame,
+                                           k: Int): DataFrame = {
+    val s = stream.sparkSession
+    import s.implicits._
+    val pass1 = stream.select(col("key").cast("long")).as[Long]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[Long, Long]
+        var n = 0L
+        it.foreach { t =>
+          n += 1
+          m.get(t) match {
+            case Some(c) => m.update(t, c + 1L)
+            case None if m.size < k => m.update(t, 1L)
+            case None => // decrement-all: the MG eviction step
+              m.keysIterator.toArray.foreach { x =>
+                if (m(x) == 1L) m.remove(x) else m.update(x, m(x) - 1L)
+              }
+          }
+        }
+        // sentinel key -1 (keys are positive) carries the partition's
+        // token count so N needs no third scan
+        Iterator.single((-1L, n)) ++ m.iterator
+      }.toDF("key", "cnt").localCheckpoint() // ≤ (k+1)·P rows
+    val total = pass1.filter(col("key") === -1L)
+      .agg(sum(col("cnt")).as("n_total"))
+    val cands = pass1.filter(col("key") =!= -1L).select("key").distinct()
+    stream.join(broadcast(cands), Seq("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_occurrences") * k >= col("n_total"))
+      .select(col("key"), col("n_occurrences"),
+        expr("(n_occurrences * 10000) div n_total").as("share_bp"))
+      .orderBy(col("n_occurrences").desc, col("key").asc)
+  }
+  val heavyHittersSql: String =
+    s"""WITH st AS (
+       |  SELECT CASE WHEN (l_orderkey & (-l_orderkey)) < 64
+       |              THEN (l_orderkey & (-l_orderkey))
+       |              ELSE l_orderkey END AS key
+       |  FROM lineitem),
+       |tot AS (SELECT count(*) AS n_total FROM st)
+       |SELECT key, count(*) AS n_occurrences,
+       |  CAST((count(*) * 10000) // (SELECT n_total FROM tot) AS BIGINT)
+       |    AS share_bp
+       |FROM st GROUP BY key
+       |HAVING count(*) * $HeavyHitterK >= (SELECT n_total FROM tot)
+       |ORDER BY n_occurrences DESC, key ASC""".stripMargin
+
+  // ── q117: robust outlier detection — median/MAD in integer cents ───────
+  /** Deviation cutoff: outlier ⇔ |v − median| > MadK · MAD. */
+  val MadK = 3
+
+  /** Per-event-type robust anomaly flags over `events.value` — the
+    * median/MAD rule (|x − med| > k·MAD), the robust-statistics
+    * workhorse that mean/stddev z-scores can't replace on heavy-tailed
+    * telemetry (the outliers you're hunting inflate the stddev that's
+    * supposed to catch them; the median and MAD have 50% breakdown).
+    * Everything is integer cents and LOWER-median order statistics
+    * (rank ⌈n/2⌉ = (n+1) div 2), so both engines agree bit-for-bit —
+    * no interpolated float median, no 1.4826 consistency constant (it
+    * folds into k).
+    *
+    * Scale shape: the naive per-group sort-and-index is a full-data sort
+    * per group over a HANDFUL of group keys — the q94 skew trap. Instead
+    * the median comes from the VALUE-FREQUENCY table: groupBy (g, v)
+    * partial-aggregates map-side (shuffle ∝ distinct cent values, which
+    * the domain bounds, not rows), a cumulative window walks only that
+    * frequency table to find the bucket holding rank (n+1) div 2, and
+    * the MAD repeats the trick on |v − med| frequencies DERIVED from the
+    * same table — the raw data is scanned exactly twice (stats, then
+    * flagging), and the per-group stats broadcast back as a 5-row dim. */
+  def madOutliers(s: SparkSession, d: String): DataFrame =
+    madFlags(Tables.events(s, d).select(col("event_id"),
+      col("event_type").as("g"), cents(col("value")).as("v")), MadK)
+
+  /** The median/MAD flagging core over any `(event_id, g, v)` frame —
+    * factored so RobustStatsSpec can pin the lower-median choice and the
+    * strict `> k·MAD` boundary on constructed groups. */
+  private[operators] def madFlags(o: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = o.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    // bucket containing the group's rank-(n+1) div 2 value (lower median)
+    def lowerMedian(f: DataFrame, v: String): DataFrame = {
+      val byV = Window.partitionBy(col("g")).orderBy(col(v))
+      f.withColumn("cum", sum(col("c")).over(byV))
+        .withColumn("r", expr("(sum(c) over (partition by g) + 1) div 2"))
+        .filter(col("cum") >= col("r") && col("cum") - col("c") < col("r"))
+        .select(col("g"), col(v).as("stat"))
+    }
+    val med = lowerMedian(freq, "v").withColumnRenamed("stat", "med")
+    val devf = freq.join(broadcast(med), Seq("g"))
+      .groupBy(col("g"), abs(col("v") - col("med")).as("ad"))
+      .agg(sum(col("c")).as("c"))
+    val mad = lowerMedian(devf, "ad").withColumnRenamed("stat", "mad")
+    o.join(broadcast(med), Seq("g")).join(broadcast(mad), Seq("g"))
+      .withColumn("dev", abs(col("v") - col("med")))
+      .filter(col("dev") > lit(k.toLong) * col("mad"))
+      .select(col("g").as("event_type"), col("event_id"),
+        col("v").as("v_cents"), col("med").as("med_cents"),
+        col("mad").as("mad_cents"), col("dev").as("dev_cents"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+  val madOutliersSql: String =
+    s"""WITH o AS (
+       |  SELECT event_id, event_type AS g,
+       |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+       |  FROM events),
+       |med AS (
+       |  SELECT g, v AS med FROM (
+       |    SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+       |           count(*) OVER (PARTITION BY g) AS n FROM o)
+       |  WHERE rn = (n + 1) // 2),
+       |dev AS (
+       |  SELECT o.g, o.event_id, o.v, abs(o.v - med.med) AS ad, med.med
+       |  FROM o JOIN med USING (g)),
+       |mad AS (
+       |  SELECT g, ad AS mad FROM (
+       |    SELECT g, ad, row_number() OVER (PARTITION BY g ORDER BY ad) AS rn,
+       |           count(*) OVER (PARTITION BY g) AS n FROM dev)
+       |  WHERE rn = (n + 1) // 2)
+       |SELECT d.g AS event_type, d.event_id, d.v AS v_cents,
+       |  d.med AS med_cents, m.mad AS mad_cents, d.ad AS dev_cents
+       |FROM dev d JOIN mad m USING (g)
+       |WHERE d.ad > $MadK * m.mad
+       |ORDER BY event_type, event_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q115_heavy_hitters"  -> (heavyHitters _),
+    "q117_mad_outliers"   -> (madOutliers _),
     "q100_histogram"      -> (totalsHistogram _),
     "q114_tabular_drift"  -> (tabularDrift _),
     "q101_quantile_sketch"-> (quantileSketch _),
@@ -723,6 +893,8 @@ object Analytics {
     "q32_approx_distinct" -> (approxDistinct _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q115_heavy_hitters"  -> heavyHittersSql,
+    "q117_mad_outliers"   -> madOutliersSql,
     "q100_histogram"      -> totalsHistogramSql,
     "q114_tabular_drift"  -> tabularDriftSql,
     "q101_quantile_sketch"-> quantileSketchSql,

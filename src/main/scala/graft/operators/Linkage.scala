@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Record linkage / entity resolution — the fuzzy-match family.
+  *
+  * A training-data pipeline constantly reconciles dirty references
+  * (scraped titles, OCR'd names, user-typed entities) against a clean
+  * registry. All-pairs edit distance is O(N·M) string compares — dead at
+  * any scale — so the canonical shape is BLOCKING + within-block scoring
+  * + best-match election, and that whole shape is expressible in
+  * declarative Spark: an equi-join on the block key distributes the
+  * candidate generation, `levenshtein` (codegen'd, no UDF) scores only
+  * within-block pairs, and a struct-min aggregation elects the winner
+  * without a second shuffle (min over (distance, key) structs is
+  * lexicographic, so ties break deterministically toward the smaller
+  * registry key — same portable tie rule as every election here).
+  */
+object Linkage {
+
+  /** Edit-distance cutoff: a candidate must be within 2 edits. */
+  val FuzzyMaxDist = 2
+
+  // ── q116: blocked fuzzy join — dirty records → clean registry ──────────
+  /** Deterministic dirty corpus derived from the part registry (the
+    * corpusWithVariants move applied to entity names): every 7th part
+    * loses its last character (1 edit), every 7k+3rd gains a plural 's'
+    * (1 edit), every 7k+5th arrives REVERSED — a record whose block key
+    * no longer matches anything, exercising the unmatched path (blocking
+    * recall is part of the operator contract: a candidate outside every
+    * block surfaces as match_key -1 for escalation, it does not cost an
+    * all-pairs scan).
+    *
+    * Blocking key = first word of the name. Edits here touch the string
+    * tail, so true matches always share the key — the general technique
+    * (choose keys robust to the expected error model; multi-pass with a
+    * second key if one key's recall is short) reduces the join to
+    * per-block candidate sets ~|registry|/|blocks| deep.
+    *
+    * Scale: candidate generation is a plain equi-join on `blk` (shuffle
+    * ∝ corpus, distributes on the block key; a hot block is q58's salted
+    * join applied verbatim), scoring is whole-stage-codegen'd
+    * `levenshtein` on within-block pairs only, and the election is one
+    * partial-agg'd struct-min — no window over the candidate stream, no
+    * driver-side loop. The oracle replays blocking, DuckDB's own
+    * `levenshtein`, and a row_number election with the identical
+    * (distance, key) order. */
+  def fuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(s, d)
+    val clean = part
+      .select(col("p_partkey").as("ckey"), col("p_name").as("cname"),
+        substring_index(col("p_name"), " ", 1).as("blk"))
+    val dirty = part
+      .withColumn("m", pmod(col("p_partkey"), lit(7L)))
+      .filter(col("m").isin(0L, 3L, 5L))
+      .select((col("p_partkey") + 1000000L).as("dirty_id"),
+        when(col("m") === 0L,
+          expr("substring(p_name, 1, length(p_name) - 1)"))
+        .when(col("m") === 3L, concat(col("p_name"), lit("s")))
+        .otherwise(reverse(col("p_name"))).as("dname"))
+      .withColumn("blk", substring_index(col("dname"), " ", 1))
+    fuzzyMatch(dirty, clean, FuzzyMaxDist)
+  }
+
+  /** The blocking + scoring + election core over `(dirty_id, dname, blk)`
+    * and `(ckey, cname, blk)` frames — factored so LinkageSpec can pin
+    * the tie rule (equal distance → smaller registry key), the cutoff
+    * boundary, and the unmatched path on constructed corpora. */
+  private[operators] def fuzzyMatch(dirty: DataFrame, clean: DataFrame,
+                                    maxDist: Int): DataFrame = {
+    val cand = dirty.join(clean, Seq("blk"))
+      .withColumn("dist", levenshtein(col("dname"), col("cname")))
+      .filter(col("dist") <= maxDist)
+    val best = cand.groupBy(col("dirty_id"))
+      .agg(min(struct(col("dist"), col("ckey"))).as("b"))
+      .select(col("dirty_id"), col("b.ckey").as("match_key"),
+        col("b.dist").cast("long").as("distance"))
+    dirty.select(col("dirty_id"))
+      .join(best, Seq("dirty_id"), "left")
+      .select(col("dirty_id"),
+        coalesce(col("match_key"), lit(-1L)).as("match_key"),
+        coalesce(col("distance"), lit(-1L)).as("distance"))
+      .orderBy(col("dirty_id"))
+  }
+  val fuzzyJoinSql: String =
+    s"""WITH clean AS (
+       |  SELECT p_partkey AS ckey, p_name AS cname,
+       |         split_part(p_name, ' ', 1) AS blk
+       |  FROM part),
+       |dirty0 AS (
+       |  SELECT p_partkey, p_name, p_partkey % 7 AS m
+       |  FROM part WHERE p_partkey % 7 IN (0, 3, 5)),
+       |dirty AS (
+       |  SELECT p_partkey + 1000000 AS dirty_id,
+       |    CASE WHEN m = 0 THEN substr(p_name, 1, length(p_name) - 1)
+       |         WHEN m = 3 THEN p_name || 's'
+       |         ELSE reverse(p_name) END AS dname
+       |  FROM dirty0),
+       |db AS (SELECT dirty_id, dname, split_part(dname, ' ', 1) AS blk
+       |       FROM dirty),
+       |cand AS (
+       |  SELECT dirty_id, ckey, levenshtein(dname, cname) AS dist
+       |  FROM db JOIN clean USING (blk)
+       |  WHERE levenshtein(dname, cname) <= $FuzzyMaxDist),
+       |best AS (
+       |  SELECT dirty_id, ckey, dist,
+       |    row_number() OVER (PARTITION BY dirty_id
+       |                       ORDER BY dist, ckey) AS rn
+       |  FROM cand)
+       |SELECT d.dirty_id,
+       |  CAST(coalesce(b.ckey, -1) AS BIGINT) AS match_key,
+       |  CAST(coalesce(b.dist, -1) AS BIGINT) AS distance
+       |FROM db d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+       |  USING (dirty_id)
+       |ORDER BY dirty_id""".stripMargin
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q116_fuzzy_join" -> (fuzzyJoin _))
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q116_fuzzy_join" -> fuzzyJoinSql)
+}

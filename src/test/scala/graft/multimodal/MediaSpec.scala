@@ -314,4 +314,44 @@ class MediaSpec extends SparkSpec {
     assert(all.distinct.size >= 39,
       s"family fingerprints over-collided: ${all.distinct.size}/40")
   }
+  test("frameMeanLumas: solid GIF frames decode to their exact grays " +
+       "(q118 kernel)") {
+    val grays = Seq(10, 13, 73, 76, 200)
+    val gif = Media.syntheticGif(16, 12, grays)
+    val lumas = MediaCodec.open().frameMeanLumas(gif).toSeq
+    assert(lumas === grays.zipWithIndex.map { case (g, i) => (i, g) },
+      "GIF palettization or the mean-luma reduction is not exact")
+  }
+
+  test("q118 scene cuts: lag-window detector finds exactly the planted " +
+       "jumps on a constructed sequence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // drift +3 within scenes, one +63 jump at frame 2, one at frame 4
+    val lumas = Seq((1L, 0, 10), (1L, 1, 13), (1L, 2, 76), (1L, 3, 79),
+      (1L, 4, 142), (2L, 0, 50), (2L, 1, 53))
+      .toDF("doc_id", "frame_idx", "luma")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val got = lumas
+      .withColumn("diff", col("luma") - lag(col("luma"), 1).over(w))
+      .filter(col("diff") > Media.SceneCutThreshold)
+      .select("doc_id", "frame_idx").as[(Long, Int)].collect().toSet
+    assert(got === Set((1L, 2), (1L, 4)),
+      "detector missed a planted cut or flagged in-scene drift")
+  }
+
+  test("q118 end-to-end: encode->decode->detect matches the planting " +
+       "formula on sf0.001") {
+    import org.apache.spark.sql.Row
+    val got = Media.sceneCuts(spark, sfDir).collect()
+    assert(got.length > 0)
+    got.foreach { case Row(id: Long, nF: Long, nCuts: Long, sumIdx: Long) =>
+      val n = id % 9 + 4
+      val cuts = (1L until n).filter(f => (id + f) % 5 == 0)
+      assert(nF === n, s"doc $id frame count")
+      assert(nCuts === cuts.size.toLong, s"doc $id cut count")
+      assert(sumIdx === cuts.sum, s"doc $id cut index sum")
+    }
+  }
 }

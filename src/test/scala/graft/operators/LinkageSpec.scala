@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** q116 blocked fuzzy join: election tie rule, cutoff boundary, blocking
+  * recall contract, and duplicate-registry behavior on constructed
+  * corpora. */
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cleanDF(rows: (Long, String)*) =
+    rows.toDF("ckey", "cname")
+      .withColumn("blk", substring_index(col("cname"), " ", 1))
+  private def dirtyDF(rows: (Long, String)*) =
+    rows.toDF("dirty_id", "dname")
+      .withColumn("blk", substring_index(col("dname"), " ", 1))
+
+  private def run(dirty: org.apache.spark.sql.DataFrame,
+                  clean: org.apache.spark.sql.DataFrame,
+                  maxDist: Int = Linkage.FuzzyMaxDist) =
+    Linkage.fuzzyMatch(dirty, clean, maxDist)
+      .as[(Long, Long, Long)].collect().toSeq
+
+  test("equal-distance tie elects the smaller registry key") {
+    // both registry entries are 1 edit from the dirty name
+    val clean = cleanDF((20L, "navy blue sock"), (10L, "navy blue rock"))
+    val dirty = dirtyDF((1L, "navy blue lock"))
+    assert(run(dirty, clean) === Seq((1L, 10L, 1L)))
+  }
+
+  test("closer match beats smaller key; cutoff boundary is inclusive " +
+       "at maxDist and excludes maxDist+1") {
+    val clean = cleanDF((5L, "red wool hat"), (9L, "red wool cap"))
+    // dist(dirty, key5 "hat") = 3 → outside the cutoff;
+    // dist(dirty, key9 "cap") = 1 → wins despite the larger key
+    val d1 = dirtyDF((1L, "red wool cup"))
+    assert(run(d1, clean) === Seq((1L, 9L, 1L)))
+    // exactly maxDist edits still matches; maxDist+1 does not
+    val d2 = dirtyDF((2L, "red wool cup"))
+    assert(run(d2, clean, maxDist = 1) === Seq((2L, 9L, 1L)))
+    assert(run(d2, clean, maxDist = 0) === Seq((2L, -1L, -1L)))
+  }
+
+  test("a dirty record outside every block surfaces unmatched, even when " +
+       "a near string exists in another block") {
+    val clean = cleanDF((3L, "green silk tie"))
+    val dirty = dirtyDF((1L, "greem silk tie")) // 1 edit, but block differs
+    assert(run(dirty, clean) === Seq((1L, -1L, -1L)))
+  }
+
+  test("exact duplicate registry names: deterministic min-key winner, " +
+       "distance 0") {
+    val clean = cleanDF((42L, "plum dot bag"), (7L, "plum dot bag"))
+    val dirty = dirtyDF((1L, "plum dot bag"))
+    assert(run(dirty, clean) === Seq((1L, 7L, 0L)))
+  }
+
+  test("every dirty record appears exactly once in the output") {
+    val clean = cleanDF((1L, "a b"), (2L, "a c"), (3L, "z q"))
+    val dirty = dirtyDF((10L, "a b"), (11L, "a x"), (12L, "m n"))
+    val got = run(dirty, clean)
+    assert(got.map(_._1) === Seq(10L, 11L, 12L))
+    assert(got === Seq((10L, 1L, 0L), (11L, 1L, 1L), (12L, -1L, -1L)))
+  }
+}
