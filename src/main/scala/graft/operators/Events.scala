@@ -805,7 +805,90 @@ object Events {
       |  CAST(floor(63 * (1152921504606846976.0 / kth_min)) AS BIGINT) AS est
       |FROM sk ORDER BY cohort_day, day_offset""".stripMargin
 
+  // ── q119: time-grid resampling with forward fill ────────────────────────
+  /** Irregular events → a REGULAR per-user hourly grid, carrying the last
+    * observation forward — the time-series resampling every feature
+    * pipeline needs before a model can consume telemetry (pandas'
+    * `resample().ffill()`, re-expressed as three declarative steps that
+    * survive 100 TB).
+    *
+    * Semantics, all integer: hour_id = epoch-microseconds div 3.6e9; the
+    * hour's representative value is its LAST event's cents, tie-broken by
+    * (us, event_id) — a struct-max aggregate, the portable election rule —
+    * and every empty grid hour between a user's first and last
+    * observation inherits the most recent earlier hour (`last(...,
+    * ignoreNulls)` over an unbounded-preceding window). `n_obs` keeps the
+    * fill distinguishable from data (0 ⇔ synthesized).
+    *
+    * Scale shape: (1) hour collapse is ONE partial-agg'd groupBy
+    * (user, hour) — the raw stream never reaches a window; (2) the fill
+    * is NOT grid ⋈ obs (the naive shape — two more exchanges and a
+    * last-ignoreNulls window): each collapsed observation explodes
+    * FORWARD to the hour before the user's next observation
+    * (`lead` + `sequence`), which synthesizes exactly the missing grid
+    * hours with their fill value already attached — one lead window on
+    * the user-hour table, zero joins. Output rows are span-bounded
+    * (gap lengths telescope to last−first hours; the corpus's 30-day
+    * horizon caps it at 720/user — an unbounded retention would cap
+    * the span the q98 way), so a hot user costs span-bounded, not
+    * event-bounded, work past step 1's map-side combine. */
+  def resampleFfill(s: SparkSession, d: String): DataFrame =
+    resampleGrid(Tables.events(s, d).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"), cents(col("value")).as("v")))
+
+  /** Core of [[resampleFfill]] on a pre-projected frame
+    * (user_id, event_id, us, v) — spec-drivable on constructed corpora. */
+  def resampleGrid(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = e
+      .withColumn("hour_id", expr("us div 3600000000"))
+      .groupBy(col("user_id"), col("hour_id"))
+      .agg(max(struct(col("us"), col("event_id"), col("v"))).as("m"),
+        count(lit(1)).as("n_obs"))
+      .select(col("user_id"), col("hour_id"), col("m.v").as("v_last"),
+        col("n_obs"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour_id"))
+    obs
+      // The last observation has no successor: it owns only its own hour.
+      .withColumn("next_h",
+        coalesce(lead(col("hour_id"), 1).over(w), col("hour_id") + lit(1L)))
+      .withColumn("grid_h",
+        explode(sequence(col("hour_id"), col("next_h") - lit(1L))))
+      .select(col("user_id"), col("grid_h").as("hour_id"),
+        col("v_last").as("v_cents"),
+        when(col("grid_h") === col("hour_id"), col("n_obs"))
+          .otherwise(lit(0L)).as("n_obs"))
+      .orderBy(col("user_id"), col("hour_id"))
+  }
+  val resampleFfillSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+      |  FROM events),
+      |o AS (
+      |  SELECT user_id, us // 3600000000 AS hour_id, v,
+      |    row_number() OVER (PARTITION BY user_id, us // 3600000000
+      |                       ORDER BY us DESC, event_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id, us // 3600000000) AS n
+      |  FROM e),
+      |obs AS (SELECT user_id, hour_id, v AS v_last, n AS n_obs
+      |        FROM o WHERE rn = 1),
+      |sp AS (SELECT user_id, min(hour_id) AS h0, max(hour_id) AS h1
+      |       FROM obs GROUP BY user_id),
+      |grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hour_id FROM sp),
+      |j AS (
+      |  SELECT g.user_id, g.hour_id, obs.v_last,
+      |    coalesce(obs.n_obs, 0) AS n_obs
+      |  FROM grid g LEFT JOIN obs USING (user_id, hour_id))
+      |SELECT user_id, hour_id,
+      |  last_value(v_last IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY hour_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_cents,
+      |  n_obs
+      |FROM j ORDER BY user_id, hour_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q119_resample_ffill" -> (resampleFfill _),
     "q25_json_props"      -> (jsonProps _),
     "q26_tumbling_hourly" -> (tumblingHourly _),
     "q27_session_windows" -> (sessionWindows _),
@@ -821,6 +904,7 @@ object Events {
     "q106_sliding_hourly" -> (slidingHourly _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q119_resample_ffill" -> resampleFfillSql,
     "q25_json_props"      -> jsonPropsSql,
     "q26_tumbling_hourly" -> tumblingHourlySql,
     "q27_session_windows" -> sessionWindowsSql,

@@ -194,4 +194,73 @@ class EventsSpec extends SparkSpec {
     val p = Events.sessionPathFrame(df).collect().head.getAs[String]("path")
     assert(p === Seq.fill(Events.SessionPathCap)("a").mkString(">"))
   }
+
+  // ── q119 resample + forward fill ─────────────────────────────────────────
+
+  private val hourUs = 3600000000L
+
+  /** Independent model of [[Events.resampleGrid]]: per user, collapse to
+    * hours electing the (us, event_id)-last event's cents, then emit every
+    * hour from first to last observation, carrying the previous value
+    * forward with n_obs = 0 on synthesized hours. */
+  private def ffillModel(rows: Seq[(Long, Long, Long, Long)]) // u, eid, us, v
+      : Set[(Long, Long, Long, Long)] = // u, hour, v_cents, n_obs
+    rows.groupBy(_._1).iterator.flatMap { case (u, evs) =>
+      val obs = evs.groupBy(e => e._3 / hourUs).toSeq.map { case (h, es) =>
+        val last = es.maxBy(e => (e._3, e._2))
+        (h, last._4, es.size.toLong)
+      }.sortBy(_._1)
+      val byHour = obs.map(o => o._1 -> o).toMap
+      var carry = 0L
+      (obs.head._1 to obs.last._1).map { h =>
+        byHour.get(h) match {
+          case Some((_, v, n)) => carry = v; (u, h, v, n)
+          case None            => (u, h, carry, 0L)
+        }
+      }
+    }.toSet
+
+  private def runGrid(rows: Seq[(Long, Long, Long, Long)])
+      : Set[(Long, Long, Long, Long)] =
+    Events.resampleGrid(Random.shuffle(rows) // arrival order must not matter
+        .toDF("user_id", "event_id", "us", "v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("q119 boundary corpus: gaps fill forward with n_obs=0, exact-hour " +
+       "events land in their own hour, same-us ties elect by event_id") {
+    val rows = Seq(
+      // user 1: obs at hours 0 and 3 → hours 1,2 synthesized from hour 0
+      (1L, 10L, baseUs + 100L, 500L),
+      (1L, 11L, baseUs + 3 * hourUs + 5L, 700L),
+      // user 2: event at EXACTLY an hour boundary belongs to that hour
+      (2L, 20L, baseUs + hourUs, 900L),
+      // user 3: two events in one hour at the SAME microsecond — the
+      // higher event_id wins the election
+      (3L, 30L, baseUs + 42L, 111L),
+      (3L, 31L, baseUs + 42L, 222L),
+      // user 4: single event → single-row grid, no fill
+      (4L, 40L, baseUs + 7L, 333L))
+    val got = runGrid(rows)
+    assert(got === ffillModel(rows))
+    val base = baseUs / hourUs
+    assert(got.contains((1L, base + 1L, 500L, 0L)), "hour 1 fills from hour 0")
+    assert(got.contains((1L, base + 2L, 500L, 0L)), "hour 2 fills from hour 0")
+    assert(got.contains((2L, base + 1L, 900L, 1L)), "boundary event owns its hour")
+    assert(got.contains((3L, base, 222L, 2L)), "same-us tie elects max event_id")
+    assert(got.count(_._1 == 4L) == 1, "single observation emits one grid row")
+  }
+
+  test("q119 seeded random corpora: production resample == ffill model") {
+    val rnd = new Random(119)
+    for (_ <- 1 to 3) {
+      val rows = (1 to 400).map { i =>
+        (rnd.nextInt(8).toLong + 1L, i.toLong,
+          baseUs + rnd.nextInt(48 * 3600) * 1000000L + rnd.nextInt(1000000),
+          rnd.nextInt(100000).toLong)
+      }
+      assert(runGrid(rows) === ffillModel(rows))
+    }
+  }
 }

@@ -740,4 +740,25 @@ class PlanSpec extends SparkSpec {
         s"canopy leader model was not materialized under $wh")
     }
   }
+
+  test("q119: resample is two hash Exchanges (hour collapse partial-aggs, " +
+       "lead window) and ZERO joins — the grid is explode-forward, not " +
+       "grid-join-obs") {
+    // the naive shape materializes a per-user hour grid and left-joins
+    // the observations back (two extra Exchanges + an ignoreNulls fill
+    // window over the full grid). The explode-forward form synthesizes
+    // missing hours WITH their fill value attached, so at 100 TB the
+    // only full-data shuffle is the (user, hour) collapse — everything
+    // after it is span-bounded per user.
+    atScaleShape {
+      val p = plan(q("q119_resample_ffill"))
+      val n = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(n == 2, s"expected exactly two hash Exchanges, got $n:\n$p")
+      assert(!p.contains("Join"), s"resample must not join:\n$p")
+      assert(p.contains("partial_max"),
+        s"hour collapse must partial-agg map-side:\n$p")
+      assert(p.contains("Generate explode"),
+        s"grid synthesis must be an explode:\n$p")
+    }
+  }
 }
