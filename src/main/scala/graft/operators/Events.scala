@@ -838,7 +838,14 @@ object Events {
 
   /** Core of [[resampleFfill]] on a pre-projected frame
     * (user_id, event_id, us, v) — spec-drivable on constructed corpora. */
-  def resampleGrid(e: DataFrame): DataFrame = {
+  def resampleGrid(e: DataFrame): DataFrame =
+    resampleGridUnsorted(e).orderBy(col("user_id"), col("hour_id"))
+
+  /** [[resampleGrid]] without the presentation sort — the composition
+    * point for downstream per-user window stages (q120): a global
+    * `orderBy` mid-pipeline would inject a rangepartitioning Exchange
+    * that the next window immediately un-does with a user_id re-hash. */
+  private[operators] def resampleGridUnsorted(e: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val obs = e
       .withColumn("hour_id", expr("us div 3600000000"))
@@ -858,7 +865,6 @@ object Events {
         col("v_last").as("v_cents"),
         when(col("grid_h") === col("hour_id"), col("n_obs"))
           .otherwise(lit(0L)).as("n_obs"))
-      .orderBy(col("user_id"), col("hour_id"))
   }
   val resampleFfillSql: String =
     """WITH e AS (
@@ -887,8 +893,70 @@ object Events {
       |  n_obs
       |FROM j ORDER BY user_id, hour_id""".stripMargin
 
+  // ── q120: rolling feature windows over the regular grid ─────────────────
+  /** Per-user rolling 24-hour features on the [[resampleFfill]] grid — the
+    * feature-engineering step every telemetry model consumes (pandas'
+    * `rolling(24).agg(...)` at cluster scale): trailing-24h sum / integer
+    * mean / min / max of the carried value, trailing-24h observation
+    * count, and the hour-over-hour delta. All arithmetic is integer cents
+    * (mean = sum div n; values are non-negative so truncating `div` and
+    * the oracle's floor `//` agree) and the first grid hour's delta is
+    * NULL on both engines (lag's default), so the gate is bit-exact.
+    *
+    * Resample-then-roll is itself the scale design: ROWS frames on a
+    * regular grid ARE time frames, so the rolling pass is a constant-width
+    * running frame (O(1) per row in Spark's window buffer) instead of a
+    * RANGE frame re-scanning a variable horizon per row over irregular
+    * timestamps. The rolling windows partition by user_id — the SAME
+    * HashPartitioning the grid's lead window produced — so the whole
+    * feature stage adds ZERO Exchanges to q119's two (PlanSpec-pinned):
+    * past the (user, hour) collapse, everything to the feature table is
+    * one shuffle-free pipeline. */
+  def rollingFeatures(s: SparkSession, d: String): DataFrame =
+    rollingOnGrid(resampleGridUnsorted(
+      Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), cents(col("value")).as("v"))))
+
+  /** Rolling core over any (user_id, hour_id, v_cents, n_obs) grid —
+    * spec-drivable on constructed corpora. */
+  private[operators] def rollingOnGrid(grid: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour_id"))
+    val w24 = w.rowsBetween(-23, 0)
+    grid
+      .withColumn("roll_sum", sum(col("v_cents")).over(w24))
+      .withColumn("roll_n", count(lit(1)).over(w24))
+      .withColumn("roll_min", min(col("v_cents")).over(w24))
+      .withColumn("roll_max", max(col("v_cents")).over(w24))
+      .withColumn("roll_obs", sum(col("n_obs")).over(w24))
+      .withColumn("delta", col("v_cents") - lag(col("v_cents"), 1).over(w))
+      .select(col("user_id"), col("hour_id"), col("v_cents"),
+        col("roll_sum"), expr("roll_sum div roll_n").as("roll_avg"),
+        col("roll_min"), col("roll_max"), col("roll_obs"), col("delta"))
+      .orderBy(col("user_id"), col("hour_id"))
+  }
+  val rollingFeaturesSql: String =
+    s"""WITH g AS (
+       |${resampleFfillSql.linesIterator.map("  " + _).mkString("\n")
+           .replace("ORDER BY user_id, hour_id", "")}
+       |)
+       |SELECT user_id, hour_id, v_cents,
+       |  CAST(sum(v_cents) OVER w24 AS BIGINT) AS roll_sum,
+       |  CAST(sum(v_cents) OVER w24 // count(*) OVER w24 AS BIGINT)
+       |    AS roll_avg,
+       |  min(v_cents) OVER w24 AS roll_min,
+       |  max(v_cents) OVER w24 AS roll_max,
+       |  CAST(sum(n_obs) OVER w24 AS BIGINT) AS roll_obs,
+       |  v_cents - lag(v_cents, 1) OVER (
+       |    PARTITION BY user_id ORDER BY hour_id) AS delta
+       |FROM g
+       |WINDOW w24 AS (PARTITION BY user_id ORDER BY hour_id
+       |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+       |ORDER BY user_id, hour_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q119_resample_ffill" -> (resampleFfill _),
+    "q120_rolling_features" -> (rollingFeatures _),
     "q25_json_props"      -> (jsonProps _),
     "q26_tumbling_hourly" -> (tumblingHourly _),
     "q27_session_windows" -> (sessionWindows _),
@@ -905,6 +973,7 @@ object Events {
 
   val oracles: Seq[(String, String)] = Seq(
     "q119_resample_ffill" -> resampleFfillSql,
+    "q120_rolling_features" -> rollingFeaturesSql,
     "q25_json_props"      -> jsonPropsSql,
     "q26_tumbling_hourly" -> tumblingHourlySql,
     "q27_session_windows" -> sessionWindowsSql,

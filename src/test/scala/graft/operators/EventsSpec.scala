@@ -263,4 +263,49 @@ class EventsSpec extends SparkSpec {
       assert(runGrid(rows) === ffillModel(rows))
     }
   }
+
+  // ── q120 rolling features over the grid ──────────────────────────────────
+
+  /** Independent model of [[Events.rollingOnGrid]]: per user sorted by
+    * hour, a trailing window of the last ≤24 grid rows — sum / truncating
+    * mean / min / max of v, sum of n_obs — plus the row-over-row delta
+    * (None on each user's first grid row). */
+  private def rollingModel(grid: Seq[(Long, Long, Long, Long)])
+      : Set[(Long, Long, Long, Long, Long, Long, Long, Long, Option[Long])] =
+    grid.groupBy(_._1).iterator.flatMap { case (u, rows) =>
+      val s = rows.sortBy(_._2)
+      s.zipWithIndex.map { case ((_, h, v, _), i) =>
+        val win = s.slice(math.max(0, i - 23), i + 1)
+        val vs = win.map(_._3)
+        val delta = if (i == 0) None else Some(v - s(i - 1)._3)
+        (u, h, v, vs.sum, vs.sum / vs.length, vs.min, vs.max,
+          win.map(_._4).sum, delta)
+      }
+    }.toSet
+
+  test("q120 seeded grids: production rolling == trailing-24 model " +
+       "(window edge at exactly 24 rows, truncating integer mean, " +
+       "NULL first delta)") {
+    val rnd = new Random(120)
+    for (trial <- 1 to 3) {
+      // users with spans straddling the 24-row frame edge (short, exactly
+      // 24, and multi-frame spans), n_obs 0 rows included like a real grid
+      val grid = (1 to 6).flatMap { u =>
+        val span = Seq(3, 23, 24, 25, 60, 90)(u - 1)
+        (0 until span).map { h =>
+          (u.toLong, 1000L + h, rnd.nextInt(100000).toLong,
+            rnd.nextInt(3).toLong)
+        }
+      }
+      val got = Events.rollingOnGrid(
+          Random.shuffle(grid)
+            .toDF("user_id", "hour_id", "v_cents", "n_obs"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+          if (r.isNullAt(8)) None else Some(r.getLong(8))))
+        .toSet
+      assert(got === rollingModel(grid), s"trial $trial")
+    }
+  }
 }

@@ -761,4 +761,20 @@ class PlanSpec extends SparkSpec {
         s"grid synthesis must be an explode:\n$p")
     }
   }
+
+  test("q120: the rolling feature stage adds ZERO Exchanges over q119 — " +
+       "every rolling window rides the grid's user_id partitioning") {
+    // A ROWS(-23, 0) frame over the regular grid costs O(1) per row in
+    // the window buffer; the design risk is an accidental re-shuffle
+    // (e.g. a window keyed differently from the grid). Pin: exactly the
+    // SAME two hash Exchanges as q119, still no joins.
+    atScaleShape {
+      val p = plan(q("q120_rolling_features"))
+      val n = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(n == 2, s"expected exactly two hash Exchanges, got $n:\n$p")
+      assert(!p.contains("Join"), s"rolling features must not join:\n$p")
+      assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+        s"expected a window stage:\n$p")
+    }
+  }
 }
