@@ -954,9 +954,74 @@ object Events {
        |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
        |ORDER BY user_id, hour_id""".stripMargin
 
+  // ── q121: level-shift changepoints on the regular grid ──────────────────
+  /** Top-50 level shifts in the per-user hourly series: grid hours where
+    * the mean of the NEXT 24 hours differs most from the mean of the
+    * PREVIOUS 24 — the two-sided-window changepoint detector (CUSUM's
+    * non-recursive cousin; recursive CUSUM state can't be a window
+    * function, and its truncation order isn't cross-engine portable).
+    * Both windows are exactly 24 rows (rows with a truncated side are
+    * ineligible, not zero-padded — a series edge is not a changepoint),
+    * so the difference of SUMS is 24× the difference of means and the
+    * score stays in exact integer cents. Tie order (shift DESC, user_id,
+    * hour_id) is total, so the top-50 SET is deterministic.
+    *
+    * Scale shape: both frames ride the SAME (user_id, hour_id) sort the
+    * grid's lead window produced — one Window operator, two frames, ZERO
+    * Exchanges added past the grid's two (PlanSpec-pinned) — and the
+    * top-50 is TakeOrderedAndProject (per-partition heads + one driver
+    * merge), never a global sort of the scored grid. */
+  def levelShifts(s: SparkSession, d: String): DataFrame =
+    shiftsOnGrid(resampleGridUnsorted(
+      Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), cents(col("value")).as("v"))))
+
+  /** Changepoint core over any (user_id, hour_id, v_cents, n_obs) grid —
+    * spec-drivable on constructed corpora. */
+  private[operators] def shiftsOnGrid(grid: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour_id"))
+    val pre = w.rowsBetween(-24, -1)
+    val post = w.rowsBetween(0, 23)
+    grid
+      .withColumn("pre_sum", sum(col("v_cents")).over(pre))
+      .withColumn("pre_n", count(lit(1)).over(pre))
+      .withColumn("post_sum", sum(col("v_cents")).over(post))
+      .withColumn("post_n", count(lit(1)).over(post))
+      .filter(col("pre_n") === lit(24L) && col("post_n") === lit(24L))
+      .withColumn("shift", abs(col("post_sum") - col("pre_sum")))
+      .select(col("user_id"), col("hour_id"), col("pre_sum"),
+        col("post_sum"), col("shift"))
+      .orderBy(col("shift").desc, col("user_id"), col("hour_id"))
+      .limit(50)
+  }
+  val levelShiftsSql: String =
+    s"""WITH g AS (
+       |${resampleFfillSql.linesIterator.map("  " + _).mkString("\n")
+           .replace("ORDER BY user_id, hour_id", "")}
+       |),
+       |w AS (
+       |  SELECT user_id, hour_id,
+       |    sum(v_cents) OVER pre AS pre_sum,
+       |    count(*) OVER pre AS pre_n,
+       |    sum(v_cents) OVER post AS post_sum,
+       |    count(*) OVER post AS post_n
+       |  FROM g
+       |  WINDOW pre AS (PARTITION BY user_id ORDER BY hour_id
+       |                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
+       |         post AS (PARTITION BY user_id ORDER BY hour_id
+       |                  ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING))
+       |SELECT user_id, hour_id,
+       |  CAST(pre_sum AS BIGINT) AS pre_sum,
+       |  CAST(post_sum AS BIGINT) AS post_sum,
+       |  CAST(abs(post_sum - pre_sum) AS BIGINT) AS shift
+       |FROM w WHERE pre_n = 24 AND post_n = 24
+       |ORDER BY shift DESC, user_id, hour_id LIMIT 50""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q119_resample_ffill" -> (resampleFfill _),
     "q120_rolling_features" -> (rollingFeatures _),
+    "q121_level_shifts"   -> (levelShifts _),
     "q25_json_props"      -> (jsonProps _),
     "q26_tumbling_hourly" -> (tumblingHourly _),
     "q27_session_windows" -> (sessionWindows _),
@@ -974,6 +1039,7 @@ object Events {
   val oracles: Seq[(String, String)] = Seq(
     "q119_resample_ffill" -> resampleFfillSql,
     "q120_rolling_features" -> rollingFeaturesSql,
+    "q121_level_shifts"   -> levelShiftsSql,
     "q25_json_props"      -> jsonPropsSql,
     "q26_tumbling_hourly" -> tumblingHourlySql,
     "q27_session_windows" -> sessionWindowsSql,

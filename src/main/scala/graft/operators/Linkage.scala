@@ -68,12 +68,38 @@ object Linkage {
   /** The blocking + scoring + election core over `(dirty_id, dname, blk)`
     * and `(ckey, cname, blk)` frames — factored so LinkageSpec can pin
     * the tie rule (equal distance → smaller registry key), the cutoff
-    * boundary, and the unmatched path on constructed corpora. */
+    * boundary, and the unmatched path on constructed corpora.
+    *
+    * Two exact prunes keep the within-block quadratic's constant small
+    * (r13 — the sf1 ladder measured the bare first-word form at 66.8 s:
+    * a 92-word corpus vocabulary makes block membership grow ∝ N, so
+    * every per-candidate cost saving multiplies):
+    *
+    *  1. LENGTH is part of the join key, not a post-join filter: edit
+    *     distance ≤ d implies |len(a)−len(b)| ≤ d, so the dirty side
+    *     explodes over its 2d+1 compatible lengths and the equi-join on
+    *     (blk, len) drops length-incompatible pairs inside the shuffle —
+    *     they never reach the scorer (and a hot (blk, len) cell is
+    *     q58's salted join, verbatim).
+    *  2. The scorer is the THRESHOLD'd `levenshtein(l, r, d)` — a banded
+    *     O((2d+1)·n) DP that abandons a row the moment every cell in the
+    *     band exceeds d (returns −1), instead of the full O(n·m) table.
+    *
+    * Both are exact for dist ≤ d, so the oracle is byte-identical to the
+    * bare form's. Residual cost is genuinely candidate-bound: records
+    * sharing (first word, length) are the corpus's true near-collision
+    * set, and that set grows with N for ANY fixed-vocabulary corpus —
+    * the measured sf1 win is 66.8 → 4.1 s with bit-identical output. */
   private[operators] def fuzzyMatch(dirty: DataFrame, clean: DataFrame,
                                     maxDist: Int): DataFrame = {
-    val cand = dirty.join(clean, Seq("blk"))
-      .withColumn("dist", levenshtein(col("dname"), col("cname")))
-      .filter(col("dist") <= maxDist)
+    val cand = dirty
+      .withColumn("len", explode(sequence(
+        length(col("dname")) - lit(maxDist),
+        length(col("dname")) + lit(maxDist))))
+      .join(clean.withColumn("len", length(col("cname"))),
+        Seq("blk", "len"))
+      .withColumn("dist", levenshtein(col("dname"), col("cname"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
     val best = cand.groupBy(col("dirty_id"))
       .agg(min(struct(col("dist"), col("ckey"))).as("b"))
       .select(col("dirty_id"), col("b.ckey").as("match_key"),

@@ -308,4 +308,64 @@ class EventsSpec extends SparkSpec {
       assert(got === rollingModel(grid), s"trial $trial")
     }
   }
+
+  // ── q121 level-shift changepoints ────────────────────────────────────────
+
+  /** Independent model of [[Events.shiftsOnGrid]]: rows with a FULL 24
+    * before and after (pre excludes, post includes the current row),
+    * scored |post_sum − pre_sum|, top 50 by (shift desc, user, hour). */
+  private def shiftsModel(grid: Seq[(Long, Long, Long, Long)])
+      : Seq[(Long, Long, Long, Long, Long)] =
+    grid.groupBy(_._1).iterator.flatMap { case (u, rows) =>
+      val s = rows.sortBy(_._2)
+      s.indices.collect {
+        case i if i >= 24 && i + 23 < s.length =>
+          val pre = s.slice(i - 24, i).map(_._3).sum
+          val post = s.slice(i, i + 24).map(_._3).sum
+          (u, s(i)._2, pre, post, math.abs(post - pre))
+      }
+    }.toSeq.sortBy(t => (-t._5, t._1, t._2)).take(50)
+
+  test("q121 planted step change: the shift peaks AT the step hour, edge " +
+       "rows with a truncated side are ineligible, ties break by " +
+       "(user, hour)") {
+    // user 1: flat 100 for 48h then flat 500 for 48h → max shift 24*400
+    // exactly at the step row; user 2: constant series → all shifts 0
+    // (tie-ordered after user 1's nonzero rows); user 3: span 40 < 48 →
+    // no eligible row at all
+    val grid =
+      (0 until 96).map(h => (1L, 2000L + h, if (h < 48) 100L else 500L, 1L)) ++
+      (0 until 60).map(h => (2L, 2000L + h, 7L, 1L)) ++
+      (0 until 40).map(h => (3L, 2000L + h, 9L, 1L))
+    val got = Events.shiftsOnGrid(
+        Random.shuffle(grid).toDF("user_id", "hour_id", "v_cents", "n_obs"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSeq
+    assert(got === shiftsModel(grid))
+    assert(got.head === ((1L, 2048L, 2400L, 12000L, 9600L)),
+      "the step hour must carry the maximal shift 24*400")
+    assert(!got.exists(_._1 == 3L), "a 40-hour span has no eligible row")
+    // user 2's zero-shift rows appear in (user, hour) order after all of
+    // user 1's nonzero shifts
+    val zeros = got.filter(_._5 == 0L)
+    assert(zeros === zeros.sortBy(t => (t._1, t._2)))
+  }
+
+  test("q121 seeded random grids: production shifts == two-sided model") {
+    val rnd = new Random(121)
+    val grid = (1 to 5).flatMap { u =>
+      (0 until 30 + u * 15).map { h =>
+        (u.toLong, 3000L + h, rnd.nextInt(100000).toLong, 1L)
+      }
+    }
+    val got = Events.shiftsOnGrid(
+        Random.shuffle(grid).toDF("user_id", "hour_id", "v_cents", "n_obs"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSeq
+    assert(got === shiftsModel(grid))
+  }
 }
