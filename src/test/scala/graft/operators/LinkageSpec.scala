@@ -64,4 +64,47 @@ class LinkageSpec extends SparkSpec {
     assert(got.map(_._1) === Seq(10L, 11L, 12L))
     assert(got === Seq((10L, 1L, 0L), (11L, 1L, 1L), (12L, -1L, -1L)))
   }
+
+  test("duplicate dirty rows sharing a name all get the one per-name " +
+       "verdict (the domain collapse fans back out)") {
+    val clean = cleanDF((4L, "teal mug"))
+    val dirty = dirtyDF((1L, "teal mugs"), (2L, "teal mugs"), (3L, "teal mug"))
+    assert(run(dirty, clean) ===
+      Seq((1L, 4L, 1L), (2L, 4L, 1L), (3L, 4L, 0L)))
+  }
+
+  private def runMulti(dirty: org.apache.spark.sql.DataFrame,
+                       clean: org.apache.spark.sql.DataFrame,
+                       maxDist: Int = Linkage.FuzzyMaxDist) =
+    Linkage.multipassMatch(dirty, clean, maxDist)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+  test("multipass: pass 2 recovers a reversed record the first-word " +
+       "block lost, scoring on the normalized form") {
+    val clean = cleanDF((5L, "green silk tie"))
+    val dirty = dirtyDF((1L, "eit klis neerg"), // reversed, 0 edits after undo
+                        (2L, "green silk tee"), // direct, 1 edit → pass 1
+                        (3L, "utter nonsense")) // unmatched by both passes
+    assert(runMulti(dirty, clean) === Seq(
+      (1L, 5L, 0L, 2L), (2L, 5L, 1L, 1L), (3L, -1L, -1L, 0L)))
+  }
+
+  test("multipass: pass 1 match is final — pass 2 never rescans or " +
+       "overrides a matched name") {
+    // "ab ba" is 1 edit from "ab bb" (pass-1 match) AND reverses to
+    // itself... use an asymmetric pair: dname "ba ab" matches clean
+    // "ba ab" exactly in pass 1; its reversal "ba ab" would ALSO match —
+    // the verdict must carry pass = 1 exactly once.
+    val clean = cleanDF((1L, "ba ab"))
+    val dirty = dirtyDF((1L, "ba ab"))
+    assert(runMulti(dirty, clean) === Seq((1L, 1L, 0L, 1L)))
+  }
+
+  test("multipass: a reversed record whose reversal is still outside the " +
+       "cutoff stays unmatched") {
+    val clean = cleanDF((1L, "blue cap"))
+    // undo → "blue sock": same block, but dist("sock","cap") = 3 > cutoff
+    val dirty = dirtyDF((1L, "kcos eulb"))
+    assert(runMulti(dirty, clean) === Seq((1L, -1L, -1L, 0L)))
+  }
 }
