@@ -83,11 +83,28 @@ object Manifest {
               updates: Map[String, DataFrame]): Map[String, Long] =
     publishAt(s, root, updates, seqs(s, root).lastOption.getOrElse(0L) + 1L)
 
-  /** [[publish]] with the manifest sequence pinned — the seam ManifestSpec
-    * uses to drive the racing-publisher window deterministically (a rival
-    * lands `m-<mySeq>` between this publisher's listing and its rename). */
+  /** [[publish]] with the manifest sequence pinned and an optional
+    * `beforeRename` hook — the seams ManifestSpec uses to drive the race
+    * windows deterministically (a rival lands `m-<mySeq>`, or a vacuum
+    * runs, between this publisher's generation writes and its rename).
+    *
+    * Rename-race hardening (ADVICE r13): the pre-rename `exists(dst)`
+    * check is not atomic with the rename — if a rival's `m-<seq>` lands
+    * in the window between them, Hadoop `FileSystem.rename` moves the
+    * `.tmp-` dir INTO the existing destination directory and returns
+    * true, so a bare rename-result check would report success while the
+    * loser's snapshot silently vanished (the nested dot-dir is invisible
+    * to parquet readers). So each publisher writes a UNIQUE `_pub-<uuid>`
+    * token file into its tmp dir and, after a "successful" rename,
+    * verifies the token sits DIRECTLY under `dst`: if it does, this
+    * publisher's rename was the one that created `m-<seq>`; if it does
+    * not, the rival won — the loser removes its nested dir and fails
+    * loudly, exactly the documented serialization contract. The token
+    * stays in place afterwards (parquet readers ignore `_`-prefixed
+    * files; the published manifest dir is never mutated). */
   private[etl] def publishAt(s: SparkSession, root: String,
-      updates: Map[String, DataFrame], mySeq: Long): Map[String, Long] = {
+      updates: Map[String, DataFrame], mySeq: Long,
+      beforeRename: () => Unit = () => ()): Map[String, Long] = {
     require(updates.nonEmpty, "publish needs at least one artifact")
     val f = fs(s, root)
     val cur = current(s, root)
@@ -102,9 +119,20 @@ object Manifest {
     val dst = new Path(manifestDir(root), s"m-$mySeq")
     next.toSeq.sorted.toDF("name", "gen")
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    if (f.exists(dst) || !f.rename(tmp, dst))
+    val token = s"_pub-${java.util.UUID.randomUUID()}"
+    f.create(new Path(tmp, token)).close()
+    def lose(): Nothing = {
+      // undo a rename-into-dst nesting so the winner's manifest dir stays
+      // exactly as the winner published it, then fail loudly
+      f.delete(new Path(dst, tmp.getName), true)
+      f.delete(tmp, true)
       throw new java.io.IOException(
         s"manifest $dst already published — concurrent publisher won; rerun")
+    }
+    if (f.exists(dst)) lose()
+    beforeRename() // ← the exists-to-rename window the token check closes
+    if (!f.rename(tmp, dst)) lose()
+    if (!f.exists(new Path(dst, token))) lose()
     next
   }
 
@@ -118,15 +146,36 @@ object Manifest {
     resolve(s, root)
   }
 
+  /** A status's modification time, hardened for object stores (ADVICE
+    * r13): on HDFS-like filesystems a directory's own modtime is the
+    * honest signal, but object-store "directories" are synthetic and can
+    * report epoch 0 — which would make every orphan look aged-out and
+    * re-open the vacuum-vs-publish race the grace period closes. When the
+    * entry reports 0, fall back to the newest modtime among its
+    * immediate children (an in-flight publish's data files are fresh);
+    * only a truly empty epoch-0 dir keeps 0 and ages out. */
+  private def effectiveModTime(f: org.apache.hadoop.fs.FileSystem,
+      st: org.apache.hadoop.fs.FileStatus): Long =
+    if (st.getModificationTime > 0L || !st.isDirectory) st.getModificationTime
+    else Option(f.listStatus(st.getPath)).getOrElse(Array.empty)
+      .map(_.getModificationTime).maxOption.getOrElse(0L)
+
   /** OFFLINE GC. Retains the newest `keep` manifests and every generation
     * any of them references (keep=1 ⇒ only the current snapshot's
     * generations survive — readers at most `keep-1` publishes behind the
     * head stay whole). Deletes: older manifest files, generation dirs no
     * retained manifest references, and — only when their modification
-    * time is more than `graceMs` in the past — orphan generations above
-    * the head and stranded `.tmp-` manifests, so a vacuum overlapping an
-    * in-flight publish never destroys the generations its about-to-land
-    * manifest will reference. Returns deleted path count. */
+    * time ([[effectiveModTime]]) is more than `graceMs` in the past —
+    * orphan generations above the head and stranded `.tmp-` manifests, so
+    * a vacuum overlapping an in-flight publish never destroys the
+    * generations its about-to-land manifest will reference.
+    *
+    * The artifact-name scan set comes from LISTING the root's child
+    * directories, not from retained-manifest keys (ADVICE r13): a crashed
+    * first-ever publish of a brand-new name leaves `root/<name>/gen-1`
+    * with that name in no manifest — a manifest-derived scan would orphan
+    * it forever; the listing-derived scan ages it out behind the same
+    * grace guard as every other orphan. Returns deleted path count. */
   def vacuum(s: SparkSession, root: String, keep: Int = 1,
              graceMs: Long = 15 * 60 * 1000L): Int = {
     require(keep >= 1, "vacuum must keep at least the current snapshot")
@@ -137,7 +186,9 @@ object Manifest {
     val snapshots = kept.map(readManifest(s, root, _))
     val referenced: Set[(String, Long)] =
       snapshots.flatten.map { case (n, g) => (n, g) }.toSet
-    val names = snapshots.flatten.map(_._1).toSet
+    val names = Option(f.listStatus(new Path(root))).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(_ == "_manifests").toSet
     val cutoff = System.currentTimeMillis() - graceMs
     val oldManifests = drop
       .map(q => new Path(manifestDir(root), s"m-$q"))
@@ -145,7 +196,7 @@ object Manifest {
     val staleTmps = Option(
         f.globStatus(new Path(manifestDir(root), ".tmp-*")))
       .getOrElse(Array.empty)
-      .filter(_.getModificationTime < cutoff)
+      .filter(effectiveModTime(f, _) < cutoff)
       .count(st => f.delete(st.getPath, true))
     val gens = names.toSeq.sorted.map { n =>
       val head = snapshots.last.getOrElse(n, 0L)
@@ -154,7 +205,7 @@ object Manifest {
         .filter { st =>
           val g = st.getPath.getName.stripPrefix("gen-").toLong
           !referenced((n, g)) &&
-            (g < head || st.getModificationTime < cutoff)
+            (g < head || effectiveModTime(f, st) < cutoff)
         }.count(st => f.delete(st.getPath, true))
     }.sum
     oldManifests + staleTmps + gens

@@ -156,4 +156,71 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.current(spark, root) ===
       Map("left" -> 1L, "right" -> 1L))
   }
+
+  test("rename-race window (ADVICE r13): a rival landing m-<seq> AFTER " +
+       "the loser's exists-check still loses loudly — no silent nesting") {
+    val root = newRoot()
+    Manifest.publish(spark, root, pair(1L))
+    val rival = Seq(("left", 9L), ("right", 9L)).toDF("name", "gen")
+    // the hook fires between the exists(dst) check and the rename: the
+    // exact window where Hadoop rename would move .tmp-2 INTO m-2 and
+    // report success
+    intercept[java.io.IOException] {
+      Manifest.publishAt(spark, root, pair(2L), mySeq = 2L,
+        beforeRename = () =>
+          rival.coalesce(1).write.parquet(s"$root/_manifests/m-2"))
+    }
+    // the rival's manifest is exactly what the rival wrote — no nested
+    // .tmp- child smuggled in, no extra rows
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/_manifests/m-2/.tmp-2")))
+    assert(Manifest.current(spark, root) ===
+      Map("left" -> 9L, "right" -> 9L))
+  }
+
+  test("vacuum interleaved INSIDE a publish (listing before the rename) " +
+       "leaves the about-to-be-referenced generations intact") {
+    val root = newRoot()
+    Manifest.publish(spark, root, pair(1L))
+    // the publisher's gen-2 dirs are on disk but m-2 is not yet renamed
+    // when the vacuum runs — the grace period must protect them
+    var swept = -1
+    Manifest.publishAt(spark, root, pair(2L), mySeq = 2L,
+      beforeRename = () => swept = Manifest.vacuum(spark, root, keep = 1))
+    assert(swept === 0, "vacuum destroyed a mid-publish generation")
+    assert(versionsOf(Manifest.resolve(spark, root)) === Set(2L))
+  }
+
+  test("a crashed FIRST-EVER publish of a brand-new artifact name is " +
+       "vacuumable once aged (ADVICE r13: scan from the root listing)") {
+    val root = newRoot()
+    Manifest.publish(spark, root, pair(1L))
+    // a publish introducing name "mid" died before its manifest rename —
+    // "mid" appears in no manifest, so a manifest-derived scan would
+    // never reclaim it
+    Seq((1L, "m")).toDF("ver", "side").write.parquet(s"$root/mid/gen-1")
+    assert(Manifest.vacuum(spark, root, keep = 1) === 0,
+      "grace must still protect a fresh orphan")
+    assert(Manifest.vacuum(spark, root, keep = 1, graceMs = 0L) === 1,
+      "aged orphan of a never-published name must be reclaimed")
+    assert(versionsOf(Manifest.resolve(spark, root)) === Set(1L))
+  }
+
+  test("epoch-0 directory modtimes (synthetic object-store dirs) fall " +
+       "back to child-file modtimes — the grace still protects") {
+    val root = newRoot()
+    Manifest.publish(spark, root, pair(1L))
+    Seq((2L, "l")).toDF("ver", "side").write.parquet(s"$root/left/gen-2")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate a synthetic-directory listing: the dir itself reports 0
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/left/gen-2"), 0L, 0L)
+    assert(Manifest.vacuum(spark, root, keep = 1) === 0,
+      "epoch-0 dir modtime defeated the grace period")
+    Manifest.publish(spark, root, Map(
+      "left" -> Seq((2L, "l")).toDF("ver", "side")))
+    assert(Manifest.resolve(spark, root)("left").endsWith("gen-2"))
+  }
 }
