@@ -146,6 +146,25 @@ object Manifest {
     resolve(s, root)
   }
 
+  /** Member-level [[ensure]]: builders run for exactly the names the
+    * current manifest lacks, landing them in ONE publish that pairs them
+    * consistently with every existing member. The growth path for a
+    * shared snapshot root — q99 publishes {corpus, postings}; q122 later
+    * widens the same root with its BM25 members without rebuilding (or
+    * even reading) the ones already there. Unchanged members keep their
+    * generation, so the new manifest is pair-consistent across old and
+    * new by construction. Racing wideners serialize exactly like racing
+    * publishers (the rename contract); a loser can simply re-call — its
+    * missing set shrinks by whatever the winner landed. */
+  def ensureMembers(s: SparkSession, root: String,
+      builders: Map[String, () => DataFrame]): Map[String, String] = {
+    val have = current(s, root).keySet
+    val missing = builders.filterNot { case (n, _) => have(n) }
+    if (missing.nonEmpty)
+      publish(s, root, missing.map { case (n, b) => n -> b() })
+    resolve(s, root)
+  }
+
   /** A status's modification time, hardened for object stores (ADVICE
     * r13): on HDFS-like filesystems a directory's own modtime is the
     * honest signal, but object-store "directories" are synthetic and can

@@ -1143,6 +1143,118 @@ object Documents {
        |FROM hits ORDER BY score DESC, doc_id ASC
        |LIMIT 20""".stripMargin
 
+  // ── q122: BM25 ranked retrieval over the shared search snapshot ─────────
+  /** Disjunctive (OR) keyword retrieval ranked by BM25 (k1 = 1.2,
+    * b = 0.75) — the missing standard member of the inverted-index family
+    * (q99 is conjunctive-AND with raw tf; every real corpus-curation
+    * stack ranks by an idf-weighted, length-normalized score).
+    *
+    * Index design: the BM25 postings are DENORMALIZED — each row carries
+    * the document's token length `dl` alongside (term, doc_id, tf), the
+    * classic search-engine move that makes the probe join-free. At 100 TB
+    * the alternative (postings ⋈ doclens on doc_id at query time)
+    * shuffles the doc-length table on every query; paying ~25% more index
+    * bytes once at build time deletes that join forever. Corpus-level
+    * stats (N docs, T total tokens) build once into a 1-row artifact.
+    * Both land in the SAME manifest root as q99's members via
+    * [[graft.etl.Manifest.ensureMembers]] — one snapshot consistently
+    * pairs corpus, AND-index, and BM25 index, and whichever of q99/q122
+    * runs first, the other widens the root without rebuilding what
+    * exists.
+    *
+    * Scoring is the repo's integer-exact cross-engine convention: with
+    * k1 = 1.2, b = 0.75, multiplying the tf-saturation fraction through
+    * by 10·T turns it into a ratio of exact integers —
+    * tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) = 22·tf·T /
+    * (10·tf·T + 3·T + 9·dl·N) with avgdl = T/N — so the only libm call
+    * is the idf log (q70's (N+1)/(df+1) smoothing), and per-(term, doc)
+    * scores floor to basis points before the per-doc sum (integer
+    * addition, order-free). Both engines evaluate the identical
+    * correctly-rounded double expression, the same determinism argument
+    * q70 has carried since r8. (The integer products stay inside 2^53
+    * through ~10^12 total tokens; a 100 TB corpus scores per shard or
+    * widens to decimal.)
+    *
+    * Probe plan, pinned by PlanSpec: the term filter pushes down into the
+    * index scan, df (3 rows) and stats (1 row) broadcast, the per-doc
+    * rollup shuffles rows ∝ the probed terms' document frequency, and the
+    * top-20 is TakeOrderedAndProject. */
+  private[graft] def bm25Postings(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    postings(docs)
+      .withColumn("dl", sum(col("tf")).over(
+        Window.partitionBy(col("doc_id"))))
+  }
+
+  /** One-row corpus statistics for BM25: document count and total token
+    * count — built once, broadcast at every probe. */
+  private[graft] def bm25Stats(docs: DataFrame): DataFrame =
+    postings(docs).groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).cast("long").as("total_tokens"))
+
+  /** The BM25 probe over a denormalized index and its 1-row stats. */
+  private[graft] def bm25Probe(idx: DataFrame, stats: DataFrame,
+                               terms: Seq[String], k: Int): DataFrame = {
+    val probe = idx.filter(col("term").isin(terms: _*)).dropDuplicates()
+    val df_ = probe.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    probe.join(broadcast(df_), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("sc", floor(
+        lit(10000) *
+          log((col("n_docs") + 1).cast("double") / (col("df") + 1)) *
+          ((lit(22L) * col("tf") * col("total_tokens")) /
+           (lit(10L) * col("tf") * col("total_tokens") +
+             lit(3L) * col("total_tokens") +
+             lit(9L) * col("dl") * col("n_docs")))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("sc")).as("score_bp"))
+      .select(col("doc_id"), col("n_terms"), col("score_bp"))
+      .orderBy(col("score_bp").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def bm25Search(s: SparkSession, d: String): DataFrame = {
+    val tag = Tables.datasetTag(s, d, "documents")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val snap = graft.etl.Manifest.ensureMembers(s,
+      s"$wh/graft_search_$tag", Map(
+        "corpus"    -> (() => Tables.documents(s, d)),
+        "postings"  -> (() => postings(Tables.documents(s, d))),
+        "bm25"      -> (() => bm25Postings(Tables.documents(s, d))),
+        "bm25stats" -> (() => bm25Stats(Tables.documents(s, d)))))
+    bm25Probe(s.read.parquet(snap("bm25")),
+      s.read.parquet(snap("bm25stats")), Seq("hash", "join", "scan"), 20)
+  }
+  val bm25SearchSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE length(term) > 0 GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |       FROM tf GROUP BY 1),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS t
+       |       FROM dl),
+       |probe AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+       |  FROM tf JOIN dl USING (doc_id)
+       |  WHERE tf.term IN ('hash', 'join', 'scan')),
+       |dfreq AS (SELECT term, count(*) AS df FROM probe GROUP BY 1),
+       |sc AS (
+       |  SELECT p.doc_id,
+       |    CAST(floor(10000 * ln((st.n_docs + 1.0) / (dfreq.df + 1)) *
+       |      ((22 * p.tf * st.t) /
+       |       (10 * p.tf * st.t + 3 * st.t + 9 * p.dl * st.n_docs)))
+       |      AS BIGINT) AS sc
+       |  FROM probe p JOIN dfreq USING (term) CROSS JOIN st),
+       |hits AS (
+       |  SELECT doc_id, count(*) AS n_terms, sum(sc) AS score_bp
+       |  FROM sc GROUP BY 1)
+       |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+       |  CAST(score_bp AS BIGINT) AS score_bp
+       |FROM hits ORDER BY score_bp DESC, doc_id ASC
+       |LIMIT 20""".stripMargin
+
   // ── q70: TF-IDF top-k keywords per document ─────────────────────────────
   /** Per-document top-5 keywords by smoothed TF-IDF — the feature-
     * engineering pass that turns a raw corpus into sparse document
@@ -2185,7 +2297,8 @@ object Documents {
     "q21_lang_id"         -> (langIdBreakdown _),
     "q22_fingerprint"     -> (fingerprints _),
     "q37_top_terms"       -> (topTerms _),
-    "q99_keyword_search"  -> (keywordSearch _))
+    "q99_keyword_search"  -> (keywordSearch _),
+    "q122_bm25_search"    -> (bm25Search _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q52_char_ngram_langid" -> charNgramLangIdSql,
@@ -2219,5 +2332,6 @@ object Documents {
     "q21_lang_id"         -> langIdBreakdownSql,
     "q22_fingerprint"     -> fingerprintsSql,
     "q37_top_terms"       -> topTermsSql,
-    "q99_keyword_search"  -> keywordSearchSql)
+    "q99_keyword_search"  -> keywordSearchSql,
+    "q122_bm25_search"    -> bm25SearchSql)
 }

@@ -47,4 +47,37 @@ class InvertedIndexSpec extends SparkSpec {
       spark.read.parquet(path), terms, 1000)) === expect,
       "compaction changed probe results")
   }
+
+  test("BM25 ranking: idf downweights ubiquitous terms, length " +
+       "normalization favors the shorter doc at equal tf, and a replayed " +
+       "append never changes a score") {
+    import spark.implicits._
+    // corpus: term "rare" in 1 of 4 docs, "common" in 3 (df = n would
+    // give idf = ln(1) = 0 under the (N+1)/(df+1) smoothing).
+    // doc 1 (short) and doc 2 (long) both have tf(common)=1.
+    val idx = Seq(
+      (1L, "common", 1L, 5L),   // (doc, term, tf, dl)
+      (2L, "common", 1L, 50L),
+      (3L, "common", 2L, 10L),
+      (4L, "rare",   1L, 10L)
+    ).toDF("doc_id", "term", "tf", "dl")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    val stats = Seq((4L, 75L)).toDF("n_docs", "total_tokens")
+    val s1 = Documents.bm25Probe(idx, stats, Seq("common", "rare"), 10)
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, n, s) => d -> (n, s) }.toMap
+    // doc 4 carries the rare term: idf must put it on top
+    assert(s1(4L)._2 > s1(3L)._2 && s1(4L)._2 > s1(1L)._2,
+      s"rare-term doc not ranked first: $s1")
+    assert(s1(4L)._1 === 1L && s1(1L)._1 === 1L)
+    // equal tf, shorter doc scores higher (b > 0 length normalization)
+    assert(s1(1L)._2 > s1(2L)._2,
+      s"length normalization missing: $s1")
+    // a replayed append (duplicate posting rows) is absorbed by the probe
+    val replayed = idx.unionByName(idx)
+    val s2 = Documents.bm25Probe(replayed, stats, Seq("common", "rare"), 10)
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, n, s) => d -> (n, s) }.toMap
+    assert(s2 === s1, "replayed append changed BM25 scores")
+  }
 }

@@ -597,7 +597,10 @@ class PlanSpec extends SparkSpec {
     val searchRoot = wh.listFiles.filter(_.getName.startsWith("graft_search_"))
     assert(searchRoot.nonEmpty, s"no search root under $wh")
     val members = searchRoot.head.listFiles.map(_.getName).toSet
-    assert(members.contains("MANIFEST") && members.contains("postings") &&
+    // r14: pre-r13 roots carried a root-level MANIFEST file; the immutable
+    // layout keeps numbered files under _manifests — assert the CURRENT
+    // layout (the old assertion only passed against stale warehouse state)
+    assert(members.contains("_manifests") && members.contains("postings") &&
            members.contains("corpus"),
       s"search root lacks manifest members: $members")
     assert(new java.io.File(searchRoot.head, "postings/gen-1").isDirectory,
@@ -606,6 +609,25 @@ class PlanSpec extends SparkSpec {
       s"tokenization explode leaked into the probe plan:\n$p")
     assert(p.replaceAll("\\s", "").contains("In(term,"),
       s"probe-term filter not pushed to the index scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 is not a per-partition heap merge:\n$p")
+  }
+
+  test("q122: the BM25 probe is join-free on the row side — denormalized " +
+       "index scan with the term filter pushed down, df/stats broadcast, " +
+       "top-k heap-merged") {
+    val p = atScaleShape { plan(q("q122_bm25_search")) }
+    assert(p.contains("graft_search_"),
+      s"BM25 index not read from the manifest's search root:\n$p")
+    assert(!p.contains("Generate"),
+      s"tokenization explode leaked into the probe plan:\n$p")
+    assert(p.replaceAll("\\s", "").contains("In(term,"),
+      s"probe-term filter not pushed to the index scan:\n$p")
+    // dl rides the index rows: the only joins are the 3-row df dim and
+    // the 1-row stats dim, both broadcast — a shuffled join would mean
+    // the probe re-joins doc lengths at query time
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"BM25 probe shuffles a join side:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-20 is not a per-partition heap merge:\n$p")
   }
