@@ -115,11 +115,22 @@ object Manifest {
       df.write.mode("overwrite").parquet(s"$root/$n/gen-${next(n)}")
     }
     import s.implicits._
-    val tmp = new Path(manifestDir(root), s".tmp-$mySeq")
+    // The staging dir is unique PER PUBLISHER, not per sequence (ADVICE
+    // r14): racing same-seq publishers sharing `.tmp-<seq>` could mutate
+    // each other's staging dir — the rival's mode(overwrite) write deletes
+    // the first publisher's in-flight tmp (token included), after which
+    // one racer can rename the OTHER's tmp, possibly mid-parquet-commit,
+    // into m-<seq>: both report failure while a torn manifest becomes the
+    // visible head. With the token uuid in the tmp NAME, no two
+    // publishers ever touch the same staging path; the rename still
+    // targets m-<seq>, so the serialization contract and the token check
+    // are unchanged, and vacuum's `.tmp-*` glob still matches.
+    val uuid = java.util.UUID.randomUUID()
+    val tmp = new Path(manifestDir(root), s".tmp-$mySeq-$uuid")
     val dst = new Path(manifestDir(root), s"m-$mySeq")
     next.toSeq.sorted.toDF("name", "gen")
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val token = s"_pub-${java.util.UUID.randomUUID()}"
+    val token = s"_pub-$uuid"
     f.create(new Path(tmp, token)).close()
     def lose(): Nothing = {
       // undo a rename-into-dst nesting so the winner's manifest dir stays
@@ -154,14 +165,35 @@ object Manifest {
     * even reading) the ones already there. Unchanged members keep their
     * generation, so the new manifest is pair-consistent across old and
     * new by construction. Racing wideners serialize exactly like racing
-    * publishers (the rename contract); a loser can simply re-call — its
-    * missing set shrinks by whatever the winner landed. */
+    * publishers (the rename contract); a loser RE-CALLS itself (ADVICE
+    * r14: the scaladoc prescribed the retry but the code threw to the
+    * query caller) — its missing set shrinks by whatever the winner
+    * landed, so one retry per contending widener converges; `retries`
+    * bounds pathological contention, after which the loss surfaces. */
   def ensureMembers(s: SparkSession, root: String,
-      builders: Map[String, () => DataFrame]): Map[String, String] = {
+      builders: Map[String, () => DataFrame],
+      retries: Int = 2): Map[String, String] =
+    ensureMembersAt(s, root, builders, retries)
+
+  /** [[ensureMembers]] with the pre-rename race seam exposed —
+    * ManifestSpec drives a rival widener to completion inside the
+    * window and proves the loser's re-call converges instead of
+    * throwing to the query caller. The hook fires only on attempts that
+    * actually publish (a retry whose missing set emptied never races). */
+  private[etl] def ensureMembersAt(s: SparkSession, root: String,
+      builders: Map[String, () => DataFrame], retries: Int,
+      beforeRename: () => Unit = () => ()): Map[String, String] = {
     val have = current(s, root).keySet
     val missing = builders.filterNot { case (n, _) => have(n) }
     if (missing.nonEmpty)
-      publish(s, root, missing.map { case (n, b) => n -> b() })
+      try publishAt(s, root, missing.map { case (n, b) => n -> b() },
+        seqs(s, root).lastOption.getOrElse(0L) + 1L, beforeRename)
+      catch {
+        case e: java.io.IOException =>
+          if (retries <= 0) throw e
+          return ensureMembersAt(s, root, builders, retries - 1,
+            beforeRename)
+      }
     resolve(s, root)
   }
 
@@ -170,14 +202,22 @@ object Manifest {
     * honest signal, but object-store "directories" are synthetic and can
     * report epoch 0 — which would make every orphan look aged-out and
     * re-open the vacuum-vs-publish race the grace period closes. When the
-    * entry reports 0, fall back to the newest modtime among its
-    * immediate children (an in-flight publish's data files are fresh);
-    * only a truly empty epoch-0 dir keeps 0 and ages out. */
+    * entry reports 0, fall back to the newest modtime among ALL files
+    * beneath it — recursively (ADVICE r14: a partitioned generation dir
+    * on a synthetic-dir store has epoch-0 child DIRS too, so a
+    * one-level fallback still yields 0 and a live publish's partitioned
+    * generation would age out past grace). An in-flight publish's data
+    * files are fresh at any depth; only a truly file-free epoch-0 tree
+    * keeps 0 and ages out. */
   private def effectiveModTime(f: org.apache.hadoop.fs.FileSystem,
       st: org.apache.hadoop.fs.FileStatus): Long =
     if (st.getModificationTime > 0L || !st.isDirectory) st.getModificationTime
-    else Option(f.listStatus(st.getPath)).getOrElse(Array.empty)
-      .map(_.getModificationTime).maxOption.getOrElse(0L)
+    else {
+      var max = 0L
+      val it = f.listFiles(st.getPath, true)
+      while (it.hasNext) max = math.max(max, it.next().getModificationTime)
+      max
+    }
 
   /** OFFLINE GC. Retains the newest `keep` manifests and every generation
     * any of them references (keep=1 ⇒ only the current snapshot's
@@ -212,9 +252,17 @@ object Manifest {
     val oldManifests = drop
       .map(q => new Path(manifestDir(root), s"m-$q"))
       .count(p => f.delete(p, true))
-    val staleTmps = Option(
-        f.globStatus(new Path(manifestDir(root), ".tmp-*")))
-      .getOrElse(Array.empty)
+    // Stranded staging dirs live in two places: the manifest dir itself
+    // (a publisher that died before its rename) and NESTED inside a
+    // published m-<seq> (ADVICE r14: a loser whose rename moved its tmp
+    // INTO the winner's dir, then crashed between rename and lose() —
+    // invisible to parquet readers but real bytes, and the top-level
+    // glob never saw it). Both sweep behind the same grace guard.
+    val staleTmps = (
+        Option(f.globStatus(new Path(manifestDir(root), ".tmp-*")))
+          .getOrElse(Array.empty) ++
+        Option(f.globStatus(new Path(manifestDir(root), "m-*/.tmp-*")))
+          .getOrElse(Array.empty))
       .filter(effectiveModTime(f, _) < cutoff)
       .count(st => f.delete(st.getPath, true))
     val gens = names.toSeq.sorted.map { n =>

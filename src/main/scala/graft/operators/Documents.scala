@@ -1193,6 +1193,70 @@ object Documents {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("dl")).cast("long").as("total_tokens"))
 
+  /** BM25 corpus stats as a LEDGER row keyed by batch identity — the
+    * form that makes stats maintenance replay-absorbing (r15, the q122
+    * lifecycle): n_docs and total_tokens are additive over disjoint doc
+    * batches, so the standing artifact holds one (batch_id, n_docs,
+    * total_tokens) row per applied batch and the probe reads
+    * `sum(n_docs), sum(total_tokens)` over ≤ #batches rows (tiny, still
+    * one broadcast). A naive single-row += would double-count a replayed
+    * batch; a first-wins merge on batch_id absorbs the replay instead —
+    * the same identity-keyed idempotence as [[graft.etl.Merge]]'s
+    * quarantine and CDC sinks. */
+  private[graft] def bm25StatsLedger(docs: DataFrame,
+                                     batchId: String): DataFrame =
+    bm25Stats(docs).select(lit(batchId).as("batch_id"),
+      col("n_docs"), col("total_tokens"))
+
+  /** Reduce a stats artifact to the one-row broadcast form the probe
+    * consumes. Sums by NAME, so it reads both the r14 single-row shape
+    * and the r15 ledger shape — an existing warehouse root keeps
+    * working. */
+  private[graft] def bm25StatsTotal(ledger: DataFrame): DataFrame =
+    ledger.agg(sum(col("n_docs")).as("n_docs"),
+      sum(col("total_tokens")).cast("long").as("total_tokens"))
+
+  /** Append-maintain a PLAIN-PATH BM25 index for a batch of NEW documents
+    * — q99's `appendPostings` contract extended to the denormalized
+    * index (VERDICT r14 item 4: q122's members were build-once; an
+    * incoming batch meant a full rebuild). Posting rows are per-doc-pure
+    * (dl is the batch doc's own length), so the batch lands as appended
+    * parquet files with no existing row read or rewritten; a replayed
+    * append only duplicates (term, doc_id, tf, dl) rows, which the
+    * probe's dropDuplicates collapses. The stats half appends its ledger
+    * row through a first-wins merge on `batch_id` over the crash-safe
+    * writeAndSwap — a replayed batch id is a no-op, so BOTH halves are
+    * replay-absorbing and the pair converges to the from-scratch build.
+    * Caller contract (same as every append here): `docs` are NEW doc_ids
+    * — an already-indexed doc would coexist with its old rows. Compact
+    * the postings on the usual cadence via [[compactBm25Index]]. */
+  private[graft] def appendBm25(idxPath: String, statsPath: String,
+                                docs: DataFrame, batchId: String): Unit = {
+    val s = docs.sparkSession
+    bm25Postings(docs).write.mode("append").parquet(idxPath)
+    val incoming = bm25StatsLedger(docs, batchId)
+    val target = new org.apache.hadoop.fs.Path(statsPath)
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, statsPath)
+    val existing =
+      if (fs.exists(target))
+        s.read.schema(incoming.schema).parquet(statsPath)
+      else incoming.limit(0)
+    graft.etl.Merge.writeAndSwap(
+      graft.etl.Merge.firstWinsMerge(existing, incoming, "batch_id"),
+      statsPath, batchId)
+  }
+
+  /** Term-clustered compaction for an append-maintained BM25 index —
+    * identical lifecycle to [[compactPrefixIndex]]/q99: N per-batch
+    * small files rewrite into size-targeted files clustered on the
+    * probe's pushed-filter column, full-row duplicates from replayed
+    * appends garbage-collected by the same shuffle, probe rows
+    * invariant. */
+  private[graft] def compactBm25Index(s: SparkSession, idxPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    graft.etl.Merge.compact(s, idxPath, "term", targetBytes)
+
   /** The BM25 probe over a denormalized index and its 1-row stats. */
   private[graft] def bm25Probe(idx: DataFrame, stats: DataFrame,
                                terms: Seq[String], k: Int): DataFrame = {
@@ -1222,9 +1286,11 @@ object Documents {
         "corpus"    -> (() => Tables.documents(s, d)),
         "postings"  -> (() => postings(Tables.documents(s, d))),
         "bm25"      -> (() => bm25Postings(Tables.documents(s, d))),
-        "bm25stats" -> (() => bm25Stats(Tables.documents(s, d)))))
+        "bm25stats" -> (() => bm25StatsLedger(Tables.documents(s, d),
+          "build"))))
     bm25Probe(s.read.parquet(snap("bm25")),
-      s.read.parquet(snap("bm25stats")), Seq("hash", "join", "scan"), 20)
+      bm25StatsTotal(s.read.parquet(snap("bm25stats"))),
+      Seq("hash", "join", "scan"), 20)
   }
   val bm25SearchSql: String =
     s"""WITH toks AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),

@@ -174,8 +174,8 @@ class ManifestSpec extends SparkSpec {
     // .tmp- child smuggled in, no extra rows
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(
-      new org.apache.hadoop.fs.Path(s"$root/_manifests/m-2/.tmp-2")))
+    assert(Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$root/_manifests/m-2/.tmp-*"))).getOrElse(Array.empty).isEmpty)
     assert(Manifest.current(spark, root) ===
       Map("left" -> 9L, "right" -> 9L))
   }
@@ -206,6 +206,102 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.vacuum(spark, root, keep = 1, graceMs = 0L) === 1,
       "aged orphan of a never-published name must be reclaimed")
     assert(versionsOf(Manifest.resolve(spark, root)) === Set(1L))
+  }
+
+  test("same-seq racers have DISJOINT staging dirs (ADVICE r14): a live " +
+       "rival publishing to completion mid-window cannot clobber this " +
+       "publisher's tmp, and the loser still fails loudly") {
+    val root = newRoot()
+    Manifest.publish(spark, root, pair(1L))
+    // the rival is a REAL full publishAt at the SAME sequence, fired in
+    // the exists-to-rename window. Under the old shared `.tmp-<seq>`
+    // path its mode(overwrite) staging write would have deleted this
+    // publisher's in-flight tmp (token included) — the clobber the
+    // unique-per-publisher staging dir makes impossible.
+    var rivalPublished: Map[String, Long] = Map.empty
+    intercept[java.io.IOException] {
+      Manifest.publishAt(spark, root, pair(2L), mySeq = 2L,
+        beforeRename = () =>
+          rivalPublished = Manifest.publishAt(spark, root,
+            Map("left" -> Seq((9L, "l")).toDF("ver", "side")), mySeq = 2L))
+    }
+    // the rival won cleanly; its snapshot is the visible head, untorn
+    assert(rivalPublished === Map("left" -> 2L, "right" -> 1L))
+    assert(Manifest.current(spark, root) === rivalPublished)
+    assert(spark.read.parquet(Manifest.resolve(spark, root)("left"))
+      .select("ver").head.getLong(0) === 9L)
+    // and the loser's lose() cleaned its nested staging dir
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$root/_manifests/m-2/.tmp-*"))).getOrElse(Array.empty).isEmpty)
+  }
+
+  test("ensureMembers re-calls the loser path (ADVICE r14): a rival " +
+       "widener landing the same member mid-window is absorbed by the " +
+       "retry instead of throwing to the query caller") {
+    val root = newRoot()
+    Manifest.publish(spark, root,
+      Map("corpus" -> Seq((1L, "c")).toDF("ver", "side")))
+    var built = 0
+    val builders = Map(
+      "corpus" -> (() => { built += 1; Seq((8L, "c")).toDF("ver", "side") }),
+      "bm25"   -> (() => { built += 1; Seq((8L, "b")).toDF("ver", "side") }))
+    // the rival wins the same sequence inside the exists-to-rename
+    // window, landing the very member this call is trying to add
+    var raced = false
+    val snap = Manifest.ensureMembersAt(spark, root, builders, retries = 2,
+      beforeRename = () => if (!raced) {
+        raced = true
+        Manifest.publish(spark, root,
+          Map("bm25" -> Seq((9L, "b")).toDF("ver", "side")))
+      })
+    // no exception; the snapshot is whole; the WINNER's member survived
+    assert(snap.keySet === Set("corpus", "bm25"))
+    assert(spark.read.parquet(snap("bm25")).select("ver").head.getLong(0)
+      === 9L, "the retry rebuilt over the winner's member")
+    assert(spark.read.parquet(snap("corpus")).select("ver").head.getLong(0)
+      === 1L, "ensure must not rebuild an existing member")
+    assert(built === 1, "the missing builder must run exactly once")
+  }
+
+  test("nested stale staging dirs inside a published m-<seq> are swept " +
+       "behind the grace guard (ADVICE r14: crash between rename and " +
+       "lose)") {
+    val root = newRoot()
+    Manifest.publish(spark, root, pair(1L))
+    // a loser's rename nested its tmp into the winner's manifest dir,
+    // then it crashed before lose() could clean up
+    val nested = s"$root/_manifests/m-1/.tmp-1-dead"
+    Seq(("left", 1L)).toDF("name", "gen").coalesce(1).write.parquet(nested)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(Manifest.vacuum(spark, root, keep = 1) === 0,
+      "grace must protect a fresh nested staging dir")
+    assert(Manifest.vacuum(spark, root, keep = 1, graceMs = 0L) === 1,
+      "aged nested staging dir must be reclaimed")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(nested)))
+    // the winner's manifest still reads whole
+    assert(versionsOf(Manifest.resolve(spark, root)) === Set(1L))
+  }
+
+  test("epoch-0 modtimes on a PARTITIONED generation (epoch-0 child dirs " +
+       "too) fall back recursively to leaf-file modtimes (ADVICE r14)") {
+    val root = newRoot()
+    Manifest.publish(spark, root, pair(1L))
+    // a partitioned in-flight generation: gen-2/part=a/files
+    Seq((2L, "a", "l")).toDF("ver", "part", "side")
+      .write.partitionBy("part").parquet(s"$root/left/gen-2")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // synthetic-dir store: the dir AND its child dirs all report epoch 0;
+    // only the leaf files carry real (fresh) modtimes
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/left/gen-2"), 0L, 0L)
+    Option(fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/left/gen-2")))
+      .getOrElse(Array.empty).filter(_.isDirectory)
+      .foreach(st => fs.setTimes(st.getPath, 0L, 0L))
+    assert(Manifest.vacuum(spark, root, keep = 1) === 0,
+      "one-level fallback aged out a live partitioned generation")
   }
 
   test("epoch-0 directory modtimes (synthetic object-store dirs) fall " +

@@ -80,4 +80,47 @@ class InvertedIndexSpec extends SparkSpec {
       .map { case (d, n, s) => d -> (n, s) }.toMap
     assert(s2 === s1, "replayed append changed BM25 scores")
   }
+
+  test("append-maintained BM25 index (r15 lifecycle parity with q99): " +
+       "probe == from-scratch, replay absorbs on BOTH halves (postings " +
+       "dedup + stats ledger first-wins), compaction changes nothing") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val standing = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25").toString
+    val idx = s"$dir/bm25"
+    val stats = s"$dir/bm25stats"
+
+    Merge.writeAndSwap(Documents.bm25Postings(standing), idx, "build")
+    Merge.writeAndSwap(Documents.bm25StatsLedger(standing, "build"),
+      stats, "build")
+    Documents.appendBm25(idx, stats, batch, "b1")
+    Documents.appendBm25(idx, stats, batch, "b1") // replayed batch id
+
+    def probe(i: DataFrame, l: DataFrame): Seq[(Long, Long, Long)] =
+      Documents.bm25Probe(i, Documents.bm25StatsTotal(l), terms, 1000)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+
+    val expect = probe(Documents.bm25Postings(docs),
+      Documents.bm25StatsLedger(docs, "oneshot"))
+    assert(expect.nonEmpty, "probe terms missing from the corpus")
+    assert(probe(spark.read.parquet(idx), spark.read.parquet(stats))
+      === expect, "appended BM25 probe != from-scratch probe")
+    // the stats half absorbed the replay EXACTLY (a naive += would have
+    // double-counted the batch's docs and tokens, shifting every score)
+    val total = Documents.bm25StatsTotal(spark.read.parquet(stats))
+      .as[(Long, Long)].head()
+    val oneshot = Documents.bm25StatsTotal(
+      Documents.bm25StatsLedger(docs, "x")).as[(Long, Long)].head()
+    assert(total === oneshot,
+      s"replayed ledger row double-counted: $total != $oneshot")
+
+    val (before, after) = Documents.compactBm25Index(spark, idx)
+    assert(after < before,
+      s"compaction did not shrink the file population ($before -> $after)")
+    assert(probe(spark.read.parquet(idx), spark.read.parquet(stats))
+      === expect, "compaction changed BM25 probe results")
+  }
 }

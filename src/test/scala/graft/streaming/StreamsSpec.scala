@@ -266,6 +266,55 @@ class StreamsSpec extends SparkSpec {
       genAfter2("corpus") + 1, "replay did not publish a new generation")
   }
 
+  test("searchPublishSink extends q122's BM25 members when present (r15): " +
+       "one generation pairs corpus + postings + bm25 + stats ledger, " +
+       "and the ledger stays exact across batches and replay") {
+    import graft.operators.Documents
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").localCheckpoint()
+    val mid = docs.agg(org.apache.spark.sql.functions.avg("doc_id"))
+      .head.getDouble(0).toLong
+    val root = tmp("graft-searchpub-bm25") + "/root"
+    def runOnce(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val dir = Files.createTempDirectory(s"graft-spb-$name")
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(dir.resolve("batch").toString)
+      val q = Streams.searchPublishSink(
+        spark.readStream.schema(df.schema)
+          .parquet(dir.resolve("batch").toString),
+        root, tmp(s"graft-spb-ck-$name"))
+      q.awaitTermination(120000)
+    }
+    val terms = Seq("hash", "join", "scan")
+    def checkBm25(): Unit = {
+      val snap = graft.etl.Manifest.resolve(spark, root)
+      val corpus = spark.read.parquet(snap("corpus"))
+      val got = Documents.bm25Probe(spark.read.parquet(snap("bm25")),
+        Documents.bm25StatsTotal(spark.read.parquet(snap("bm25stats"))),
+        terms, 20).collect().toSeq
+      val want = Documents.bm25Probe(Documents.bm25Postings(corpus),
+        Documents.bm25StatsTotal(Documents.bm25StatsLedger(corpus, "x")),
+        terms, 20).collect().toSeq
+      assert(got === want, "snapshot BM25 != corpus-derived BM25")
+    }
+    runOnce("b1", docs.filter(col("doc_id") < mid))
+    // q122 widens the stream's root with its BM25 members (ensureMembers
+    // — whichever of the stream/q122 touched the root first)
+    val corpus0 = spark.read.parquet(
+      graft.etl.Manifest.resolve(spark, root)("corpus")).localCheckpoint()
+    graft.etl.Manifest.ensureMembers(spark, root, Map(
+      "bm25" -> (() => Documents.bm25Postings(corpus0)),
+      "bm25stats" -> (() => Documents.bm25StatsLedger(corpus0, "build"))))
+    checkBm25()
+    runOnce("b2", docs) // second half + replayed rows
+    checkBm25()
+    val genAfter2 = graft.etl.Manifest.current(spark, root)
+    runOnce("b2r", docs) // full replay on a fresh checkpoint
+    checkBm25() // the ledger did not double-count the replayed batch
+    assert(graft.etl.Manifest.current(spark, root)("bm25") ===
+      genAfter2("bm25") + 1, "replay did not publish a new generation")
+  }
+
   test("mergeSink survives a kill between delete and rename (orphan recovery)") {
     import java.nio.file.{Paths, StandardCopyOption}
     // two disjoint slices of events, staged as separate files so the
