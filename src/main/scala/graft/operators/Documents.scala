@@ -1873,6 +1873,130 @@ object Documents {
        |ORDER BY source, bin""".stripMargin
   }
 
+  // ── q124: BPE vocabulary induction — iterative pair-count + merge ──────
+  /** Number of merge rounds the trainer runs (and the oracle unrolls). */
+  val BpeMerges = 10
+
+  /** q124: subword vocabulary TRAINING — the trainer for the kind of
+    * vocab q95 deliberately freezes (a learned BPE depends on corpus
+    * statistics, so q95 embeds a fixed one; this operator is where such
+    * a vocab comes FROM). Classic byte-pair encoding (Sennrich et al.
+    * 2016): repeatedly count adjacent symbol pairs over the corpus and
+    * merge the most frequent, [[BpeMerges]] times; the output is the
+    * learned merge table (step, lhs, rhs, merged, cnt) — the artifact a
+    * tokenizer replays at encode time.
+    *
+    * Scale shape — the industrial-trainer design (HF tokenizers, the
+    * q116 domain-collapse move applied to training): the CORPUS is
+    * scanned exactly once, collapsing to the word-TYPE frequency table
+    * (map-side-combined groupBy; pair statistics are a pure function of
+    * (type, freq) because BPE merges never cross word boundaries). The
+    * iterative loop then runs entirely on the type table — bounded by
+    * vocabulary (Heaps' law: sublinear in corpus size), NOT rows — with
+    * the q63/q108 iterative harness: one partial-agg'd pair count + one
+    * 1-row TakeOrdered collect (the driver learns only the argmax — the
+    * q108 driver-loop envelope) + one map-only rewrite per round, eager
+    * localCheckpoint truncating lineage so round k's plan never re-derives
+    * rounds 1..k-1.
+    *
+    * Determinism, cross-engine: words are represented as
+    * space-delimited symbol strings with sentinel spaces at both ends
+    * (" a b c "), so the merge rewrite is plain
+    * `replace(s, " a b ", " ab ")` — left-to-right non-overlapping
+    * replacement, the EXACT greedy semantics BPE specifies ("aaa" under
+    * merge (a,a) → ["aa","a"]), identical in Spark and DuckDB, with the
+    * boundary spaces preventing a pair pattern from matching across
+    * symbol boundaries ("ya b" never matches " a b "). Pair counts are
+    * integer sums; the argmax tie-breaks (cnt DESC, lhs ASC, rhs ASC) —
+    * total and byte-ordered in both engines. The oracle replays all
+    * [[BpeMerges]] rounds as unrolled CTEs, q108's replay argument:
+    * recursive-aggregate CTEs are dialect quicksand, an unrolled chain
+    * is portable. */
+  def bpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeMergeLoop(
+      Tables.documents(s, d)
+        .select(explode(Text.toWords(col("text"))).as("w"))
+        .filter(length(col("w")) > 0),
+      BpeMerges)
+
+  /** The trainer core over any single-column `w` word stream — factored
+    * so BpeSpec can pin the greedy left-to-right merge ("aaa" under
+    * (a,a) → ["aa","a"]), the (cnt, lhs, rhs) tie-break, and the
+    * early-exhaustion path on constructed corpora. */
+  private[operators] def bpeMergeLoop(words: DataFrame,
+                                      maxMerges: Int): DataFrame = {
+    val s = words.sparkSession
+    import s.implicits._
+    val wf = words
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
+        .as("s"), col("freq"))
+    var cur = wf.localCheckpoint()
+    val steps = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= maxMerges && !done) {
+      val a = split(trim(col("s")), " ")
+      val best = cur
+        .select(col("freq"),
+          explode(arrays_zip(slice(a, lit(1), size(a) - 1),
+                             slice(a, lit(2), size(a) - 1))).as("p"))
+        .select(col("freq"), col("p.0").as("lhs"), col("p.1").as("rhs"))
+        .groupBy(col("lhs"), col("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true // corpus exhausted below BpeMerges
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        steps += ((step.toLong, l, r, l + r, c))
+        cur = cur.withColumn("s",
+            replace(col("s"), lit(s" $l $r "), lit(s" $l$r ")))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    steps.toSeq.toDF("step", "lhs", "rhs", "merged", "cnt")
+      .orderBy(col("step"))
+  }
+
+  val bpeTrainSql: String = {
+    val rounds = (1 to BpeMerges).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq,
+         |      unnest(list_slice(syms, 1, len(syms) - 1)) AS lhs,
+         |      unnest(list_slice(syms, 2, len(syms))) AS rhs
+         |    FROM (SELECT freq, string_split(trim(s), ' ') AS syms
+         |          FROM w${k - 1}))
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$k
+         |        ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT replace(s,
+         |    ' ' || (SELECT lhs FROM b$k) || ' ' ||
+         |           (SELECT rhs FROM b$k) || ' ',
+         |    ' ' || (SELECT lhs FROM b$k) ||
+         |           (SELECT rhs FROM b$k) || ' ') AS s, freq
+         |  FROM w${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeMerges).map(k =>
+      s"  SELECT $k AS step, lhs, rhs, lhs || rhs AS merged, cnt FROM b$k")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s,
+       |         CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($wordsSql) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY 1),
+       |$rounds
+       |SELECT CAST(step AS BIGINT) AS step, lhs, rhs, merged, cnt
+       |FROM (
+       |$out)
+       |ORDER BY step""".stripMargin
+  }
+
   // ── q72: weighted corpus mixing — per-source epoch weights ──────────────
   /** Deterministic mixture resampling: each source gets an epoch weight
     * (how many times its documents appear in the training mix — here
@@ -2364,7 +2488,8 @@ object Documents {
     "q22_fingerprint"     -> (fingerprints _),
     "q37_top_terms"       -> (topTerms _),
     "q99_keyword_search"  -> (keywordSearch _),
-    "q122_bm25_search"    -> (bm25Search _))
+    "q122_bm25_search"    -> (bm25Search _),
+    "q124_bpe_train"      -> (bpeTrain _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q52_char_ngram_langid" -> charNgramLangIdSql,
@@ -2399,5 +2524,6 @@ object Documents {
     "q22_fingerprint"     -> fingerprintsSql,
     "q37_top_terms"       -> topTermsSql,
     "q99_keyword_search"  -> keywordSearchSql,
-    "q122_bm25_search"    -> bm25SearchSql)
+    "q122_bm25_search"    -> bm25SearchSql,
+    "q124_bpe_train"      -> bpeTrainSql)
 }
