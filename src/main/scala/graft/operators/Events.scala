@@ -845,15 +845,46 @@ object Events {
     * point for downstream per-user window stages (q120): a global
     * `orderBy` mid-pipeline would inject a rangepartitioning Exchange
     * that the next window immediately un-does with a user_id re-hash. */
-  private[operators] def resampleGridUnsorted(e: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val obs = e
-      .withColumn("hour_id", expr("us div 3600000000"))
+  private[operators] def resampleGridUnsorted(e: DataFrame): DataFrame =
+    fillForward(hourCollapse(e)
+      .select(col("user_id"), col("hour_id"), col("v").as("v_last"),
+        col("n_obs")))
+
+  /** The q119 event projection (user_id, event_id, us, v) shared with
+    * the streaming grid maintenance. */
+  private[graft] def gridEventProjection(e: DataFrame): DataFrame =
+    e.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"), cents(col("value")).as("v"))
+
+  /** Stage 1 of the grid: per-(user, hour) collapse, keeping the FULL
+    * elected struct (us, event_id, v) flattened — the batch path only
+    * needs v, but the streaming twin merges collapses across batches and
+    * max-of-struct merges only if the whole struct survives
+    * ([[graft.streaming.Streams]] grid maintenance, r15). */
+  private[graft] def hourCollapse(e: DataFrame): DataFrame =
+    e.withColumn("hour_id", expr("us div 3600000000"))
       .groupBy(col("user_id"), col("hour_id"))
       .agg(max(struct(col("us"), col("event_id"), col("v"))).as("m"),
         count(lit(1)).as("n_obs"))
+      .select(col("user_id"), col("hour_id"), col("m.us").as("us"),
+        col("m.event_id").as("event_id"), col("m.v").as("v"),
+        col("n_obs"))
+
+  /** Merge per-batch [[hourCollapse]] partials back to the one-shot
+    * collapse: max-of-struct is associative/idempotent, counts are sums
+    * over disjoint batches. Used by the streaming grid ledger. */
+  private[graft] def collapseObsPartials(obs: DataFrame): DataFrame =
+    obs.groupBy(col("user_id"), col("hour_id"))
+      .agg(max(struct(col("us"), col("event_id"), col("v"))).as("m"),
+        sum(col("n_obs")).as("n_obs"))
       .select(col("user_id"), col("hour_id"), col("m.v").as("v_last"),
         col("n_obs"))
+
+  /** Stage 2: the join-free forward fill over a collapsed
+    * (user_id, hour_id, v_last, n_obs) observation table — see the
+    * [[resampleFfill]] scaladoc for the explode-forward design. */
+  private[graft] def fillForward(obs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("hour_id"))
     obs
       // The last observation has no successor: it owns only its own hour.

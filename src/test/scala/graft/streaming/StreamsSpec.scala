@@ -721,6 +721,47 @@ class StreamsSpec extends SparkSpec {
            oneShot.exceptAll(streamed).count() === 0)
   }
 
+  test("grid maintenance == batch q119 bit-for-bit after day-split " +
+       "batches, an OUT-OF-ORDER late batch, and a replay (the resample " +
+       "ring's streaming face, r15)") {
+    import graft.operators.Events
+    val state = tmp("graft-grid-state")
+    val e = Tables.events(spark, sfDir)
+    // deliberately out of order: the third decade lands before the
+    // middle one — late data must re-fill its users' spans exactly
+    val batches = Seq(
+      e.filter(col("ts") < lit("2024-01-11").cast("timestamp")),
+      e.filter(col("ts") >= lit("2024-01-21").cast("timestamp")),
+      e.filter(col("ts") >= lit("2024-01-11").cast("timestamp") &&
+               col("ts") < lit("2024-01-21").cast("timestamp")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Streams.applyGridBatch(b, state, s"b$i")
+    }
+    // checkpoint replay reuses the original token: must be a no-op
+    Streams.applyGridBatch(batches(1), state, "b1")
+    val got = Streams.gridState(spark, state)
+    val want = Events.resampleGrid(Events.gridEventProjection(e))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0 &&
+           want.exceptAll(got).count() === 0,
+      "maintained grid != one-shot q119 grid")
+  }
+
+  test("grid maintenance sink wires end-to-end through foreachBatch") {
+    import graft.operators.Events
+    val state = tmp("graft-grid-sink-state")
+    val q = Streams.gridMaintSink(
+      Streams.readEvents(spark, eventsDir), state,
+      tmp("graft-grid-ckpt"))
+    q.awaitTermination(120000)
+    val got = Streams.gridState(spark, state)
+    val want = Events.resampleGrid(Events.gridEventProjection(
+      Tables.events(spark, sfDir)))
+    assert(got.count() === want.count() && got.count() > 0)
+    assert(got.exceptAll(want).count() === 0 &&
+           want.exceptAll(got).count() === 0)
+  }
+
   test("stateful funnel == independent per-user model, horizon ties " +
        "inclusive (q84's streaming twin)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
