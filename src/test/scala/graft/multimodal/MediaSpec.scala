@@ -298,6 +298,13 @@ class MediaSpec extends SparkSpec {
       val base = fpOf(fam, 8000, 4000, 1)
       assert(fpOf(fam, 16000, 8000, 1) === base, s"rate broke fp, fam $fam")
       assert(fpOf(fam, 8000, 4000, 2) === base, s"volume broke fp, fam $fam")
+      // the q113 operator's SHIPPED geometry (40 ms clips, r15): sample
+      // count is a free parameter — the short clips must fingerprint
+      // identically to the long ones
+      assert(fpOf(fam, 8000, 320, 1) === base &&
+             fpOf(fam, 16000, 640, 1) === base &&
+             fpOf(fam, 8000, 320, 2) === base,
+        s"shipped short-clip geometry broke fp, fam $fam")
       // any rate works as long as the frame count is a multiple of 8 —
       // the alignment contract between generator segments and the
       // decoder's per-eighth bins (4410 frames would straddle a bin)
