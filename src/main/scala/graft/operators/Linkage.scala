@@ -57,11 +57,14 @@ object Linkage {
   /** Deterministic dirty corpus derived from the part registry (the
     * corpusWithVariants move applied to entity names): every 7th part
     * loses its last character (1 edit), every 7k+3rd gains a plural 's'
-    * (1 edit), every 7k+5th arrives REVERSED — a record whose block key
+    * (1 edit), every 7k+5th arrives REVERSED, and every 7k+1st arrives
+    * with its first two words SWAPPED (r15 — the field-swap error mode:
+    * "Lastname Firstname") — the latter two are records whose block key
     * no longer matches anything, exercising the unmatched path (blocking
     * recall is part of the operator contract: a candidate outside every
     * block surfaces as match_key -1; [[fuzzyJoinMultipass]] shows the
-    * standard second-pass recovery).
+    * standard multi-pass recovery — reversal undoes 7k+5, word-sort
+    * undoes 7k+1; in THIS single-pass query both stay -1).
     *
     * Blocking key = first word of the name. Edits here touch the string
     * tail, so true matches always share the key — the general technique
@@ -86,17 +89,30 @@ object Linkage {
       .select(col("p_partkey").as("ckey"), col("p_name").as("cname"),
         substring_index(col("p_name"), " ", 1).as("blk"))
 
+  /** A name's words sorted and rejoined — pass 3's normalizer (and a
+    * canonical form both engines compute byte-identically: array_sort /
+    * list_sort are binary-ordered over these ASCII names). */
+  private def sortWords(c: Column): Column =
+    array_join(array_sort(split(c, " ")), " ")
+
   /** Dirty corpus frame (dirty_id, dname, blk) shared by q116/q123. */
-  private def dirtySide(s: SparkSession, d: String): DataFrame =
+  private def dirtySide(s: SparkSession, d: String): DataFrame = {
+    val w = split(col("p_name"), " ")
+    val swapped = array_join(
+      concat(array(element_at(w, 2), element_at(w, 1)),
+        slice(w, lit(3), greatest(size(w) - 2, lit(0)))), " ")
     Tables.part(s, d)
       .withColumn("m", pmod(col("p_partkey"), lit(7L)))
-      .filter(col("m").isin(0L, 3L, 5L))
+      .filter(col("m").isin(0L, 1L, 3L, 5L))
       .select((col("p_partkey") + 1000000L).as("dirty_id"),
         when(col("m") === 0L,
           expr("substring(p_name, 1, length(p_name) - 1)"))
+        .when(col("m") === 1L,
+          when(size(w) >= 2, swapped).otherwise(col("p_name")))
         .when(col("m") === 3L, concat(col("p_name"), lit("s")))
         .otherwise(reverse(col("p_name"))).as("dname"))
       .withColumn("blk", substring_index(col("dname"), " ", 1))
+  }
 
   /** The blocking + scoring + election core over `(dirty_id, dname, blk)`
     * and `(ckey, cname, blk)` frames — factored so LinkageSpec can pin
