@@ -208,16 +208,27 @@ object Manifest {
     * one-level fallback still yields 0 and a live publish's partitioned
     * generation would age out past grace). An in-flight publish's data
     * files are fresh at any depth; only a truly file-free epoch-0 tree
-    * keeps 0 and ages out. */
+    * keeps 0 and ages out.
+    *
+    * The recursive listing races with publishers (ADVICE r15): a `.tmp-*`
+    * staging dir captured by vacuum's glob can be renamed away before
+    * this listing runs — the listing then throws FileNotFoundException,
+    * which previously aborted the WHOLE vacuum. A vanished entry is by
+    * definition being actively worked on, so report it as maximally
+    * fresh (Long.MaxValue): it never ages past grace, is skipped this
+    * pass, and the next vacuum sees the settled state. */
   private def effectiveModTime(f: org.apache.hadoop.fs.FileSystem,
       st: org.apache.hadoop.fs.FileStatus): Long =
     if (st.getModificationTime > 0L || !st.isDirectory) st.getModificationTime
-    else {
-      var max = 0L
-      val it = f.listFiles(st.getPath, true)
-      while (it.hasNext) max = math.max(max, it.next().getModificationTime)
-      max
-    }
+    else
+      try {
+        var max = 0L
+        val it = f.listFiles(st.getPath, true)
+        while (it.hasNext) max = math.max(max, it.next().getModificationTime)
+        max
+      } catch {
+        case _: java.io.FileNotFoundException => Long.MaxValue
+      }
 
   /** OFFLINE GC. Retains the newest `keep` manifests and every generation
     * any of them references (keep=1 ⇒ only the current snapshot's

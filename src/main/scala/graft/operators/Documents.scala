@@ -1901,14 +1901,22 @@ object Documents {
     *
     * Determinism, cross-engine: words are represented as
     * space-delimited symbol strings with sentinel spaces at both ends
-    * (" a b c "), so the merge rewrite is plain
-    * `replace(s, " a b ", " ab ")` — left-to-right non-overlapping
-    * replacement, the EXACT greedy semantics BPE specifies ("aaa" under
-    * merge (a,a) → ["aa","a"]), identical in Spark and DuckDB, with the
-    * boundary spaces preventing a pair pattern from matching across
-    * symbol boundaries ("ya b" never matches " a b "). Pair counts are
-    * integer sums; the argmax tie-breaks (cnt DESC, lhs ASC, rhs ASC) —
-    * total and byte-ordered in both engines. The oracle replays all
+    * (" a b c "); the boundary spaces prevent a pair pattern from
+    * matching across symbol boundaries ("ya b" never matches " a b ").
+    * The naive rewrite `replace(s, " a b ", " ab ")` is NOT greedy BPE:
+    * each non-overlapping match consumes BOTH boundary spaces, so
+    * back-to-back occurrences sharing a space are skipped ("aaaa" under
+    * (a,a) would yield [aa,a,a]; "abab" under (a,b) would yield
+    * [ab,a,b] — reference BPE, Sennrich/HF, yields [aa,aa] / [ab,ab]).
+    * RE2 (DuckDB) has no lookaround, so the portable fix (r16, ADVICE
+    * r15) is the DOUBLE-SPACE trick: double every delimiter space, match
+    * `" a  b "` — each match consumes one space of each doubled pair,
+    * leaving the other for the adjacent match — then collapse space runs
+    * back to the canonical single-space form. That is exact greedy
+    * left-to-right non-overlapping merging ("aaa" → [aa,a]; "aaaa" →
+    * [aa,aa]), identical in Spark and DuckDB. Pair counts are integer
+    * sums; the argmax tie-breaks (cnt DESC, lhs ASC, rhs ASC) — total
+    * and byte-ordered in both engines. The oracle replays all
     * [[BpeMerges]] rounds as unrolled CTEs, q108's replay argument:
     * recursive-aggregate CTEs are dialect quicksand, an unrolled chain
     * is portable. */
@@ -1953,7 +1961,10 @@ object Documents {
           best(0).getLong(2))
         steps += ((step.toLong, l, r, l + r, c))
         cur = cur.withColumn("s",
-            replace(col("s"), lit(s" $l $r "), lit(s" $l$r ")))
+            regexp_replace(
+              replace(replace(col("s"), lit(" "), lit("  ")),
+                lit(s" $l  $r "), lit(s" $l$r ")),
+              " {2,}", " "))
           .localCheckpoint()
         step += 1
       }
@@ -1975,11 +1986,12 @@ object Documents {
          |b$k AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$k
          |        ORDER BY cnt DESC, lhs, rhs LIMIT 1),
          |w$k AS MATERIALIZED (
-         |  SELECT replace(s,
-         |    ' ' || (SELECT lhs FROM b$k) || ' ' ||
+         |  SELECT regexp_replace(replace(replace(s, ' ', '  '),
+         |    ' ' || (SELECT lhs FROM b$k) || '  ' ||
          |           (SELECT rhs FROM b$k) || ' ',
          |    ' ' || (SELECT lhs FROM b$k) ||
-         |           (SELECT rhs FROM b$k) || ' ') AS s, freq
+         |           (SELECT rhs FROM b$k) || ' '),
+         |    ' {2,}', ' ', 'g') AS s, freq
          |  FROM w${k - 1})""".stripMargin
     }.mkString(",\n")
     val out = (1 to BpeMerges).map(k =>

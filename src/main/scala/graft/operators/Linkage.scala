@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -172,11 +172,16 @@ object Linkage {
        |         split_part(p_name, ' ', 1) AS blk
        |  FROM part),
        |dirty0 AS (
-       |  SELECT p_partkey, p_name, p_partkey % 7 AS m
-       |  FROM part WHERE p_partkey % 7 IN (0, 3, 5)),
+       |  SELECT p_partkey, p_name, p_partkey % 7 AS m,
+       |         string_split(p_name, ' ') AS w
+       |  FROM part WHERE p_partkey % 7 IN (0, 1, 3, 5)),
        |dirty AS (
        |  SELECT p_partkey + 1000000 AS dirty_id,
        |    CASE WHEN m = 0 THEN substr(p_name, 1, length(p_name) - 1)
+       |         WHEN m = 1 THEN CASE WHEN len(w) >= 2
+       |           THEN array_to_string(
+       |                  list_concat([w[2], w[1]], w[3:]), ' ')
+       |           ELSE p_name END
        |         WHEN m = 3 THEN p_name || 's'
        |         ELSE reverse(p_name) END AS dname
        |  FROM dirty0),
@@ -208,8 +213,13 @@ object Linkage {
     * REVERSAL (block key = first word of reverse(dname)) and scores
     * `levenshtein(reverse(dname), cname)` — reversal is the normalizer,
     * so a record that arrived reversed scores 0 against its registry
-    * entry. Output adds `pass` (1 = direct match, 2 = recovered by the
-    * reversal pass, 0 = unmatched after both).
+    * entry. Pass 3 (r16) handles word-ORDER corruption (the 7k+1
+    * swapped-first-two-words mode): both the remaining residue and the
+    * registry are normalized to their word-SORTED canonical form
+    * ([[sortWords]]) and re-blocked on its first word — any permutation
+    * of the same words scores 0. Output adds `pass` (1 = direct match,
+    * 2 = recovered by reversal, 3 = recovered by word-sort, 0 =
+    * unmatched after all three).
     *
     * Candidate volume stays bounded: pass 2 runs ONLY on the pass-1
     * unmatched residue of the distinct-name domain (an anti-join), with
@@ -220,10 +230,17 @@ object Linkage {
   def fuzzyJoinMultipass(s: SparkSession, d: String): DataFrame =
     multipassMatch(dirtySide(s, d), cleanSide(s, d), FuzzyMaxDist)
 
-  /** Two-pass core, factored for LinkageSpec: pass 1 = [[fuzzyMatch]]'s
+  /** Three-pass core, factored for LinkageSpec: pass 1 = [[fuzzyMatch]]'s
     * domain matcher; pass 2 re-blocks the unmatched residue on the
-    * reversed form. Matched-name verdicts union with their pass label,
-    * then fan back out to the id stream. */
+    * reversed form (undoes the 7k+5 reversal mode); pass 3 re-blocks the
+    * still-unmatched residue on the word-SORTED form against a word-sorted
+    * registry domain (undoes the 7k+1 first-two-words swap — sorting is
+    * permutation-invariant, so any word-order corruption normalizes to
+    * the same canonical string as its registry entry). Each pass touches
+    * only the previous passes' residue (anti-joins on the name domain),
+    * so the candidate volume never grows past pass 1's. Matched-name
+    * verdicts union with their pass label, then fan back out to the id
+    * stream. */
   private[operators] def multipassMatch(dirty: DataFrame, clean: DataFrame,
                                         maxDist: Int): DataFrame = {
     val dirtyNames = dirty.select(col("blk"), col("dname")).distinct()
@@ -239,9 +256,27 @@ object Linkage {
       .withColumnRenamed("dname", "rname")
       .join(residue, Seq("rname"))
       .select(col("dname"), col("match_key"), col("distance"))
+    // pass-3 input: names neither pass matched, normalized by word-sort;
+    // the registry domain is re-keyed on ITS word-sorted form (two
+    // registry names may sort identically — min-key election still holds,
+    // taking min of the per-name min keys).
+    val sortedClean = cleanNames
+      .select(sortWords(col("cname")).as("cname"), col("ckey"))
+      .withColumn("blk", substring_index(col("cname"), " ", 1))
+      .groupBy(col("blk"), col("cname")).agg(min(col("ckey")).as("ckey"))
+    val residue2 = residue.join(pass2, Seq("dname"), "left_anti")
+      .select(col("dname"), sortWords(col("dname")).as("sname"))
+    val pass3 = matchNames(
+      residue2.select(col("sname").as("dname"),
+        substring_index(col("sname"), " ", 1).as("blk")).distinct(),
+      sortedClean, maxDist)
+      .withColumnRenamed("dname", "sname")
+      .join(residue2, Seq("sname"))
+      .select(col("dname"), col("match_key"), col("distance"))
     val verdicts =
       pass1.withColumn("pass", lit(1L))
         .unionByName(pass2.withColumn("pass", lit(2L)))
+        .unionByName(pass3.withColumn("pass", lit(3L)))
     dirty.select(col("dirty_id"), col("dname"))
       .join(verdicts, Seq("dname"), "left")
       .select(col("dirty_id"),
@@ -259,11 +294,16 @@ object Linkage {
        |cn AS (
        |  SELECT blk, cname, min(ckey) AS ckey FROM clean GROUP BY 1, 2),
        |dirty0 AS (
-       |  SELECT p_partkey, p_name, p_partkey % 7 AS m
-       |  FROM part WHERE p_partkey % 7 IN (0, 3, 5)),
+       |  SELECT p_partkey, p_name, p_partkey % 7 AS m,
+       |         string_split(p_name, ' ') AS w
+       |  FROM part WHERE p_partkey % 7 IN (0, 1, 3, 5)),
        |dirty AS (
        |  SELECT p_partkey + 1000000 AS dirty_id,
        |    CASE WHEN m = 0 THEN substr(p_name, 1, length(p_name) - 1)
+       |         WHEN m = 1 THEN CASE WHEN len(w) >= 2
+       |           THEN array_to_string(
+       |                  list_concat([w[2], w[1]], w[3:]), ' ')
+       |           ELSE p_name END
        |         WHEN m = 3 THEN p_name || 's'
        |         ELSE reverse(p_name) END AS dname
        |  FROM dirty0),
@@ -291,10 +331,33 @@ object Linkage {
        |    SELECT dname, ckey, dist, row_number() OVER (
        |      PARTITION BY dname ORDER BY dist, ckey) AS rn FROM c2)
        |  WHERE rn = 1),
+       |scn AS (
+       |  SELECT split_part(sname, ' ', 1) AS blk, sname AS cname,
+       |         min(ckey) AS ckey
+       |  FROM (SELECT array_to_string(
+       |                 list_sort(string_split(cname, ' ')), ' ') AS sname,
+       |               ckey FROM cn)
+       |  GROUP BY 1, 2),
+       |residue2 AS (
+       |  SELECT dname, array_to_string(
+       |           list_sort(string_split(dname, ' ')), ' ') AS sname
+       |  FROM dn WHERE dname NOT IN (SELECT dname FROM m1)
+       |            AND dname NOT IN (SELECT dname FROM m2)),
+       |c3 AS (
+       |  SELECT r.dname, s.ckey, levenshtein(r.sname, s.cname) AS dist
+       |  FROM residue2 r JOIN scn s ON split_part(r.sname, ' ', 1) = s.blk
+       |  WHERE levenshtein(r.sname, s.cname) <= $FuzzyMaxDist),
+       |m3 AS (
+       |  SELECT dname, ckey, dist FROM (
+       |    SELECT dname, ckey, dist, row_number() OVER (
+       |      PARTITION BY dname ORDER BY dist, ckey) AS rn FROM c3)
+       |  WHERE rn = 1),
        |verdicts AS (
        |  SELECT dname, ckey, dist, 1 AS pass FROM m1
        |  UNION ALL
-       |  SELECT dname, ckey, dist, 2 AS pass FROM m2)
+       |  SELECT dname, ckey, dist, 2 AS pass FROM m2
+       |  UNION ALL
+       |  SELECT dname, ckey, dist, 3 AS pass FROM m3)
        |SELECT d.dirty_id,
        |  CAST(coalesce(v.ckey, -1) AS BIGINT) AS match_key,
        |  CAST(coalesce(v.dist, -1) AS BIGINT) AS distance,

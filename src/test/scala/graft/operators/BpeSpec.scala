@@ -51,6 +51,25 @@ class BpeSpec extends SparkSpec {
       (2L, "ab", "a", "aba", 2L))) // [ab, a] pairs only inside 'aba'
   }
 
+  test("back-to-back occurrences sharing a boundary space ALL merge in " +
+       "one round: 'aaaa' under (a,a) becomes [aa, aa], not [aa, a, a]") {
+    // ADVICE r15: the naive replace consumed both boundary spaces and
+    // skipped every other occurrence in even runs; reference BPE merges
+    // greedily left-to-right, so a 4-run yields two merged symbols.
+    val got = train(Seq("aaaa"), 2)
+    assert(got === Seq(
+      (1L, "a", "a", "aa", 3L),       // 3 adjacent positions in 'aaaa'
+      (2L, "aa", "aa", "aaaa", 1L)))  // round 2 sees [aa, aa]
+  }
+
+  test("adjacent occurrences of a two-symbol pair also all merge: " +
+       "'abab' under (a,b) becomes [ab, ab]") {
+    val got = train(Seq("abab"), 2)
+    assert(got === Seq(
+      (1L, "a", "b", "ab", 2L),
+      (2L, "ab", "ab", "abab", 1L)))
+  }
+
   test("single-char and empty-pair words are inert; budget stops the " +
        "loop when pairs remain") {
     assert(train(Seq("a", "b", "c"), 5) === Seq.empty)

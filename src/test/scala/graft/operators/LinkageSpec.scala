@@ -107,4 +107,47 @@ class LinkageSpec extends SparkSpec {
     val dirty = dirtyDF((1L, "kcos eulb"))
     assert(runMulti(dirty, clean) === Seq((1L, -1L, -1L, 0L)))
   }
+
+  test("multipass: pass 3 recovers a word-swapped record — passes 1 and 2 " +
+       "both miss it, the word-sorted form scores 0") {
+    val clean = cleanDF((7L, "green silk tie"))
+    // first two words swapped: pass-1 block 'silk' misses, reversal is
+    // garbage, sorted form 'green silk tie' == sorted registry form
+    val dirty = dirtyDF((1L, "silk green tie"))
+    assert(runMulti(dirty, clean) === Seq((1L, 7L, 0L, 3L)))
+  }
+
+  test("multipass: pass 3 scores on the SORTED forms — a swap plus one " +
+       "typo lands at the sorted-domain edit distance") {
+    val clean = cleanDF((7L, "red wool hat"))
+    // swap + typo: "wool rad hat"; sorted dirty = "hat rad wool" vs
+    // sorted clean "hat red wool" → distance 1, same first-word block
+    val dirty = dirtyDF((1L, "wool rad hat"))
+    assert(runMulti(dirty, clean) === Seq((1L, 7L, 1L, 3L)))
+  }
+
+  test("multipass: two registry names sorting to the same canonical form " +
+       "elect the min key in pass 3") {
+    val clean = cleanDF((30L, "cd ab zz"), (20L, "ab cd zz"))
+    // block 'zz' matches neither registry block; the reversal blocks on
+    // 'dc' (also nothing); the sorted form "ab cd zz" hits BOTH registry
+    // entries' identical sorted form at dist 0 → min key 20 wins
+    val dirty = dirtyDF((1L, "zz ab cd"))
+    assert(runMulti(dirty, clean) === Seq((1L, 20L, 0L, 3L)))
+  }
+
+  test("multipass: earlier-pass verdicts are final — pass 3 never rescans " +
+       "a name passes 1 or 2 matched") {
+    val clean = cleanDF((1L, "ab ba"))
+    // exact pass-1 match whose sorted form would also match at dist 0
+    val dirty = dirtyDF((1L, "ab ba"))
+    assert(runMulti(dirty, clean) === Seq((1L, 1L, 0L, 1L)))
+  }
+
+  test("multipass: a record no normalization rescues stays unmatched " +
+       "after all three passes") {
+    val clean = cleanDF((1L, "green silk tie"))
+    val dirty = dirtyDF((1L, "utter nonsense here"))
+    assert(runMulti(dirty, clean) === Seq((1L, -1L, -1L, 0L)))
+  }
 }
