@@ -233,50 +233,67 @@ object Linkage {
   /** Three-pass core, factored for LinkageSpec: pass 1 = [[fuzzyMatch]]'s
     * domain matcher; pass 2 re-blocks the unmatched residue on the
     * reversed form (undoes the 7k+5 reversal mode); pass 3 re-blocks the
-    * still-unmatched residue on the word-SORTED form against a word-sorted
-    * registry domain (undoes the 7k+1 first-two-words swap — sorting is
+    * residue on the word-SORTED form against a word-sorted registry
+    * domain (undoes the 7k+1 first-two-words swap — sorting is
     * permutation-invariant, so any word-order corruption normalizes to
-    * the same canonical string as its registry entry). Each pass touches
-    * only the previous passes' residue (anti-joins on the name domain),
-    * so the candidate volume never grows past pass 1's. Matched-name
-    * verdicts union with their pass label, then fan back out to the id
-    * stream. */
+    * the same canonical string as its registry entry).
+    *
+    * Execution shape (r16): the recovery passes run as ONE tagged
+    * matcher over the pass-1 residue — both normalized forms union with
+    * a `pass` tag, their registry domains union under the same tag (the
+    * tag joins alongside (blk, len), so a reversed form never scores
+    * against the sorted registry), and the election is
+    * `min(struct(pass, dist, ckey))`. Pass priority dominates the struct
+    * comparison, so this is provably the SAME relation as sequential
+    * residue chaining (a pass-2 match of any admissible distance beats
+    * every pass-3 candidate; names only pass 3 can match elect exactly
+    * their pass-3 best) — the sequential form's extra anti-join, third
+    * matcher, and second fan-out join were pure stage overhead, ~0.7 s
+    * of constant at every SF. Recovery candidate volume stays bounded by
+    * the pass-1 RESIDUE (not the full domain): at production unmatched
+    * rates (residue ≪ domain) the recovery work is proportional to what
+    * actually needs recovering, which is the property that matters at
+    * 100 TB. Matched-name verdicts union with their pass label, then fan
+    * back out to the id stream. */
   private[operators] def multipassMatch(dirty: DataFrame, clean: DataFrame,
                                         maxDist: Int): DataFrame = {
     val dirtyNames = dirty.select(col("blk"), col("dname")).distinct()
     val cleanNames = distinctClean(clean)
     val pass1 = matchNames(dirtyNames, cleanNames, maxDist)
-    // pass-2 input: names pass 1 could not match, normalized by reversal
+    // recovery input: names pass 1 could not match, under BOTH
+    // normalizers, tagged with the pass that owns each form
     val residue = dirtyNames.join(pass1, Seq("dname"), "left_anti")
-      .select(col("dname"), reverse(col("dname")).as("rname"))
-    val pass2 = matchNames(
-      residue.select(col("rname").as("dname"),
-        substring_index(col("rname"), " ", 1).as("blk")),
-      cleanNames, maxDist)
-      .withColumnRenamed("dname", "rname")
-      .join(residue, Seq("rname"))
-      .select(col("dname"), col("match_key"), col("distance"))
-    // pass-3 input: names neither pass matched, normalized by word-sort;
-    // the registry domain is re-keyed on ITS word-sorted form (two
-    // registry names may sort identically — min-key election still holds,
-    // taking min of the per-name min keys).
+    val normed = residue
+      .select(col("dname"), reverse(col("dname")).as("nname"),
+        lit(2L).as("pass"))
+      .unionByName(residue.select(col("dname"),
+        sortWords(col("dname")).as("nname"), lit(3L).as("pass")))
+    // pass-3's registry domain is re-keyed on ITS word-sorted form (two
+    // registry names may sort identically — min-key election still
+    // holds, taking min of the per-name min keys); pass 2 scores against
+    // the raw registry
     val sortedClean = cleanNames
       .select(sortWords(col("cname")).as("cname"), col("ckey"))
       .withColumn("blk", substring_index(col("cname"), " ", 1))
       .groupBy(col("blk"), col("cname")).agg(min(col("ckey")).as("ckey"))
-    val residue2 = residue.join(pass2, Seq("dname"), "left_anti")
-      .select(col("dname"), sortWords(col("dname")).as("sname"))
-    val pass3 = matchNames(
-      residue2.select(col("sname").as("dname"),
-        substring_index(col("sname"), " ", 1).as("blk")).distinct(),
-      sortedClean, maxDist)
-      .withColumnRenamed("dname", "sname")
-      .join(residue2, Seq("sname"))
-      .select(col("dname"), col("match_key"), col("distance"))
+    val cleanTagged = cleanNames.withColumn("pass", lit(2L))
+      .unionByName(sortedClean.withColumn("pass", lit(3L)))
+    val recovery = normed
+      .select(col("dname"), col("pass"), col("nname"),
+        substring_index(col("nname"), " ", 1).as("blk"))
+      .withColumn("len", explode(sequence(
+        length(col("nname")) - lit(maxDist),
+        length(col("nname")) + lit(maxDist))))
+      .join(cleanTagged.withColumn("len", length(col("cname"))),
+        Seq("pass", "blk", "len"))
+      .withColumn("dist", levenshtein(col("nname"), col("cname"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .groupBy(col("dname"))
+      .agg(min(struct(col("pass"), col("dist"), col("ckey"))).as("b"))
+      .select(col("dname"), col("b.ckey").as("match_key"),
+        col("b.dist").cast("long").as("distance"), col("b.pass").as("pass"))
     val verdicts =
-      pass1.withColumn("pass", lit(1L))
-        .unionByName(pass2.withColumn("pass", lit(2L)))
-        .unionByName(pass3.withColumn("pass", lit(3L)))
+      pass1.withColumn("pass", lit(1L)).unionByName(recovery)
     dirty.select(col("dirty_id"), col("dname"))
       .join(verdicts, Seq("dname"), "left")
       .select(col("dirty_id"),
