@@ -217,7 +217,7 @@ object Manifest {
     * definition being actively worked on, so report it as maximally
     * fresh (Long.MaxValue): it never ages past grace, is skipped this
     * pass, and the next vacuum sees the settled state. */
-  private def effectiveModTime(f: org.apache.hadoop.fs.FileSystem,
+  private[etl] def effectiveModTime(f: org.apache.hadoop.fs.FileSystem,
       st: org.apache.hadoop.fs.FileStatus): Long =
     if (st.getModificationTime > 0L || !st.isDirectory) st.getModificationTime
     else

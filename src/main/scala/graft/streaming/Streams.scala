@@ -534,11 +534,16 @@ object Streams {
     * under the crash-safe swap protocol:
     *
     *  - `obs` LEDGER: per-batch [[graft.operators.Events.hourCollapse]]
-    *    partials keyed by (user, hour, batch) with a FIRST-WINS merge on
-    *    that identity — a checkpoint-replayed batch re-derives identical
-    *    partials and is absorbed whole (the bm25-ledger/quarantine
-    *    pattern). Max-of-struct is associative and counts are sums over
-    *    disjoint batches, so collapsing the ledger
+    *    partials keyed by (user, hour, batch), APPENDED as new files
+    *    (r16 — O(batch) written per batch, never O(ledger); the
+    *    q82/bm25 index lifecycle) with FIRST-WINS replay absorption at
+    *    read time — a checkpoint-replayed batch re-derives identical
+    *    partials under the same token and dropDuplicates on the
+    *    identity collapses them; [[compactGridLedger]] periodically
+    *    rewrites the accumulated per-batch files user-clustered and
+    *    garbage-collects the replay duplicates. Max-of-struct is
+    *    associative and counts are sums over disjoint batches, so
+    *    collapsing the ledger
     *    ([[graft.operators.Events.collapseObsPartials]]) equals the
     *    one-shot hour collapse of all events seen — for ANY batch split
     *    and arrival order, including late data. State is
@@ -590,16 +595,22 @@ object Streams {
       .withColumn("batch_id", lit(token))
       .withColumn("__obs_id",
         concat_ws(":", col("user_id"), col("hour_id"), col("batch_id")))
-    val oldObs =
-      if (fs.exists(new org.apache.hadoop.fs.Path(obsPath)))
-        s.read.schema(part.schema).parquet(obsPath)
-      else part.limit(0)
-    graft.etl.Merge.writeAndSwap(
-      graft.etl.Merge.firstWinsMerge(oldObs, part, "__obs_id"),
-      obsPath, s"obs-$token")
+    // APPEND ledger (r16 — the q82/bm25 index lifecycle): the batch's
+    // partials land as NEW files, O(batch) written per batch instead of
+    // the read-merge-rewrite swap's O(ledger). Replay absorption moves
+    // to the read side: a retried batch re-derives byte-identical
+    // partials under the SAME token, so dropDuplicates on the (user,
+    // hour, batch) identity collapses them (first-wins among identical
+    // rows — any winner is the right one). A crash mid-append commits at
+    // most a prefix of the batch's files; the retry re-appends the whole
+    // batch and the same dedup absorbs the overlap. Periodic
+    // [[compactGridLedger]] rewrites the accumulated small files and
+    // garbage-collects replay duplicates for good.
+    part.write.mode("append").parquet(obsPath)
     val users = part.select(col("user_id")).distinct()
     val touched = Events.fillForward(Events.collapseObsPartials(
-      s.read.parquet(obsPath).join(users, Seq("user_id"), "left_semi")))
+      s.read.parquet(obsPath).join(users, Seq("user_id"), "left_semi")
+        .dropDuplicates("__obs_id")))
     val oldGrid =
       if (fs.exists(new org.apache.hadoop.fs.Path(gridPath)))
         s.read.schema(touched.schema).parquet(gridPath)
@@ -614,6 +625,21 @@ object Streams {
     * `resampleGrid`). */
   def gridState(s: SparkSession, statePath: String): DataFrame =
     s.read.parquet(s"$statePath/grid")
+
+  /** Compaction for the append-maintained observation ledger — the same
+    * lifecycle closure as the search indexes (q82 prefix index, bm25):
+    * N per-batch small files rewrite into size-targeted files clustered
+    * on `user_id` (the read path's semi-join key), and full-row
+    * duplicates from replayed appends are garbage-collected by the same
+    * shuffle (replay partials are byte-identical, so full-row distinct
+    * is exactly the read path's first-wins). Grid rows are untouched —
+    * they are a pure function of the ledger's CONTENT, which compaction
+    * preserves (StreamsSpec proves a post-compaction batch still splices
+    * to the one-shot grid). Single-writer contract: run between batches,
+    * like every offline GC here. */
+  def compactGridLedger(s: SparkSession, statePath: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    graft.etl.Merge.compact(s, s"$statePath/obs", "user_id", targetBytes)
 
   /** One click-matched view awaiting its click's purchase horizon. */
   case class FunnelAwait(viewUs: Long, clickUs: Long)

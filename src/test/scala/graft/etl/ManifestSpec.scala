@@ -304,6 +304,27 @@ class ManifestSpec extends SparkSpec {
       "one-level fallback aged out a live partitioned generation")
   }
 
+  test("a staging dir renamed away between vacuum's glob and its " +
+       "recursive listing reads as maximally fresh instead of aborting " +
+       "the vacuum (ADVICE r15)") {
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    val root = newRoot()
+    Manifest.publish(spark, root, pair(1L))
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // replay the race deterministically: a FileStatus captured by the
+    // glob (epoch-0 dir → the recursive-listing fallback fires) whose
+    // path a racing publisher has since renamed away
+    val vanished = new FileStatus(
+      0L, true, 0, 0L, 0L, new Path(s"$root/_manifests/.tmp-9-gone"))
+    assert(Manifest.effectiveModTime(fs, vanished) === Long.MaxValue,
+      "a vanished entry must read as fresh (skipped this pass), " +
+      "not throw and kill the sweep")
+    // and a full vacuum over a root containing only live state still
+    // completes and deletes nothing
+    assert(Manifest.vacuum(spark, root, keep = 1) === 0)
+  }
+
   test("epoch-0 directory modtimes (synthetic object-store dirs) fall " +
        "back to child-file modtimes — the grace still protects") {
     val root = newRoot()

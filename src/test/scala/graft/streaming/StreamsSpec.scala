@@ -745,6 +745,19 @@ class StreamsSpec extends SparkSpec {
     assert(got.exceptAll(want).count() === 0 &&
            want.exceptAll(got).count() === 0,
       "maintained grid != one-shot q119 grid")
+    // ledger lifecycle (r16): the per-batch appended files (4 batches'
+    // worth, incl. the replay's duplicates) compact into user-clustered
+    // files, GC-ing the replay rows; the ledger CONTENT is preserved, so
+    // a batch applied AFTER compaction still splices to the one-shot
+    // grid — the same probe-equality closure the search indexes have
+    val (filesBefore, filesAfter) = Streams.compactGridLedger(spark, state)
+    assert(filesBefore > filesAfter,
+      s"compaction must shrink the file count ($filesBefore -> $filesAfter)")
+    Streams.applyGridBatch(batches(2), state, "b2")
+    val gotC = Streams.gridState(spark, state)
+    assert(gotC.exceptAll(want).count() === 0 &&
+           want.exceptAll(gotC).count() === 0,
+      "post-compaction batch broke grid parity")
   }
 
   test("grid maintenance sink wires end-to-end through foreachBatch") {
