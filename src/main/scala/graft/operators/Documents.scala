@@ -1932,12 +1932,25 @@ object Documents {
     * (a,a) → ["aa","a"]), the (cnt, lhs, rhs) tie-break, and the
     * early-exhaustion path on constructed corpora. */
   private[operators] def bpeMergeLoop(words: DataFrame,
-                                      maxMerges: Int): DataFrame = {
+                                      maxMerges: Int): DataFrame =
+    bpeTrainTypes(words, maxMerges)._1
+
+  /** [[bpeMergeLoop]] exposing BOTH artifacts a trainer produces: the
+    * merge table AND the final word-TYPE segmentation table
+    * (w, s, freq — each word type's symbol string after all merges).
+    * The segmentation is what ENCODE needs ([[bpeEncode]]/q125):
+    * applying the merges in rank order to a word is exactly the rewrite
+    * the trainer already performed, so the type table IS the tokenizer's
+    * result, memoized over the vocabulary instead of recomputed per
+    * occurrence. */
+  private[operators] def bpeTrainTypes(words: DataFrame,
+      maxMerges: Int): (DataFrame, DataFrame) = {
     val s = words.sparkSession
     import s.implicits._
     val wf = words
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
+      .select(col("w"),
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
         .as("s"), col("freq"))
     var cur = wf.localCheckpoint()
     val steps = scala.collection.mutable.ArrayBuffer
@@ -1969,11 +1982,18 @@ object Documents {
         step += 1
       }
     }
-    steps.toSeq.toDF("step", "lhs", "rhs", "merged", "cnt")
-      .orderBy(col("step"))
+    (steps.toSeq.toDF("step", "lhs", "rhs", "merged", "cnt")
+      .orderBy(col("step")), cur)
   }
 
-  val bpeTrainSql: String = {
+  /** The unrolled training replay (w0 + all [[BpeMerges]] rounds of
+    * pair-count / argmax / rewrite CTEs), shared by the q124 and q125
+    * oracles. Each w$k carries the original word `w` alongside its
+    * evolving symbol string `s` — the char-spacing map w → s is
+    * injective, so grouping w0 by (w, s) partitions identically to
+    * grouping by s alone, and the type table doubles as the ENCODE
+    * lookup (q125). */
+  private def bpeChainSql: String = {
     val rounds = (1 to BpeMerges).map { k =>
       s"""p$k AS MATERIALIZED (
          |  SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt FROM (
@@ -1986,7 +2006,7 @@ object Documents {
          |b$k AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$k
          |        ORDER BY cnt DESC, lhs, rhs LIMIT 1),
          |w$k AS MATERIALIZED (
-         |  SELECT regexp_replace(replace(replace(s, ' ', '  '),
+         |  SELECT w, regexp_replace(replace(replace(s, ' ', '  '),
          |    ' ' || (SELECT lhs FROM b$k) || '  ' ||
          |           (SELECT rhs FROM b$k) || ' ',
          |    ' ' || (SELECT lhs FROM b$k) ||
@@ -1994,20 +2014,85 @@ object Documents {
          |    ' {2,}', ' ', 'g') AS s, freq
          |  FROM w${k - 1})""".stripMargin
     }.mkString(",\n")
+    s"""w0 AS MATERIALIZED (
+       |  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s,
+       |         CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($wordsSql) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY 1, 2),
+       |$rounds""".stripMargin
+  }
+
+  val bpeTrainSql: String = {
     val out = (1 to BpeMerges).map(k =>
       s"  SELECT $k AS step, lhs, rhs, lhs || rhs AS merged, cnt FROM b$k")
       .mkString("\n  UNION ALL\n")
-    s"""WITH w0 AS MATERIALIZED (
-       |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s,
-       |         CAST(count(*) AS BIGINT) AS freq
-       |  FROM (SELECT unnest($wordsSql) AS w FROM documents)
-       |  WHERE length(w) > 0 GROUP BY 1),
-       |$rounds
+    s"""WITH $bpeChainSql
        |SELECT CAST(step AS BIGINT) AS step, lhs, rhs, merged, cnt
        |FROM (
        |$out)
        |ORDER BY step""".stripMargin
   }
+
+  // ── q125: BPE encode — tokenize the corpus under the learned vocab ─────
+  /** q125: subword TOKENIZATION under the q124-learned merge table — the
+    * apply side of the train→encode loop (what q95 does with a frozen
+    * toy vocab, done with the real learned artifact). Per document:
+    * word count, subword token count, and chars-per-token in basis
+    * points — the compression diagnostic a tokenizer team watches when
+    * retraining a vocab on a shifted corpus.
+    *
+    * Scale shape — encode via the TYPE table, not per occurrence: BPE
+    * encoding of a word is a pure function of the word, and the trainer
+    * already materialized every type's final segmentation (its rewrite
+    * loop IS merge-in-rank-order application), so encode = one
+    * domain-sized projection of the type table (symbols per type),
+    * BROADCAST onto the raw word stream (vocabulary-bounded by design —
+    * Heaps' law), + one per-doc integer sum whose partials combine
+    * map-side. ONE exchange total before the presentation sort, carrying
+    * per-doc partial sums — never word occurrences (an earlier shape
+    * pre-counted (doc, word) pairs before the join, which shuffled the
+    * whole occurrence stream for nothing: the broadcast join is map-side
+    * anyway). No per-occurrence merge replay anywhere — the 100 TB cost
+    * is the one corpus scan. Integer-exact cross-engine: counts and char
+    * totals are sums of longs; the bp ratio is integer division on both
+    * sides. */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val docWords = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.Text.toWords(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val types = bpeTrainTypes(docWords.select(col("w")), BpeMerges)._2
+      .select(col("w"),
+        size(split(trim(col("s")), " ")).cast("long").as("n_tok"))
+    docWords.join(broadcast(types), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        expr("10000 * n_chars div n_tokens").as("chars_per_token_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bpeEncodeSql: String =
+    s"""WITH $bpeChainSql,
+       |types AS (
+       |  SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_tok
+       |  FROM w$BpeMerges),
+       |dw AS (
+       |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT doc_id, unnest($wordsSql) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id,
+       |    CAST(sum(cnt) AS BIGINT) AS n_words,
+       |    CAST(sum(cnt * n_tok) AS BIGINT) AS n_tokens,
+       |    CAST(sum(cnt * length(w)) AS BIGINT) AS n_chars
+       |  FROM dw JOIN types USING (w) GROUP BY 1)
+       |SELECT doc_id, n_words, n_tokens,
+       |  CAST(10000 * n_chars // n_tokens AS BIGINT) AS chars_per_token_bp
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin
 
   // ── q72: weighted corpus mixing — per-source epoch weights ──────────────
   /** Deterministic mixture resampling: each source gets an epoch weight
@@ -2501,7 +2586,8 @@ object Documents {
     "q37_top_terms"       -> (topTerms _),
     "q99_keyword_search"  -> (keywordSearch _),
     "q122_bm25_search"    -> (bm25Search _),
-    "q124_bpe_train"      -> (bpeTrain _))
+    "q124_bpe_train"      -> (bpeTrain _),
+    "q125_bpe_encode"     -> (bpeEncode _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q52_char_ngram_langid" -> charNgramLangIdSql,
@@ -2537,5 +2623,6 @@ object Documents {
     "q37_top_terms"       -> topTermsSql,
     "q99_keyword_search"  -> keywordSearchSql,
     "q122_bm25_search"    -> bm25SearchSql,
-    "q124_bpe_train"      -> bpeTrainSql)
+    "q124_bpe_train"      -> bpeTrainSql,
+    "q125_bpe_encode"     -> bpeEncodeSql)
 }

@@ -76,4 +76,18 @@ class BpeSpec extends SparkSpec {
     val budget = train(Seq("abcd", "abcd"), 2)
     assert(budget.size === 2, "budget must cap the merge count")
   }
+
+  test("bpeTrainTypes returns each word type's final segmentation — " +
+       "the q125 encode lookup IS the trainer's rewritten type table") {
+    // round 1: (a,a)=4 beats (a,b)=3 → 'aaab' = [aa, a, b];
+    // round 2: (a,b)=3 beats (aa,a)=2 → 'aaab' = [aa, ab], 'ab' = [ab]
+    val (steps, types) = Documents.bpeTrainTypes(
+      Seq("aaab", "aaab", "ab").toDF("w"), 2)
+    assert(steps.as[(Long, String, String, String, Long)].collect()
+      .toSeq === Seq((1L, "a", "a", "aa", 4L), (2L, "a", "b", "ab", 3L)))
+    val seg = types.select("w", "s")
+      .as[(String, String)].collect().toMap
+    assert(seg("aaab") === " aa ab ", "2 subword tokens after 2 merges")
+    assert(seg("ab") === " ab ", "the merged pair is 1 token")
+  }
 }
