@@ -2094,6 +2094,102 @@ object Documents {
        |FROM agg
        |ORDER BY doc_id""".stripMargin
 
+  // ── q126: duplicate n-gram spans — substring-level dedup ───────────────
+  /** Window length (tokens) a repeated span must reach to count. The
+    * literature's exact-substring dedup uses 50-token windows over
+    * billion-doc corpora; this corpus's synthetic docs are ~40-60 words,
+    * so 8 keeps the operator's structure exercised (planted exact/chunk
+    * duplicates surface as spans) at a scale the oracle can replay. */
+  val DupSpanK = 8
+
+  /** q126: EXACT SUBSTRING-level deduplication — find every maximal span
+    * of ≥ [[DupSpanK]] consecutive tokens that occurs at least twice in
+    * the corpus (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better": repeated spans inside otherwise-unique
+    * documents are what doc- and chunk-level dedup both miss — boilerplate
+    * headers, licence blocks, quoted passages — and models memorize
+    * them). Doc-level (q17), chunk-level (q77), and near-dup (q18/q54)
+    * live elsewhere; this is the finest grain.
+    *
+    * Shape: one corpus scan emits every K-gram with its (doc, position)
+    * — row-bound × positions, linear, no joins to build; one
+    * partial-agg'd count over the gram domain finds grams occurring ≥ 2
+    * times; a semi-join marks the duplicated positions (AQE broadcasts
+    * the dup-gram side when it is small — in a mostly-unique corpus it
+    * is); and a per-doc gaps-and-islands window (pos − row_number)
+    * merges overlapping/adjacent duplicated windows into MAXIMAL spans —
+    * the standard island trick, one partition-local sort per doc. The
+    * reference implementation builds a corpus-wide suffix array; the
+    * Spark-native equivalent of its "find repeated substrings ≥ K" use
+    * is exactly this fingerprint-group-merge, with every stage
+    * map-side-combinable and the only all-to-all being the gram-domain
+    * count that any definition of "occurs twice" must pay. Grams group
+    * by their STRING here (exact, oracle-replayable); a 100 TB run
+    * groups by a 128-bit gram hash first and verifies string equality
+    * within buckets — same plan, smaller shuffle payload. */
+  def dupSpans(s: SparkSession, d: String): DataFrame =
+    dupSpansCore(Tables.documents(s, d), DupSpanK)
+
+  /** The span finder over any (doc_id, text) frame — factored so
+    * DupSpansSpec can pin maximal-span merging, the within-doc
+    * repetition case, and the K boundary on constructed corpora. */
+  private[operators] def dupSpansCore(docs0: DataFrame,
+                                      K: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docs0
+      .select(col("doc_id"), graft.functions.Text.toWords(col("text"))
+        .as("w"))
+      .filter(size(col("w")) >= K)
+    val grams = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")) - lit(K - 1))).as("pos"),
+        col("w"))
+      .select(col("doc_id"), col("pos"),
+        array_join(slice(col("w"), col("pos"), lit(K)), " ").as("gram"))
+    val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("gram"))
+    val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams.join(dup, Seq("gram"), "left_semi")
+      .withColumn("isl", col("pos") - row_number().over(wIsl))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("start_pos"),
+        (max(col("pos")) + lit(K - 1)).as("end_pos"))
+      .select(col("doc_id"),
+        col("start_pos").cast("long").as("start_pos"),
+        col("end_pos").cast("long").as("end_pos"),
+        (col("end_pos") - col("start_pos") + 1).cast("long")
+          .as("n_tokens"))
+      .orderBy(col("doc_id"), col("start_pos"))
+  }
+
+  val dupSpansSql: String = {
+    val K = DupSpanK
+    s"""WITH d AS (
+       |  SELECT doc_id, $wordsSql AS w FROM documents),
+       |d2 AS (SELECT doc_id, w FROM d WHERE len(w) >= $K),
+       |g AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(w) - $K + 2)) AS pos,
+       |    unnest(list_transform(range(1, len(w) - $K + 2),
+       |      i -> array_to_string(w[i:i+$K-1], ' '))) AS gram
+       |  FROM d2),
+       |dup AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+       |dpos AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+       |isl AS (SELECT doc_id, pos,
+       |          pos - row_number() OVER (PARTITION BY doc_id
+       |                                   ORDER BY pos) AS k
+       |        FROM dpos),
+       |sp AS (SELECT doc_id, min(pos) AS start_pos,
+       |              max(pos) + $K - 1 AS end_pos
+       |       FROM isl GROUP BY doc_id, k)
+       |SELECT doc_id,
+       |  CAST(start_pos AS BIGINT) AS start_pos,
+       |  CAST(end_pos AS BIGINT) AS end_pos,
+       |  CAST(end_pos - start_pos + 1 AS BIGINT) AS n_tokens
+       |FROM sp
+       |ORDER BY doc_id, start_pos""".stripMargin
+  }
+
   // ── q72: weighted corpus mixing — per-source epoch weights ──────────────
   /** Deterministic mixture resampling: each source gets an epoch weight
     * (how many times its documents appear in the training mix — here
@@ -2587,7 +2683,8 @@ object Documents {
     "q99_keyword_search"  -> (keywordSearch _),
     "q122_bm25_search"    -> (bm25Search _),
     "q124_bpe_train"      -> (bpeTrain _),
-    "q125_bpe_encode"     -> (bpeEncode _))
+    "q125_bpe_encode"     -> (bpeEncode _),
+    "q126_dup_spans"      -> (dupSpans _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q52_char_ngram_langid" -> charNgramLangIdSql,
@@ -2624,5 +2721,6 @@ object Documents {
     "q99_keyword_search"  -> keywordSearchSql,
     "q122_bm25_search"    -> bm25SearchSql,
     "q124_bpe_train"      -> bpeTrainSql,
-    "q125_bpe_encode"     -> bpeEncodeSql)
+    "q125_bpe_encode"     -> bpeEncodeSql,
+    "q126_dup_spans"      -> dupSpansSql)
 }

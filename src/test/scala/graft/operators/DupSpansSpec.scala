@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins the q126 substring-dedup contract on constructed corpora: a span
+  * is every MAXIMAL run of ≥ K consecutive tokens occurring ≥ 2 times in
+  * the corpus — cross-doc or within one doc — with overlapping duplicated
+  * windows merged by the gaps-and-islands pass, and nothing shorter than
+  * K ever surfacing. */
+class DupSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def spans(k: Int, docs: (Long, String)*) =
+    Documents.dupSpansCore(docs.toDF("doc_id", "text"), k)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+  test("a shared K-token passage surfaces as one span in BOTH docs; " +
+       "unique docs stay silent") {
+    val shared = "a b c d" // K = 4
+    val got = spans(4,
+      (1L, s"x1 x2 $shared y1"),
+      (2L, s"z1 $shared z2 z3"),
+      (3L, "p q r s t u v w"))
+    assert(got === Seq((1L, 3L, 6L, 4L), (2L, 2L, 5L, 4L)))
+  }
+
+  test("overlapping duplicated windows merge into ONE maximal span — a " +
+       "shared passage longer than K is one island, not len-K+1 spans") {
+    // 6 shared tokens, K=4 → windows at 3 positions per doc merge
+    val got = spans(4, (1L, "a b c d e f"), (2L, "x a b c d e f y"))
+    assert(got === Seq((1L, 1L, 6L, 6L), (2L, 2L, 7L, 6L)))
+  }
+
+  test("within-doc repetition counts: a passage occurring twice in ONE " +
+       "document is duplicated even with no other doc involved") {
+    val got = spans(3, (1L, "a b c x y z a b c"))
+    assert(got === Seq((1L, 1L, 3L, 3L), (1L, 7L, 9L, 3L)))
+  }
+
+  test("shared runs shorter than K never surface, exactly-K does") {
+    // 3 shared tokens, K=4 → silence
+    assert(spans(4, (1L, "a b c q1 q2"), (2L, "a b c r1 r2")) === Seq.empty)
+    // exactly K shared tokens → both spans, inclusive boundary
+    val got = spans(4, (1L, "a b c d q1"), (2L, "a b c d r1"))
+    assert(got === Seq((1L, 1L, 4L, 4L), (2L, 1L, 4L, 4L)))
+  }
+
+  test("two DISJOINT duplicated passages in one doc stay two spans — " +
+       "islands only merge adjacent or overlapping windows") {
+    val got = spans(3,
+      (1L, "a b c m1 m2 m3 x y z"),
+      (2L, "a b c n1 n2"),
+      (3L, "x y z n3 n4"))
+    assert(got === Seq(
+      (1L, 1L, 3L, 3L), (1L, 7L, 9L, 3L),
+      (2L, 1L, 3L, 3L), (3L, 1L, 3L, 3L)))
+  }
+
+  test("docs shorter than K tokens are excluded wholesale") {
+    assert(spans(4, (1L, "a b c"), (2L, "a b c")) === Seq.empty)
+  }
+}
