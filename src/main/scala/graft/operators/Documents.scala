@@ -2162,9 +2162,11 @@ object Documents {
       .orderBy(col("doc_id"), col("start_pos"))
   }
 
-  val dupSpansSql: String = {
+  /** The shared oracle CTE chain scan → grams → dup → islands → spans
+    * (q126's full pipeline minus the final projection), reused by q127. */
+  private def dupSpanChainSql: String = {
     val K = DupSpanK
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, $wordsSql AS w FROM documents),
        |d2 AS (SELECT doc_id, w FROM d WHERE len(w) >= $K),
        |g AS (
@@ -2181,14 +2183,84 @@ object Documents {
        |        FROM dpos),
        |sp AS (SELECT doc_id, min(pos) AS start_pos,
        |              max(pos) + $K - 1 AS end_pos
-       |       FROM isl GROUP BY doc_id, k)
+       |       FROM isl GROUP BY doc_id, k)""".stripMargin
+  }
+
+  val dupSpansSql: String =
+    s"""WITH $dupSpanChainSql
        |SELECT doc_id,
        |  CAST(start_pos AS BIGINT) AS start_pos,
        |  CAST(end_pos AS BIGINT) AS end_pos,
        |  CAST(end_pos - start_pos + 1 AS BIGINT) AS n_tokens
        |FROM sp
        |ORDER BY doc_id, start_pos""".stripMargin
+
+  // ── q127: span dedup apply — canonical-occurrence election ─────────────
+  /** q127: the ACT half of substring dedup — q126 finds the duplicated
+    * spans, this elects which occurrence SURVIVES and emits the
+    * keep/drop verdict a rewrite pass applies. Spans cluster by their
+    * exact TEXT (only byte-identical spans dedup against each other —
+    * the well-defined grain: a longer span containing a shorter one is
+    * different content and keeps its own canonical); the canonical
+    * occurrence is min (doc_id, start_pos) — the same portable
+    * struct-min election as every keeper choice here (q80's canonical,
+    * the linkage tie rule). Output: every duplicated span with
+    * keep ∈ {0,1}; a training-data writer drops the keep=0 token ranges.
+    *
+    * Scale shape on top of q126's: one join of the span list back to
+    * the doc words to slice each span's text (spans ≪ corpus — the join
+    * fans docs' word arrays only to docs that HAVE spans), one
+    * domain-sized election over span texts, one verdict fan-out. The
+    * span-text shuffle carries each span once — bounded by the finder's
+    * output, not the corpus. */
+  def spanDedup(s: SparkSession, d: String): DataFrame =
+    spanDedupCore(Tables.documents(s, d), DupSpanK)
+
+  private[operators] def spanDedupCore(docs0: DataFrame,
+                                       K: Int): DataFrame = {
+    val spans = dupSpansCore(docs0, K)
+    val words = docs0.select(col("doc_id"),
+      graft.functions.Text.toWords(col("text")).as("w"))
+    val withText = spans.join(words, Seq("doc_id"))
+      .withColumn("span_text",
+        array_join(slice(col("w"), col("start_pos").cast("int"),
+          col("n_tokens").cast("int")), " "))
+      .drop("w")
+    val keeper = withText.groupBy(col("span_text"))
+      .agg(min(struct(col("doc_id"), col("start_pos"))).as("kp"))
+      .select(col("span_text"), col("kp.doc_id").as("k_doc"),
+        col("kp.start_pos").as("k_pos"))
+    withText.join(keeper, Seq("span_text"))
+      .select(col("doc_id"), col("start_pos"), col("end_pos"),
+        col("n_tokens"),
+        (col("doc_id") === col("k_doc") &&
+         col("start_pos") === col("k_pos")).cast("long").as("keep"))
+      .orderBy(col("doc_id"), col("start_pos"))
   }
+
+  val spanDedupSql: String =
+    s"""WITH $dupSpanChainSql,
+       |st AS (
+       |  SELECT sp.doc_id, sp.start_pos, sp.end_pos,
+       |    sp.end_pos - sp.start_pos + 1 AS n_tokens,
+       |    array_to_string(d2.w[sp.start_pos:sp.end_pos], ' ')
+       |      AS span_text
+       |  FROM sp JOIN d2 USING (doc_id)),
+       |kp AS (
+       |  SELECT span_text, doc_id AS k_doc, start_pos AS k_pos FROM (
+       |    SELECT span_text, doc_id, start_pos, row_number() OVER (
+       |      PARTITION BY span_text
+       |      ORDER BY doc_id, start_pos) AS rn FROM st)
+       |  WHERE rn = 1)
+       |SELECT st.doc_id,
+       |  CAST(st.start_pos AS BIGINT) AS start_pos,
+       |  CAST(st.end_pos AS BIGINT) AS end_pos,
+       |  CAST(st.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(CASE WHEN st.doc_id = kp.k_doc
+       |            AND st.start_pos = kp.k_pos
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM st JOIN kp USING (span_text)
+       |ORDER BY st.doc_id, st.start_pos""".stripMargin
 
   // ── q72: weighted corpus mixing — per-source epoch weights ──────────────
   /** Deterministic mixture resampling: each source gets an epoch weight
@@ -2684,7 +2756,8 @@ object Documents {
     "q122_bm25_search"    -> (bm25Search _),
     "q124_bpe_train"      -> (bpeTrain _),
     "q125_bpe_encode"     -> (bpeEncode _),
-    "q126_dup_spans"      -> (dupSpans _))
+    "q126_dup_spans"      -> (dupSpans _),
+    "q127_span_dedup"     -> (spanDedup _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q52_char_ngram_langid" -> charNgramLangIdSql,
@@ -2722,5 +2795,6 @@ object Documents {
     "q122_bm25_search"    -> bm25SearchSql,
     "q124_bpe_train"      -> bpeTrainSql,
     "q125_bpe_encode"     -> bpeEncodeSql,
-    "q126_dup_spans"      -> dupSpansSql)
+    "q126_dup_spans"      -> dupSpansSql,
+    "q127_span_dedup"     -> spanDedupSql)
 }

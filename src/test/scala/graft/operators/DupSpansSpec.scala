@@ -59,4 +59,32 @@ class DupSpansSpec extends SparkSpec {
   test("docs shorter than K tokens are excluded wholesale") {
     assert(spans(4, (1L, "a b c"), (2L, "a b c")) === Seq.empty)
   }
+
+  private def dedup(k: Int, docs: (Long, String)*) =
+    Documents.spanDedupCore(docs.toDF("doc_id", "text"), k)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+
+  test("span dedup elects min (doc, pos) as the keeper among " +
+       "byte-identical spans — cross-doc and within-doc") {
+    // same 4-token passage in three places: doc1@3, doc2@2, doc2@7
+    val got = dedup(4,
+      (2L, "z1 a b c d q1 a b c d"),
+      (1L, "x1 x2 a b c d y1"))
+    assert(got === Seq(
+      (1L, 3L, 6L, 4L, 1L),  // canonical: smallest doc_id
+      (2L, 2L, 5L, 4L, 0L),
+      (2L, 7L, 10L, 4L, 0L)))
+  }
+
+  test("spans of different extent are different content: each text " +
+       "cluster keeps its own canonical") {
+    // doc1+doc2 share 5 tokens (span 'a b c d e'); doc3+doc4 share the
+    // 4-token prefix only — two clusters, two keepers
+    val got = dedup(4,
+      (1L, "a b c d e p1"), (2L, "q1 a b c d e"),
+      (3L, "a b c d r1 r2"), (4L, "s1 s2 a b c d"))
+    assert(got === Seq(
+      (1L, 1L, 5L, 5L, 1L), (2L, 2L, 6L, 5L, 0L),
+      (3L, 1L, 4L, 4L, 1L), (4L, 3L, 6L, 4L, 0L)))
+  }
 }
