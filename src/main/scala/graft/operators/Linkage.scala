@@ -261,13 +261,18 @@ object Linkage {
     val cleanNames = distinctClean(clean)
     val pass1 = matchNames(dirtyNames, cleanNames, maxDist)
     // recovery input: names pass 1 could not match, under BOTH
-    // normalizers, tagged with the pass that owns each form
+    // normalizers, tagged with the pass that owns each form. One explode
+    // over an array of tagged structs, NOT a self-union — a union would
+    // reference (and re-run) the anti-join probe twice; the explode
+    // emits both normalized forms from a single pass over the residue.
     val residue = dirtyNames.join(pass1, Seq("dname"), "left_anti")
     val normed = residue
-      .select(col("dname"), reverse(col("dname")).as("nname"),
-        lit(2L).as("pass"))
-      .unionByName(residue.select(col("dname"),
-        sortWords(col("dname")).as("nname"), lit(3L).as("pass")))
+      .select(col("dname"), explode(array(
+        struct(lit(2L).as("pass"), reverse(col("dname")).as("nname")),
+        struct(lit(3L).as("pass"), sortWords(col("dname")).as("nname"))))
+        .as("n"))
+      .select(col("dname"), col("n.pass").as("pass"),
+        col("n.nname").as("nname"))
     // pass-3's registry domain is re-keyed on ITS word-sorted form (two
     // registry names may sort identically — min-key election still
     // holds, taking min of the per-name min keys); pass 2 scores against

@@ -799,4 +799,63 @@ class PlanSpec extends SparkSpec {
         s"expected a window stage:\n$p")
     }
   }
+
+  test("q123: the unified recovery runs TWO blocked matchers total " +
+       "(pass 1 + one tagged pass-2/3 matcher), not three") {
+    // Each matcher contributes exactly one length-band explode
+    // (`explode(sequence(len-d, len+d))`) — a count immune to how
+    // aggressively Catalyst inlines the levenshtein alias into Filters.
+    // Counted on the FINAL adaptive plan: pass 1 is REFERENCED twice
+    // (residue anti-join + verdicts union), but its stage executes once
+    // — AQE reuse collapses the plan-string duplicate that the initial
+    // plan would double-count.
+    atScaleShape {
+      def matchers(name: String) =
+        "explode\\(sequence".r.findAllIn(finalPlan(q(name))).length
+      assert(matchers("q116_fuzzy_join") == 1,
+        "q116 must run exactly one blocked matcher")
+      val multi = matchers("q123_fuzzy_join_multipass")
+      assert(multi == 2,
+        s"expected pass 1 + ONE unified recovery matcher, got $multi")
+    }
+  }
+
+  test("q125: encode is ONE hash Exchange of per-doc partials — the type " +
+       "table broadcasts onto the raw word stream") {
+    // The r16 draft pre-counted (doc, word) pairs before the join,
+    // shuffling the whole occurrence stream for nothing (the broadcast
+    // join is map-side anyway). Pin: one hashpartitioning Exchange
+    // (per-doc agg), an explicit BroadcastHashJoin, partials map-side.
+    val p = plan(q("q125_bpe_encode"))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly one hash Exchange, got $n:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"type table must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-doc sums must partial-agg map-side:\n$p")
+  }
+
+  test("q126: the duplicated-gram probe is a semi-join and the gram " +
+       "count partial-aggs — no occurrence accumulation anywhere") {
+    atScaleShape {
+      val p = plan(q("q126_dup_spans"))
+      assert(p.contains("LeftSemi"),
+        s"dup positions must come from a semi-join:\n$p")
+      assert(p.contains("partial_count"),
+        s"gram count must partial-agg map-side:\n$p")
+      assert(!p.contains("collect_list"),
+        s"no per-gram occurrence accumulation allowed:\n$p")
+    }
+  }
+
+  test("q127: the keeper election partial-aggs its struct-min over the " +
+       "span-text domain; the finder's semi-join shape is preserved") {
+    atScaleShape {
+      val p = plan(q("q127_span_dedup"))
+      assert(p.contains("LeftSemi"), s"finder semi-join lost:\n$p")
+      assert(p.contains("partial_min"),
+        s"keeper election must partial-agg map-side:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian in q127:\n$p")
+    }
+  }
 }
