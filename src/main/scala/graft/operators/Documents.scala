@@ -2238,6 +2238,124 @@ object Documents {
       .orderBy(col("doc_id"), col("start_pos"))
   }
 
+  // ── q128: incremental dup-span probe — q126 through a gram index ───────
+  /** Per-gram occurrence counts of a corpus — the ONLY statistic the
+    * span probe needs from the standing side, so it is the whole index
+    * (contrast q82's prefix rows: no positions, no doc ids — duplication
+    * is a property of the gram's global count). */
+  private[operators] def gramCounts(docs: DataFrame, K: Int): DataFrame =
+    docs.select(col("doc_id"), graft.functions.Text.toWords(col("text"))
+        .as("w"))
+      .filter(size(col("w")) >= K)
+      .select(explode(expr(
+        s"transform(sequence(1, size(w) - ${K - 1}), " +
+        s"i -> array_join(slice(w, i, $K), ' '))")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_idx"))
+
+  /** q128: the INGEST face of substring dedup — q126's finder for a new
+    * batch against a standing corpus, batch-linear (the q79→q82 move
+    * applied to spans): the corpus contributes a one-time materialized
+    * GRAM-COUNT index; each batch emits only ITS grams, sums its own
+    * counts, and a position is duplicated iff batch + index counts reach
+    * 2 — exactly the global ≥2 rule, because occurrence counts decompose
+    * over any corpus partition (the same sum-decomposition that makes
+    * the bm25 stats ledger mergeable). Islands/spans then run on the
+    * batch's duplicated positions only. Batch cost: one batch scan + one
+    * equi-join against the index on `gram` (token-clustered compaction
+    * gives the probe tight row-group stats, q82's argument) — the
+    * corpus is never re-tokenized per batch, which is the whole point.
+    * Index maintenance is the established ledger lifecycle: per-batch
+    * count partials append keyed by batch (first-wins replay absorption,
+    * sum-collapse at probe time), compaction clusters on gram.
+    *
+    * Split: the q42/q82 portable-hash 90/10 carve, so both engines build
+    * identical corpus/incoming sides; the oracle replays the GLOBAL ≥2
+    * rule restricted to incoming docs — the gate itself proves the
+    * index decomposition changes no verdict. */
+  def dupSpansIncremental(s: SparkSession, d: String): DataFrame = {
+    val K = DupSpanK
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, d)
+      .withColumn("bucket",
+        pmod(graft.functions.Text.portableHash(col("doc_id")
+          .cast("string")), lit(100L)))
+    val corpus = base.filter(col("bucket") < 90)
+    val incoming = base.filter(col("bucket") >= 90)
+    val tag = Tables.datasetTag(s, d, "documents")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val idx = graft.etl.Merge.materialize(s,
+      s"$wh/graft_gram_idx_$tag", gramCounts(corpus, K))
+    dupSpanProbe(incoming, idx, K)
+  }
+
+  /** The batch probe against a (gram, n_idx) count index — factored so
+    * DupSpansSpec can prove the decomposition (probe ≡ batch finder
+    * restricted to the batch) on constructed corpus/batch splits. */
+  private[operators] def dupSpanProbe(incoming: DataFrame, idx: DataFrame,
+                                      K: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = incoming
+      .select(col("doc_id"), graft.functions.Text.toWords(col("text"))
+        .as("w"))
+      .filter(size(col("w")) >= K)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")) - lit(K - 1))).as("pos"),
+        col("w"))
+      .select(col("doc_id"), col("pos"),
+        array_join(slice(col("w"), col("pos"), lit(K)), " ").as("gram"))
+    val dup = g.groupBy(col("gram")).agg(count(lit(1)).as("n_in"))
+      .join(idx, Seq("gram"), "left")
+      .filter(col("n_in") + coalesce(col("n_idx"), lit(0L)) >= 2)
+      .select(col("gram"))
+    val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    g.join(dup, Seq("gram"), "left_semi")
+      .withColumn("isl", col("pos") - row_number().over(wIsl))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("start_pos"),
+        (max(col("pos")) + lit(K - 1)).as("end_pos"))
+      .select(col("doc_id"),
+        col("start_pos").cast("long").as("start_pos"),
+        col("end_pos").cast("long").as("end_pos"),
+        (col("end_pos") - col("start_pos") + 1).cast("long")
+          .as("n_tokens"))
+      .orderBy(col("doc_id"), col("start_pos"))
+  }
+
+  /** Oracle: the GLOBAL duplication rule restricted to incoming docs —
+    * brute-force over the whole corpus, no index anywhere, so the gate
+    * proves the count decomposition exact. */
+  val dupSpansIncrementalSql: String = {
+    val K = DupSpanK
+    s"""WITH d AS (
+       |  SELECT doc_id, $wordsSql AS w,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 100 AS b
+       |  FROM documents),
+       |d2 AS (SELECT doc_id, w, b FROM d WHERE len(w) >= $K),
+       |g AS (
+       |  SELECT doc_id, b,
+       |    unnest(range(1, len(w) - $K + 2)) AS pos,
+       |    unnest(list_transform(range(1, len(w) - $K + 2),
+       |      i -> array_to_string(w[i:i+$K-1], ' '))) AS gram
+       |  FROM d2),
+       |dup AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+       |dpos AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)
+       |         WHERE b >= 90),
+       |isl AS (SELECT doc_id, pos,
+       |          pos - row_number() OVER (PARTITION BY doc_id
+       |                                   ORDER BY pos) AS k
+       |        FROM dpos),
+       |sp AS (SELECT doc_id, min(pos) AS start_pos,
+       |              max(pos) + $K - 1 AS end_pos
+       |       FROM isl GROUP BY doc_id, k)
+       |SELECT doc_id,
+       |  CAST(start_pos AS BIGINT) AS start_pos,
+       |  CAST(end_pos AS BIGINT) AS end_pos,
+       |  CAST(end_pos - start_pos + 1 AS BIGINT) AS n_tokens
+       |FROM sp
+       |ORDER BY doc_id, start_pos""".stripMargin
+  }
+
   val spanDedupSql: String =
     s"""WITH $dupSpanChainSql,
        |st AS (
@@ -2757,7 +2875,8 @@ object Documents {
     "q124_bpe_train"      -> (bpeTrain _),
     "q125_bpe_encode"     -> (bpeEncode _),
     "q126_dup_spans"      -> (dupSpans _),
-    "q127_span_dedup"     -> (spanDedup _))
+    "q127_span_dedup"     -> (spanDedup _),
+    "q128_incr_dup_spans" -> (dupSpansIncremental _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q52_char_ngram_langid" -> charNgramLangIdSql,
@@ -2796,5 +2915,6 @@ object Documents {
     "q124_bpe_train"      -> bpeTrainSql,
     "q125_bpe_encode"     -> bpeEncodeSql,
     "q126_dup_spans"      -> dupSpansSql,
-    "q127_span_dedup"     -> spanDedupSql)
+    "q127_span_dedup"     -> spanDedupSql,
+    "q128_incr_dup_spans" -> dupSpansIncrementalSql)
 }

@@ -76,6 +76,46 @@ class DupSpansSpec extends SparkSpec {
       (2L, 7L, 10L, 4L, 0L)))
   }
 
+  private def probe(k: Int, corpus: Seq[(Long, String)],
+                    incoming: Seq[(Long, String)]) =
+    Documents.dupSpanProbe(incoming.toDF("doc_id", "text"),
+      Documents.gramCounts(corpus.toDF("doc_id", "text"), k), k)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+  test("incremental probe == batch finder restricted to the batch: " +
+       "cross-corpus, within-batch, and corpus-internal cases") {
+    val corpus = Seq(
+      (1L, "a b c d p1 p2"),   // shares 'a b c d' with incoming doc 10
+      (2L, "m1 m2 m3 m4 m5"),
+      (3L, "e f g h z1"), (4L, "e f g h z2")) // corpus-internal dup
+    val incoming = Seq(
+      (10L, "q1 a b c d"),     // cross: gram count 1 (batch) + 1 (index)
+      (11L, "u v w x y"),      // globally unique → silent
+      (12L, "r s t u1 u2"), (13L, "r s t v1 v2")) // within-batch pair? 3<K
+    // K = 4: doc 12/13 share only 3 tokens → silent; doc 10 recovers
+    val got = probe(4, corpus, incoming)
+    assert(got === Seq((10L, 2L, 5L, 4L)))
+    // the batch finder over corpus ∪ incoming, restricted to the batch,
+    // says exactly the same — the count decomposition changes nothing
+    val batch = spans(4, (corpus ++ incoming): _*)
+      .filter(_._1 >= 10L)
+    assert(batch === got)
+    // corpus-internal dups (docs 3/4) never reach the probe's output
+    assert(!got.exists(_._1 <= 4L))
+  }
+
+  test("within-batch duplication surfaces without any index hit, and " +
+       "TWO index occurrences make a single batch occurrence duplicated") {
+    // 'j k l m' twice in the batch, absent from the corpus
+    val got1 = probe(4, Seq((1L, "zz yy xx ww vv")),
+      Seq((10L, "j k l m t1"), (11L, "t2 j k l m")))
+    assert(got1 === Seq((10L, 1L, 4L, 4L), (11L, 2L, 5L, 4L)))
+    // gram occurs twice in the CORPUS, once in the batch → duplicated
+    val got2 = probe(4, Seq((1L, "n o p q a1"), (2L, "n o p q a2")),
+      Seq((10L, "b1 n o p q")))
+    assert(got2 === Seq((10L, 2L, 5L, 4L)))
+  }
+
   test("spans of different extent are different content: each text " +
        "cluster keeps its own canonical") {
     // doc1+doc2 share 5 tokens (span 'a b c d e'); doc3+doc4 share the
