@@ -2288,6 +2288,40 @@ object Documents {
     dupSpanProbe(incoming, idx, K)
   }
 
+  /** Append one batch's gram-count partials to a standing ledger —
+    * q128's index maintenance, the same ledger lifecycle as the bm25
+    * stats and the streaming grid: rows key (gram, batch), appends are
+    * O(batch) new files, a checkpoint-replayed batch re-derives
+    * byte-identical partials under the same id and is absorbed by the
+    * reader's first-wins. */
+  private[graft] def appendGramLedger(ledgerPath: String, docs: DataFrame,
+                                      K: Int, batchId: String): Unit =
+    gramCounts(docs, K)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(ledgerPath)
+
+  /** The ledger collapsed to the probe's (gram, n_idx) view: first-wins
+    * on the (gram, batch) identity absorbs replayed appends (a replay's
+    * partials are byte-identical, so min is exact), then counts SUM
+    * across batches — exact because occurrence counts decompose over
+    * disjoint batches (the property the q128 oracle gates). */
+  private[graft] def gramLedgerCounts(s: SparkSession,
+                                      ledgerPath: String): DataFrame =
+    s.read.parquet(ledgerPath)
+      .groupBy(col("gram"), col("batch_id"))
+      .agg(min(col("n_idx")).as("n_part"))
+      .groupBy(col("gram")).agg(sum(col("n_part")).as("n_idx"))
+
+  /** Gram-clustered compaction for the ledger — [[compactPrefixIndex]]'s
+    * lifecycle: per-batch small files rewrite size-targeted on the
+    * probe's join key; full-row duplicates from replayed appends (byte-
+    * identical, batch id included) GC'd by the same shuffle; distinct
+    * batches' legitimate equal counts survive because batch_id differs.
+    * Probe answers invariant (DupSpansSpec). */
+  def compactGramLedger(s: SparkSession, ledgerPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    graft.etl.Merge.compact(s, ledgerPath, "gram", targetBytes)
+
   /** The batch probe against a (gram, n_idx) count index — factored so
     * DupSpansSpec can prove the decomposition (probe ≡ batch finder
     * restricted to the batch) on constructed corpus/batch splits. */

@@ -116,6 +116,35 @@ class DupSpansSpec extends SparkSpec {
     assert(got2 === Seq((10L, 2L, 5L, 4L)))
   }
 
+  test("gram ledger lifecycle: batched appends + a replay collapse to " +
+       "the one-shot counts, compaction shrinks files and leaves the " +
+       "probe invariant") {
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft_gram_ledger").toString + "/idx"
+    val b1 = Seq((1L, "a b c d p1 p2"), (2L, "a b c d p3 p4"))
+    val b2 = Seq((3L, "e f g h z1"), (4L, "a b c d z2"))
+    Documents.appendGramLedger(ledger, b1.toDF("doc_id", "text"), 4, "b1")
+    Documents.appendGramLedger(ledger, b2.toDF("doc_id", "text"), 4, "b2")
+    // checkpoint replay re-appends b2 under the SAME id: absorbed whole
+    Documents.appendGramLedger(ledger, b2.toDF("doc_id", "text"), 4, "b2")
+    val folded = Documents.gramLedgerCounts(spark, ledger)
+    val oneShot = Documents.gramCounts((b1 ++ b2).toDF("doc_id", "text"), 4)
+    assert(folded.exceptAll(oneShot).count() === 0 &&
+           oneShot.exceptAll(folded).count() === 0,
+      "ledger fold != one-shot gram counts")
+    val incoming = Seq((10L, "q1 a b c d"))
+    val before = Documents.dupSpanProbe(incoming.toDF("doc_id", "text"),
+      folded, 4).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(before === Seq((10L, 2L, 5L, 4L)))
+    // compaction: replay duplicates GC'd, files shrink, probe invariant
+    val (nb, na) = Documents.compactGramLedger(spark, ledger)
+    assert(nb > na, s"compaction must shrink files ($nb -> $na)")
+    val after = Documents.dupSpanProbe(incoming.toDF("doc_id", "text"),
+      Documents.gramLedgerCounts(spark, ledger), 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(after === before, "compaction changed a probe verdict")
+  }
+
   test("spans of different extent are different content: each text " +
        "cluster keeps its own canonical") {
     // doc1+doc2 share 5 tokens (span 'a b c d e'); doc3+doc4 share the
