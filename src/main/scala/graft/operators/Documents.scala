@@ -2337,8 +2337,31 @@ object Documents {
         col("w"))
       .select(col("doc_id"), col("pos"),
         array_join(slice(col("w"), col("pos"), lit(K)), " ").as("gram"))
+    // Index-side runtime filter (the q73/q107 Bloom-before-exact move):
+    // past a size gate, the standing index is pruned MAP-SIDE through a
+    // Bloom of the batch's gram hashes before the join shuffle — the
+    // probe only needs index rows whose gram the BATCH mentions, which
+    // at production corpus/batch ratios is a tiny fraction; without the
+    // filter the equi-join reshuffles the WHOLE index every batch (the
+    // sf100 probe measured that shuffle as the dominant term: 97 → 34 s
+    // warm). No false negatives, so the left join's result is exact; FPs
+    // only add rows the join key kills anyway. Costs one extra
+    // batch-linear pass (the bloom build) — batch-bounded, per contract.
+    val nIdx = idx.count()
+    val pruned =
+      if (nIdx <= 8L * 1000 * 1000) idx
+      else {
+        val bloomAgg = udaf(new graft.functions.Bloom.Agg(
+          graft.functions.Bloom.sizeWords(g.count())))
+        val bloom = g.coalesce(8) // bounded partials, the q104 note
+          .agg(bloomAgg(xxhash64(col("gram"))).as("bf"))
+        idx.crossJoin(broadcast(bloom))
+          .filter(graft.functions.Bloom.mightContainCol(col("bf.bits"),
+            xxhash64(col("gram"))))
+          .select(col("gram"), col("n_idx"))
+      }
     val dup = g.groupBy(col("gram")).agg(count(lit(1)).as("n_in"))
-      .join(idx, Seq("gram"), "left")
+      .join(pruned, Seq("gram"), "left")
       .filter(col("n_in") + coalesce(col("n_idx"), lit(0L)) >= 2)
       .select(col("gram"))
     val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
