@@ -2482,6 +2482,99 @@ object Documents {
       |FROM n WHERE n_copies >= 1
       |ORDER BY source, doc_id, copy""".stripMargin
 
+  // ── q129: temperature-mixed sampling — data-driven epoch weights ───────
+  /** Epoch-weight cap, basis points (5 epochs): real mixes cap how far a
+    * tiny source is upsampled — unbounded sqrt(T_max/T_i) would replay a
+    * 1-doc source thousands of times (memorization, not balance). */
+  val TempMixCapBp = 50000L
+
+  /** q129: TEMPERATURE-mixed corpus sampling (α = 1/2) — q72's mixing
+    * with the weights DERIVED FROM THE DATA instead of hand-set: a
+    * source's epoch weight is sqrt(T_max / T_i), capped — the classic
+    * temperature knob (multilingual BERT/XLM-R's exponent-smoothed
+    * sampling; the mT5 α): sampling probability ∝ T_i^α flattens the
+    * size distribution, which per source means epochs ∝ T_i^(α-1) =
+    * 1/sqrt normalized so the LARGEST source runs exactly once. Output:
+    * per source, its exact token count, the derived epoch weight in bp,
+    * and the resulting document/copy counts under q72's whole-copies +
+    * hash-selected-fraction machinery (a pure function of the data — no
+    * rand(), replays and both engines agree).
+    *
+    * Determinism, cross-engine: token counts are integer sums
+    * (order-free); T_max is an integer max; and the ONLY floating step
+    * is `sqrt(T_max / T_i)` — ELEMENT-WISE IEEE ops (one division, one
+    * sqrt, one multiply, one floor), no reassociable sum anywhere, so
+    * Spark and DuckDB produce bit-identical doubles and the floor to bp
+    * is exact. That element-wise form is deliberate: normalizing by
+    * Σ sqrt(T_i) instead would put a float SUM in the pipeline, whose
+    * accumulation order neither engine pins (the q70 idf-log argument —
+    * keep libm/IEEE to element-wise functions of exact integers).
+    *
+    * Scale shape: pass 1 collapses the corpus to per-source token sums
+    * (map-side combined, |sources| rows); the weight table is a
+    * broadcast-sized dim joined back for the per-doc copy decision —
+    * map-only after the one collapse, the q72 no-shuffle fan-out. */
+  def temperatureMix(s: SparkSession, d: String): DataFrame =
+    temperatureMixCore(Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(Text.toWords(col("text"))).cast("long").as("n_tok")))
+
+  /** The mix over any (source, doc_id, n_tok) frame — factored so
+    * TempMixSpec can pin the anchor (largest source ≡ 10000 bp), the
+    * sqrt law, the cap, and the fractional-copy hash selection on
+    * constructed token tables. */
+  private[operators] def temperatureMixCore(docs: DataFrame): DataFrame = {
+    val bySrc = docs.groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("t"), count(lit(1)).as("n_docs"))
+    val tMax = bySrc.agg(max(col("t")).as("t_max"))
+    val weights = bySrc.crossJoin(broadcast(tMax))
+      .withColumn("e_bp", least(
+        floor(lit(10000.0) * sqrt(col("t_max").cast("double") / col("t")))
+          .cast("long"),
+        lit(TempMixCapBp)))
+    val perDoc = docs.join(broadcast(
+        weights.select(col("source"), col("e_bp"))), Seq("source"))
+      .withColumn("extra", (Text.portableHash(
+        concat(col("doc_id").cast("string"), lit("tmix"))) % 10000L <
+        col("e_bp") % 10000L).cast("long"))
+      .withColumn("n_copies", (col("e_bp") / lit(10000L)).cast("long") +
+        col("extra"))
+    perDoc.groupBy(col("source"))
+      .agg(sum(col("n_copies")).as("n_copies"))
+      .join(weights, Seq("source"))
+      .select(col("source"), col("t").as("n_tokens"), col("n_docs"),
+        col("e_bp"), col("n_copies"))
+      .orderBy(col("source"))
+  }
+
+  val temperatureMixSql: String =
+    s"""WITH dt AS (
+       |  SELECT source, doc_id,
+       |    CAST(len($wordsSql) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |src AS (
+       |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS t,
+       |         CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM dt GROUP BY 1),
+       |w AS (
+       |  SELECT source, t, n_docs,
+       |    least(CAST(floor(10000.0 *
+       |        sqrt(CAST((SELECT max(t) FROM src) AS DOUBLE) / t))
+       |      AS BIGINT), $TempMixCapBp) AS e_bp
+       |  FROM src),
+       |pd AS (
+       |  SELECT dt.source,
+       |    (w.e_bp // 10000) + CASE WHEN
+       |      CAST(concat('0x', substr(md5(CAST(dt.doc_id AS VARCHAR)
+       |        || 'tmix'), 1, 15)) AS BIGINT) % 10000 < w.e_bp % 10000
+       |      THEN 1 ELSE 0 END AS n_copies
+       |  FROM dt JOIN w USING (source))
+       |SELECT w.source AS source, w.t AS n_tokens, w.n_docs AS n_docs,
+       |  w.e_bp AS e_bp, CAST(sum(pd.n_copies) AS BIGINT) AS n_copies
+       |FROM pd JOIN w USING (source)
+       |GROUP BY w.source, w.t, w.n_docs, w.e_bp
+       |ORDER BY w.source""".stripMargin
+
   // ── q42: reproducible hash-bucket train/test split ──────────────────────
   /** Split assignment as a pure function of the key (hash mod 100:
     * <80 train, <90 valid, else test) — the canonical reproducible split:
@@ -2933,7 +3026,8 @@ object Documents {
     "q125_bpe_encode"     -> (bpeEncode _),
     "q126_dup_spans"      -> (dupSpans _),
     "q127_span_dedup"     -> (spanDedup _),
-    "q128_incr_dup_spans" -> (dupSpansIncremental _))
+    "q128_incr_dup_spans" -> (dupSpansIncremental _),
+    "q129_temperature_mix" -> (temperatureMix _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q52_char_ngram_langid" -> charNgramLangIdSql,
@@ -2973,5 +3067,6 @@ object Documents {
     "q125_bpe_encode"     -> bpeEncodeSql,
     "q126_dup_spans"      -> dupSpansSql,
     "q127_span_dedup"     -> spanDedupSql,
-    "q128_incr_dup_spans" -> dupSpansIncrementalSql)
+    "q128_incr_dup_spans" -> dupSpansIncrementalSql,
+    "q129_temperature_mix" -> temperatureMixSql)
 }
