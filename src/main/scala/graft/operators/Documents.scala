@@ -2527,10 +2527,15 @@ object Documents {
     val bySrc = docs.groupBy(col("source"))
       .agg(sum(col("n_tok")).as("t"), count(lit(1)).as("n_docs"))
     val tMax = bySrc.agg(max(col("t")).as("t_max"))
+    // greatest(t, 1): a source whose every doc tokenizes empty would put
+    // t = 0 in the divisor — Spark casts the resulting Inf to
+    // Long.MaxValue but DuckDB REFUSES the cast, so both engines guard
+    // identically (such a source upsamples at the cap, which is also
+    // the only sane semantic for it)
     val weights = bySrc.crossJoin(broadcast(tMax))
       .withColumn("e_bp", least(
-        floor(lit(10000.0) * sqrt(col("t_max").cast("double") / col("t")))
-          .cast("long"),
+        floor(lit(10000.0) * sqrt(col("t_max").cast("double") /
+          greatest(col("t"), lit(1L)))).cast("long"),
         lit(TempMixCapBp)))
     val perDoc = docs.join(broadcast(
         weights.select(col("source"), col("e_bp"))), Seq("source"))
@@ -2559,8 +2564,8 @@ object Documents {
        |w AS (
        |  SELECT source, t, n_docs,
        |    least(CAST(floor(10000.0 *
-       |        sqrt(CAST((SELECT max(t) FROM src) AS DOUBLE) / t))
-       |      AS BIGINT), $TempMixCapBp) AS e_bp
+       |        sqrt(CAST((SELECT max(t) FROM src) AS DOUBLE)
+       |             / greatest(t, 1))) AS BIGINT), $TempMixCapBp) AS e_bp
        |  FROM src),
        |pd AS (
        |  SELECT dt.source,

@@ -33,6 +33,13 @@ class TempMixSpec extends SparkSpec {
     assert(tiny._5 === 5L)
   }
 
+  test("a zero-token source (every doc tokenizes empty) clamps to the " +
+       "cap instead of dividing by zero — identical guard both engines") {
+    val got = mix(("big", 1L, 100L), ("empty", 2L, 0L))
+    val e = got.find(_._1 == "empty").get
+    assert(e._4 === Documents.TempMixCapBp && e._5 === 5L)
+  }
+
   test("fractional epochs hash-select a stable subset: total copies " +
        "land between the floor and ceiling of e_bp * n_docs / 10000, " +
        "and re-running is byte-identical") {
