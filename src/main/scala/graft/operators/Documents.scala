@@ -2102,9 +2102,13 @@ object Documents {
     * duplicates surface as spans) at a scale the oracle can replay. */
   val DupSpanK = 8
 
-  /** q126: EXACT SUBSTRING-level deduplication — find every maximal span
-    * of ≥ [[DupSpanK]] consecutive tokens that occurs at least twice in
-    * the corpus (Lee et al. 2021, "Deduplicating Training Data Makes
+  /** q126: EXACT SUBSTRING-level deduplication — find every maximal run
+    * of positions whose [[DupSpanK]]-token windows are EACH duplicated
+    * somewhere in the corpus (Lee et al.'s removal-range semantics: the
+    * merged span's constituent windows each occur ≥ 2 times, possibly
+    * against different partners, so the span as a whole need not repeat
+    * verbatim — it is the union of removable ranges, which is what a
+    * rewrite pass drops) (Lee et al. 2021, "Deduplicating Training Data Makes
     * Language Models Better": repeated spans inside otherwise-unique
     * documents are what doc- and chunk-level dedup both miss — boilerplate
     * headers, licence blocks, quoted passages — and models memorize
@@ -2283,8 +2287,12 @@ object Documents {
     val incoming = base.filter(col("bucket") >= 90)
     val tag = Tables.datasetTag(s, d, "documents")
     val wh = s.conf.get("spark.sql.warehouse.dir")
+    // K is part of the artifact identity: a gram index built under a
+    // different window length is a DIFFERENT index, and materialize only
+    // rebuilds on absence (ADVICE r16 — tag-only keying would silently
+    // serve the stale-K index).
     val idx = graft.etl.Merge.materialize(s,
-      s"$wh/graft_gram_idx_$tag", gramCounts(corpus, K))
+      s"$wh/graft_gram_idx_${K}_$tag", gramCounts(corpus, K))
     dupSpanProbe(incoming, idx, K)
   }
 
@@ -2295,10 +2303,21 @@ object Documents {
     * byte-identical partials under the same id and is absorbed by the
     * reader's first-wins. */
   private[graft] def appendGramLedger(ledgerPath: String, docs: DataFrame,
-                                      K: Int, batchId: String): Unit =
+                                      K: Int, batchId: String): Unit = {
+    // Adopt a crashed compaction FIRST (ADVICE r16, the applyGridBatch
+    // guard): if compactGramLedger died in writeAndSwap's delete->rename
+    // window, the ledger dir is absent and only a .tmp-compact orphan
+    // holds the accumulated history — appending before adoption would
+    // recreate the dir and strand the orphan forever (recoverSwap no-ops
+    // once the path exists), silently dropping all pre-compaction counts.
+    val s = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(ledgerPath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, ledgerPath)
     gramCounts(docs, K)
       .withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(ledgerPath)
+  }
 
   /** The ledger collapsed to the probe's (gram, n_idx) view: first-wins
     * on the (gram, batch) identity absorbs replayed appends (a replay's
@@ -2306,11 +2325,15 @@ object Documents {
     * across batches — exact because occurrence counts decompose over
     * disjoint batches (the property the q128 oracle gates). */
   private[graft] def gramLedgerCounts(s: SparkSession,
-                                      ledgerPath: String): DataFrame =
+                                      ledgerPath: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(ledgerPath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, ledgerPath) // see appendGramLedger
     s.read.parquet(ledgerPath)
       .groupBy(col("gram"), col("batch_id"))
       .agg(min(col("n_idx")).as("n_part"))
       .groupBy(col("gram")).agg(sum(col("n_part")).as("n_idx"))
+  }
 
   /** Gram-clustered compaction for the ledger — [[compactPrefixIndex]]'s
     * lifecycle: per-batch small files rewrite size-targeted on the
@@ -2324,11 +2347,16 @@ object Documents {
 
   /** The batch probe against a (gram, n_idx) count index — factored so
     * DupSpansSpec can prove the decomposition (probe ≡ batch finder
-    * restricted to the batch) on constructed corpus/batch splits. */
+    * restricted to the batch) on constructed corpus/batch splits.
+    * `bloomGateRows` is the index size past which the Bloom runtime
+    * filter switches on — injectable (ADVICE r16) so DupSpansSpec can
+    * force the Bloom branch at unit scale and assert its exactness
+    * (probe ≡ batch finder) instead of the branch only ever running at
+    * sf100. */
   private[operators] def dupSpanProbe(incoming: DataFrame, idx: DataFrame,
-                                      K: Int): DataFrame = {
+      K: Int, bloomGateRows: Long = 8L * 1000 * 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = incoming
+    val g0 = incoming
       .select(col("doc_id"), graft.functions.Text.toWords(col("text"))
         .as("w"))
       .filter(size(col("w")) >= K)
@@ -2348,8 +2376,15 @@ object Documents {
     // only add rows the join key kills anyway. Costs one extra
     // batch-linear pass (the bloom build) — batch-bounded, per contract.
     val nIdx = idx.count()
+    val useBloom = nIdx > bloomGateRows
+    // On the Bloom path g is traversed 3× (count for sizing, bloom
+    // build, and the probe body below) — cache it so the batch is
+    // tokenized once, not three times (batch-sized by contract).
+    val g = if (useBloom)
+      g0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else g0
     val pruned =
-      if (nIdx <= 8L * 1000 * 1000) idx
+      if (!useBloom) idx
       else {
         val bloomAgg = udaf(new graft.functions.Bloom.Agg(
           graft.functions.Bloom.sizeWords(g.count())))

@@ -145,6 +145,27 @@ class DupSpansSpec extends SparkSpec {
     assert(after === before, "compaction changed a probe verdict")
   }
 
+  test("Bloom index-pruning branch is EXACT: forcing the gate to 0 " +
+       "(every index qualifies) changes no probe verdict") {
+    // the branch normally only activates past 8M index rows — never at
+    // unit or oracle scale (ADVICE r16) — so force it and assert
+    // equality against both the unbloomed probe and the batch finder
+    val corpus = Seq(
+      (1L, "a b c d p1 p2"), (2L, "m1 m2 m3 m4 m5"),
+      (3L, "e f g h z1"), (4L, "e f g h z2"))
+    val incoming = Seq(
+      (10L, "q1 a b c d"), (11L, "u v w x y"),
+      (12L, "j k l m t1"), (13L, "t2 j k l m"))
+    val idx = Documents.gramCounts(corpus.toDF("doc_id", "text"), 4)
+    val bloomed = Documents.dupSpanProbe(incoming.toDF("doc_id", "text"),
+      idx, 4, bloomGateRows = 0L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val plain = probe(4, corpus, incoming)
+    assert(bloomed === plain, "Bloom branch changed a probe verdict")
+    val batch = spans(4, (corpus ++ incoming): _*).filter(_._1 >= 10L)
+    assert(bloomed === batch)
+  }
+
   test("spans of different extent are different content: each text " +
        "cluster keeps its own canonical") {
     // doc1+doc2 share 5 tokens (span 'a b c d e'); doc3+doc4 share the
