@@ -2214,14 +2214,32 @@ object Documents {
     * Scale shape on top of q126's: one join of the span list back to
     * the doc words to slice each span's text (spans ≪ corpus — the join
     * fans docs' word arrays only to docs that HAVE spans), one
-    * domain-sized election over span texts, one verdict fan-out. The
-    * span-text shuffle carries each span once — bounded by the finder's
-    * output, not the corpus. */
+    * domain-sized election, one verdict fan-out. The election groups by
+    * a 128-BIT SPAN-TEXT HASH, not the raw text (VERDICT r16 — the q126
+    * scaladoc's own 100 TB note applied to this operator's one wide
+    * stage): the wire carries (h, doc, pos) per occurrence, never the
+    * span text. Exactness does NOT rest on the hash: the same
+    * aggregation also computes min/max of the text, whose PARTIALS
+    * combine map-side (a text crosses the wire at most once per
+    * (bucket, partition), as an extreme — not per occurrence), and
+    * min == max iff every member of the bucket is byte-identical. The
+    * expected-empty residue of collided buckets is re-elected grouping
+    * by the raw text, so the result equals the text-grouped election
+    * under ANY hash — the 128-bit width only bounds how often the
+    * repair path runs (DupSpansSpec injects a degenerate hash and pins
+    * the repair). */
   def spanDedup(s: SparkSession, d: String): DataFrame =
     spanDedupCore(Tables.documents(s, d), DupSpanK)
 
-  private[operators] def spanDedupCore(docs0: DataFrame,
-                                       K: Int): DataFrame = {
+  /** Default election key: two independent 64-bit xxhash views of the
+    * span text — 128 bits total, so a collided bucket (the exact-repair
+    * path) is a once-per-corpus-lifetime event, not a steady-state
+    * cost. */
+  private def spanHash128(t: Column): Column =
+    struct(xxhash64(t), xxhash64(lit("graft.span.h2"), t))
+
+  private[operators] def spanDedupCore(docs0: DataFrame, K: Int,
+      clusterHash: Column => Column = spanHash128): DataFrame = {
     val spans = dupSpansCore(docs0, K)
     val words = docs0.select(col("doc_id"),
       graft.functions.Text.toWords(col("text")).as("w"))
@@ -2230,15 +2248,42 @@ object Documents {
         array_join(slice(col("w"), col("start_pos").cast("int"),
           col("n_tokens").cast("int")), " "))
       .drop("w")
-    val keeper = withText.groupBy(col("span_text"))
-      .agg(min(struct(col("doc_id"), col("start_pos"))).as("kp"))
-      .select(col("span_text"), col("kp.doc_id").as("k_doc"),
+      .withColumn("h", clusterHash(col("span_text")))
+    // hash-bucket election + in-bucket verify in ONE aggregation: the
+    // min/max text extremes detect any collision (min == max iff all
+    // bucket members are byte-identical), and their partials combine
+    // map-side, so the shuffle payload per occurrence is (h, doc, pos)
+    val elect = withText.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("start_pos"))).as("kp"),
+        min(col("span_text")).as("t_min"),
+        max(col("span_text")).as("t_max"))
+    val clean = elect.filter(col("t_min") === col("t_max"))
+      .select(col("h"), col("kp.doc_id").as("k_doc"),
         col("kp.start_pos").as("k_pos"))
-    withText.join(keeper, Seq("span_text"))
+    val collided = elect.filter(col("t_min") =!= col("t_max"))
+      .select(col("h"))
+    // clean verdicts join on h only — no text on either side
+    val verdictClean = withText
+      .select(col("h"), col("doc_id"), col("start_pos"), col("end_pos"),
+        col("n_tokens"))
+      .join(clean, Seq("h"))
       .select(col("doc_id"), col("start_pos"), col("end_pos"),
         col("n_tokens"),
         (col("doc_id") === col("k_doc") &&
          col("start_pos") === col("k_pos")).cast("long").as("keep"))
+    // exact repair: members of collided buckets (expected empty) are
+    // re-elected grouping by the RAW text — correct under any hash
+    val wc = withText.join(collided, Seq("h"), "left_semi")
+    val keeperC = wc.groupBy(col("span_text"))
+      .agg(min(struct(col("doc_id"), col("start_pos"))).as("kp"))
+      .select(col("span_text"), col("kp.doc_id").as("k_doc"),
+        col("kp.start_pos").as("k_pos"))
+    val verdictCollided = wc.join(keeperC, Seq("span_text"))
+      .select(col("doc_id"), col("start_pos"), col("end_pos"),
+        col("n_tokens"),
+        (col("doc_id") === col("k_doc") &&
+         col("start_pos") === col("k_pos")).cast("long").as("keep"))
+    verdictClean.unionByName(verdictCollided)
       .orderBy(col("doc_id"), col("start_pos"))
   }
 

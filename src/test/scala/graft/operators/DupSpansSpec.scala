@@ -76,6 +76,31 @@ class DupSpansSpec extends SparkSpec {
       (2L, 7L, 10L, 4L, 0L)))
   }
 
+  test("hash-bucket election repairs collisions EXACTLY: a degenerate " +
+       "hash (everything collides) and a length hash (same-length texts " +
+       "collide) both produce the text-grouped verdicts") {
+    import org.apache.spark.sql.functions.{length, lit}
+    // two distinct same-length 4-token texts ('a b c d' / 'e f g h'),
+    // each duplicated — under the length hash they share a bucket; under
+    // the constant hash everything does
+    val docs = Seq(
+      (2L, "z1 a b c d q1 a b c d"),
+      (1L, "x1 x2 a b c d y1"),
+      (3L, "e f g h w1"), (4L, "w2 e f g h")).toDF("doc_id", "text")
+    val want = Documents.spanDedupCore(docs, 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(want === Seq(
+      (1L, 3L, 6L, 4L, 1L), (2L, 2L, 5L, 4L, 0L), (2L, 7L, 10L, 4L, 0L),
+      (3L, 1L, 4L, 4L, 1L), (4L, 2L, 5L, 4L, 0L)))
+    for (weak <- Seq[org.apache.spark.sql.Column =>
+                     org.apache.spark.sql.Column](
+           _ => lit(0L), t => length(t))) {
+      val got = Documents.spanDedupCore(docs, 4, weak)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(got === want, "collision repair diverged from text grouping")
+    }
+  }
+
   private def probe(k: Int, corpus: Seq[(Long, String)],
                     incoming: Seq[(Long, String)]) =
     Documents.dupSpanProbe(incoming.toDF("doc_id", "text"),
