@@ -1993,7 +1993,14 @@ object Documents {
     * injective, so grouping w0 by (w, s) partitions identically to
     * grouping by s alone, and the type table doubles as the ENCODE
     * lookup (q125). */
-  private def bpeChainSql: String = {
+  private def bpeChainSql: String = bpeChainSqlOn("")
+
+  /** [[bpeChainSql]] with a WHERE predicate restricting which DOCUMENTS
+    * the vocab trains on — "" trains on all (q124/q125); the frozen-
+    * tokenizer oracles (q130/q131) train on the corpus side of the
+    * portable 90/10 carve. */
+  private def bpeChainSqlOn(docPred: String): String = {
+    val where = if (docPred.isEmpty) "" else s" WHERE $docPred"
     val rounds = (1 to BpeMerges).map { k =>
       s"""p$k AS MATERIALIZED (
          |  SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt FROM (
@@ -2017,7 +2024,7 @@ object Documents {
     s"""w0 AS MATERIALIZED (
        |  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s,
        |         CAST(count(*) AS BIGINT) AS freq
-       |  FROM (SELECT unnest($wordsSql) AS w FROM documents)
+       |  FROM (SELECT unnest($wordsSql) AS w FROM documents$where)
        |  WHERE length(w) > 0 GROUP BY 1, 2),
        |$rounds""".stripMargin
   }
@@ -2093,6 +2100,223 @@ object Documents {
        |  CAST(10000 * n_chars // n_tokens AS BIGINT) AS chars_per_token_bp
        |FROM agg
        |ORDER BY doc_id""".stripMargin
+
+  // ── q130/q131: FROZEN tokenizer — materialize, probe, drift, refresh ───
+  /** The portable doc-hash predicate of the 90/10 carve, oracle side
+    * (identical to the q42/q82/q128 split). */
+  private val corpusPredSql =
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) " +
+    "AS BIGINT) % 100 < 90"
+
+  /** The same carve, Spark side: (corpus docs, incoming docs). */
+  private def bpeCarve(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val base = Tables.documents(s, d)
+      .withColumn("bucket",
+        pmod(Text.portableHash(col("doc_id").cast("string")), lit(100L)))
+    (base.filter(col("bucket") < 90), base.filter(col("bucket") >= 90))
+  }
+
+  /** A (doc_id, w) word-occurrence stream of a documents frame. */
+  private def docWordsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(Text.toWords(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+
+  /** Freeze the tokenizer artifact PAIR — merge table + word-type
+    * segmentation — at the given warehouse paths, building once from
+    * `words` if either half is absent (a crash between the two swaps
+    * leaves one half missing, which rebuilds BOTH from the same
+    * deterministic train, so the pair can never be served split across
+    * generations). The q82/q86/q87/q128 amortized-model lifecycle
+    * applied to the one family that was still retraining per run
+    * (VERDICT r16 #1): a real pipeline tokenizes every batch under a
+    * frozen vocab and watches compression drift. */
+  private[operators] def bpeFreezeAt(s: SparkSession, mergesPath: String,
+      typesPath: String, words: => DataFrame): (DataFrame, DataFrame) = {
+    val fs = new org.apache.hadoop.fs.Path(mergesPath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, mergesPath)
+    graft.etl.Merge.recoverSwap(fs, typesPath)
+    val need = !fs.exists(new org.apache.hadoop.fs.Path(mergesPath)) ||
+      !fs.exists(new org.apache.hadoop.fs.Path(typesPath))
+    if (need) {
+      val (merges, types) = bpeTrainTypes(words, BpeMerges)
+      graft.etl.Merge.writeAndSwap(merges, mergesPath, "build")
+      graft.etl.Merge.writeAndSwap(types, typesPath, "build")
+    }
+    (s.read.parquet(mergesPath), s.read.parquet(typesPath))
+  }
+
+  /** The dataset's frozen-tokenizer artifact paths — keyed by merge
+    * count AND the carve (c90 = trained on the 90 side) AND the dataset
+    * tag, so a changed recipe or regenerated source invalidates rather
+    * than serving stale bytes. */
+  private def bpePaths(s: SparkSession, d: String): (String, String) = {
+    val tag = Tables.datasetTag(s, d, "documents")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    (s"$wh/graft_bpe_merges_${BpeMerges}_c90_$tag",
+     s"$wh/graft_bpe_types_${BpeMerges}_c90_$tag")
+  }
+
+  /** Encode a word stream under a FROZEN type table: seen words cost
+    * their memoized segmentation (broadcast join — vocabulary-bounded),
+    * unseen words fall back to CHAR-LEVEL segmentation (n_tok =
+    * length(w), the byte-fallback every production tokenizer carries so
+    * no input is unencodable). Per doc: word/token/unseen counts and
+    * chars-per-token in basis points. Integer-exact cross-engine. */
+  private[operators] def bpeFrozenEncodeCore(docWords: DataFrame,
+      types: DataFrame): DataFrame =
+    docWords.join(broadcast(types.select(col("w"),
+        size(split(trim(col("s")), " ")).cast("long").as("n_tok"))),
+        Seq("w"), "left")
+      .withColumn("tok", coalesce(col("n_tok"),
+        length(col("w")).cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("tok")).as("n_tokens"),
+        sum(col("n_tok").isNull.cast("long")).as("n_unseen"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        col("n_unseen"),
+        expr("10000 * n_chars div n_tokens").as("chars_per_token_bp"))
+      .orderBy(col("doc_id"))
+
+  /** q130: STEADY-STATE tokenization — encode the incoming side of the
+    * carve under the vocab FROZEN on the corpus side. Per batch the
+    * train loop is GONE: the cost is one broadcast segmentation join +
+    * one map-side-combined per-doc sum (q125's one-exchange shape), and
+    * the artifact builds once per corpus generation
+    * ([[bpeFreezeAt]] / [[graft.etl.Merge.writeAndSwap]]). The oracle
+    * retrains from scratch on the same carve — the gate itself proves
+    * frozen-probe ≡ retrain-and-encode. */
+  def bpeFrozenEncode(s: SparkSession, d: String): DataFrame = {
+    val (corpus, incoming) = bpeCarve(s, d)
+    val (mPath, tPath) = bpePaths(s, d)
+    val (_, types) = bpeFreezeAt(s, mPath, tPath,
+      docWordsOf(corpus).select(col("w")))
+    bpeFrozenEncodeCore(docWordsOf(incoming), types)
+  }
+
+  val bpeFrozenEncodeSql: String =
+    s"""WITH ${bpeChainSqlOn(corpusPredSql)},
+       |types AS (
+       |  SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_tok
+       |  FROM w$BpeMerges),
+       |dw AS (
+       |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT doc_id, unnest($wordsSql) AS w FROM documents
+       |    WHERE NOT ($corpusPredSql))
+       |  WHERE length(w) > 0 GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id,
+       |    CAST(sum(cnt) AS BIGINT) AS n_words,
+       |    CAST(sum(cnt * coalesce(n_tok, length(w))) AS BIGINT)
+       |      AS n_tokens,
+       |    CAST(sum(CASE WHEN n_tok IS NULL THEN cnt ELSE 0 END)
+       |      AS BIGINT) AS n_unseen,
+       |    CAST(sum(cnt * length(w)) AS BIGINT) AS n_chars
+       |  FROM dw LEFT JOIN types USING (w) GROUP BY 1)
+       |SELECT doc_id, n_words, n_tokens, n_unseen,
+       |  CAST(10000 * n_chars // n_tokens AS BIGINT) AS chars_per_token_bp
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin
+
+  /** q131: tokenizer DRIFT — the q88/q89 statistic for the frozen
+    * vocab: both carve sides encoded under the corpus-frozen vocab,
+    * collapsed to one row per side with compression (chars-per-token)
+    * and unseen-occurrence fraction in basis points. A falling batch
+    * compression or rising unseen fraction is the retrain signal
+    * ([[bpeRefreshIfDrifted]] acts on it). Scale: the decision costs
+    * one broadcast segmentation join and a two-row aggregate — no
+    * shuffle of occurrences beyond the per-side partial sums. */
+  def bpeDrift(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .withColumn("bucket",
+        pmod(Text.portableHash(col("doc_id").cast("string")), lit(100L)))
+    val (mPath, tPath) = bpePaths(s, d)
+    val (_, types) = bpeFreezeAt(s, mPath, tPath,
+      docWordsOf(base.filter(col("bucket") < 90)).select(col("w")))
+    base.select(col("bucket"),
+        explode(Text.toWords(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(types.select(col("w"),
+        size(split(trim(col("s")), " ")).cast("long").as("n_tok"))),
+        Seq("w"), "left")
+      .withColumn("tok", coalesce(col("n_tok"),
+        length(col("w")).cast("long")))
+      .groupBy(when(col("bucket") >= 90, lit("batch"))
+        .otherwise(lit("corpus")).as("side"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("tok")).as("n_tokens"),
+        sum(col("n_tok").isNull.cast("long")).as("n_unseen"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .select(col("side"), col("n_words"), col("n_tokens"),
+        col("n_unseen"),
+        expr("10000 * n_chars div n_tokens").as("chars_per_token_bp"),
+        expr("10000 * n_unseen div n_words").as("unseen_bp"))
+      .orderBy(col("side"))
+  }
+
+  val bpeDriftSql: String =
+    s"""WITH ${bpeChainSqlOn(corpusPredSql)},
+       |types AS (
+       |  SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_tok
+       |  FROM w$BpeMerges),
+       |dw AS (
+       |  SELECT CASE WHEN $corpusPredSql THEN 'corpus' ELSE 'batch' END
+       |      AS side, w, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT doc_id, unnest($wordsSql) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT side,
+       |    CAST(sum(cnt) AS BIGINT) AS n_words,
+       |    CAST(sum(cnt * coalesce(n_tok, length(w))) AS BIGINT)
+       |      AS n_tokens,
+       |    CAST(sum(CASE WHEN n_tok IS NULL THEN cnt ELSE 0 END)
+       |      AS BIGINT) AS n_unseen,
+       |    CAST(sum(cnt * length(w)) AS BIGINT) AS n_chars
+       |  FROM dw LEFT JOIN types USING (w) GROUP BY 1)
+       |SELECT side, n_words, n_tokens, n_unseen,
+       |  CAST(10000 * n_chars // n_tokens AS BIGINT) AS chars_per_token_bp,
+       |  CAST(10000 * n_unseen // n_words AS BIGINT) AS unseen_bp
+       |FROM agg
+       |ORDER BY side""".stripMargin
+
+  /** Drift-triggered tokenizer REFRESH — the ACTION half of q131,
+    * closing the lifecycle (freeze: [[bpeFreezeAt]] → drift: [[bpeDrift]]
+    * → refresh: this), mirroring [[graft.operators.Similarity
+    * .refreshIfDrifted]]: compute both sides' chars-per-token under the
+    * FROZEN vocab; when the batch compresses worse than the corpus by
+    * more than `maxDriftBp` basis points (cpt_batch·(10000+maxDriftBp)
+    * < cpt_corpus·10000 — integer arithmetic, deterministic), retrain
+    * on corpus ∪ batch and REPLACE both artifact halves through the
+    * crash-safe writeAndSwap. Returns whether a refresh happened;
+    * BpeSpec drives both branches and proves the refreshed artifact
+    * equals a from-scratch train on the union. */
+  def bpeRefreshIfDrifted(s: SparkSession, mergesPath: String,
+      typesPath: String, corpusWords: DataFrame, batchWords: DataFrame,
+      maxDriftBp: Long = 500L): Boolean = {
+    val (_, types) = bpeFreezeAt(s, mergesPath, typesPath, corpusWords)
+    // the side-level ratio directly (one broadcast join, one row out)
+    def sideCpt(words: DataFrame): Long =
+      words.join(broadcast(types.select(col("w"),
+          size(split(trim(col("s")), " ")).cast("long").as("n_tok"))),
+          Seq("w"), "left")
+        .agg(expr("10000 * sum(length(w)) div " +
+          "sum(coalesce(n_tok, length(w)))"))
+        .head.getLong(0)
+    val drifted =
+      sideCpt(batchWords) * (10000L + maxDriftBp) <
+        sideCpt(corpusWords) * 10000L
+    if (drifted) {
+      val (merges, newTypes) = bpeTrainTypes(
+        corpusWords.unionByName(batchWords), BpeMerges)
+      graft.etl.Merge.writeAndSwap(merges, mergesPath, "refresh")
+      graft.etl.Merge.writeAndSwap(newTypes, typesPath, "refresh")
+    }
+    drifted
+  }
 
   // ── q126: duplicate n-gram spans — substring-level dedup ───────────────
   /** Window length (tokens) a repeated span must reach to count. The
@@ -3112,7 +3336,9 @@ object Documents {
     "q126_dup_spans"      -> (dupSpans _),
     "q127_span_dedup"     -> (spanDedup _),
     "q128_incr_dup_spans" -> (dupSpansIncremental _),
-    "q129_temperature_mix" -> (temperatureMix _))
+    "q129_temperature_mix" -> (temperatureMix _),
+    "q130_bpe_frozen_encode" -> (bpeFrozenEncode _),
+    "q131_bpe_drift"      -> (bpeDrift _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q52_char_ngram_langid" -> charNgramLangIdSql,
@@ -3153,5 +3379,7 @@ object Documents {
     "q126_dup_spans"      -> dupSpansSql,
     "q127_span_dedup"     -> spanDedupSql,
     "q128_incr_dup_spans" -> dupSpansIncrementalSql,
-    "q129_temperature_mix" -> temperatureMixSql)
+    "q129_temperature_mix" -> temperatureMixSql,
+    "q130_bpe_frozen_encode" -> bpeFrozenEncodeSql,
+    "q131_bpe_drift"      -> bpeDriftSql)
 }

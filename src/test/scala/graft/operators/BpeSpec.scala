@@ -77,6 +77,70 @@ class BpeSpec extends SparkSpec {
     assert(budget.size === 2, "budget must cap the merge count")
   }
 
+  private def tmpPaths(): (String, String) = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_frozen").toString
+    (s"$dir/merges", s"$dir/types")
+  }
+
+  test("frozen-probe == retrain-and-encode on an unchanged corpus: the " +
+       "materialized type table serves exactly what a fresh train would") {
+    val docs = Seq((1L, "aaab"), (1L, "aaab"), (1L, "ab"), (2L, "aaab"),
+      (2L, "b"), (3L, "ab"), (3L, "aaab")).toDF("doc_id", "w")
+    val (mp, tp) = tmpPaths()
+    val (_, frozen) = Documents.bpeFreezeAt(spark, mp, tp,
+      docs.select("w"))
+    val probe = Documents.bpeFrozenEncodeCore(docs, frozen)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val (_, fresh) = Documents.bpeTrainTypes(docs.select("w"), Documents.BpeMerges)
+    val retrain = Documents.bpeFrozenEncodeCore(docs, fresh)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(probe === retrain, "frozen probe diverged from fresh retrain")
+    assert(probe.forall(_._4 == 0L), "no word can be unseen here")
+    // a second freeze call must NOT rebuild: serve the same bytes
+    val (_, again) = Documents.bpeFreezeAt(spark, mp, tp,
+      sys.error("builder must not run when the artifact exists"))
+    assert(again.exceptAll(frozen).count() === 0 &&
+           frozen.exceptAll(again).count() === 0)
+  }
+
+  test("unseen words fall back to CHAR-level segmentation and are " +
+       "counted: n_tok = length(w), n_unseen tallies occurrences") {
+    val trainWords = Seq("aaab", "aaab", "ab").toDF("w")
+    val (mp, tp) = tmpPaths()
+    val (_, frozen) = Documents.bpeFreezeAt(spark, mp, tp, trainWords)
+    // 'zzzz' never seen -> 4 char tokens; 'aaab' seen -> fully merged
+    // to 1 token under the 10-merge budget ([aa,a,b]->[aa,ab]->[aaab])
+    val got = Documents.bpeFrozenEncodeCore(
+      Seq((7L, "aaab"), (7L, "zzzz"), (8L, "zz")).toDF("doc_id", "w"),
+      frozen).as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // doc 7: 2 words, 1 + 4 tokens, 1 unseen, 8 chars -> cpt 16000 bp
+    // doc 8: 1 word,  2 tokens,     1 unseen, 2 chars -> cpt 10000 bp
+    assert(got === Seq((7L, 2L, 5L, 1L, 16000L), (8L, 1L, 2L, 1L, 10000L)))
+  }
+
+  test("bpeRefreshIfDrifted: an in-distribution batch refreshes " +
+       "nothing; a vocabulary-shifted batch triggers and the refreshed " +
+       "artifact equals a from-scratch train on the union") {
+    val corpus = Seq.fill(8)("aaab").toDF("w")
+    val (mp, tp) = tmpPaths()
+    // in-distribution: same words -> same compression -> no refresh
+    assert(!Documents.bpeRefreshIfDrifted(spark, mp, tp, corpus,
+      Seq("aaab", "aaab").toDF("w")))
+    val before = spark.read.parquet(tp).as[(String, String, Long)]
+      .collect().toSet
+    // shifted: long unseen words tokenize char-level -> cpt collapses
+    val shifted = Seq.fill(6)("zzzzzzzz").toDF("w")
+    assert(Documents.bpeRefreshIfDrifted(spark, mp, tp, corpus, shifted))
+    val after = spark.read.parquet(tp).as[(String, String, Long)]
+      .collect().toSet
+    assert(after !== before, "refresh must replace the artifact")
+    val (_, scratch) = Documents.bpeTrainTypes(
+      corpus.unionByName(shifted), Documents.BpeMerges)
+    assert(after === scratch.as[(String, String, Long)].collect().toSet,
+      "refreshed artifact != from-scratch train on the union")
+  }
+
   test("bpeTrainTypes returns each word type's final segmentation — " +
        "the q125 encode lookup IS the trainer's rewritten type table") {
     // round 1: (a,a)=4 beats (a,b)=3 → 'aaab' = [aa, a, b];
