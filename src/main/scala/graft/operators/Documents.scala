@@ -2741,6 +2741,104 @@ object Documents {
        |FROM st JOIN kp USING (span_text)
        |ORDER BY st.doc_id, st.start_pos""".stripMargin
 
+  // ── q132: span-rewrite apply — emit the cleaned corpus ─────────────────
+  /** Apply DROP ranges to a (doc_id, w) token frame: every token whose
+    * position falls inside any of the doc's ranges is removed, the
+    * survivors rejoin in order. The position-coverage formulation is
+    * insensitive to overlapping or adjacent ranges by construction —
+    * coverage is a set union, no explicit range merging to get wrong
+    * (DupSpansSpec feeds overlapping/adjacent/whole-doc ranges).
+    * n_dropped is the COVERED-position count (= n_in − n_out), not the
+    * sum of range lengths, so conservation holds under any range
+    * geometry.
+    *
+    * Scale shape: one doc-keyed join of the (tiny) range list onto the
+    * corpus, then MAP-ONLY per-doc work — the kept-position filter runs
+    * where the document already is; token arrays never shuffle. The
+    * per-doc filter is O(tokens × ranges) interpreted (array
+    * higher-order functions don't codegen), fine because ranges-per-doc
+    * is small by construction; the kept array is used by two output
+    * columns, so the worst case is a 2× re-evaluation of the filter,
+    * a bounded constant — not the k² blowup the Native kernels exist
+    * for. */
+  private[operators] def applyDropRanges(docs: DataFrame,
+                                         drops: DataFrame): DataFrame = {
+    val rs = drops.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start_pos").cast("int").as("s"),
+        col("end_pos").cast("int").as("e"))).as("rs"))
+    docs.join(rs, Seq("doc_id"), "left")
+      .withColumn("rs",
+        expr("coalesce(rs, cast(array() as array<struct<s:int,e:int>>))"))
+      .withColumn("kept", expr(
+        "filter(sequence(1, size(w)), " +
+        "p -> NOT exists(rs, r -> p >= r.s AND p <= r.e))"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens_in"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_dropped"),
+        size(col("kept")).cast("long").as("n_tokens_out"),
+        expr("array_join(transform(kept, p -> element_at(w, p)), ' ')")
+          .as("out_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q132: the CLEANED-CORPUS producer — the consumer the whole
+    * substring-dedup family exists for (VERDICT r16 #2): q126 finds the
+    * duplicated spans, q127 elects the surviving occurrence, THIS drops
+    * the keep=0 token ranges and emits the rewritten corpus. Every
+    * document appears in the output (docs without drops pass through
+    * with their normalized text); the oracle recomputes the kept set by
+    * complement (positions NOT covered by a drop range), so the gate
+    * enforces token conservation — n_tokens_out = n_tokens_in −
+    * n_dropped — with both sides derived independently. */
+  def spanRewrite(s: SparkSession, d: String): DataFrame =
+    spanRewriteCore(Tables.documents(s, d), DupSpanK)
+
+  private[operators] def spanRewriteCore(docs0: DataFrame,
+                                         K: Int): DataFrame = {
+    val drops = spanDedupCore(docs0, K).filter(col("keep") === 0L)
+      .select(col("doc_id"), col("start_pos"), col("end_pos"))
+    applyDropRanges(
+      docs0.select(col("doc_id"), Text.toWords(col("text")).as("w")),
+      drops)
+  }
+
+  val spanRewriteSql: String =
+    s"""WITH $dupSpanChainSql,
+       |st AS (
+       |  SELECT sp.doc_id, sp.start_pos, sp.end_pos,
+       |    array_to_string(d2.w[sp.start_pos:sp.end_pos], ' ')
+       |      AS span_text
+       |  FROM sp JOIN d2 USING (doc_id)),
+       |kp AS (
+       |  SELECT span_text, doc_id AS k_doc, start_pos AS k_pos FROM (
+       |    SELECT span_text, doc_id, start_pos, row_number() OVER (
+       |      PARTITION BY span_text
+       |      ORDER BY doc_id, start_pos) AS rn FROM st)
+       |  WHERE rn = 1),
+       |dr AS (
+       |  SELECT st.doc_id, st.start_pos, st.end_pos
+       |  FROM st JOIN kp USING (span_text)
+       |  WHERE NOT (st.doc_id = kp.k_doc AND st.start_pos = kp.k_pos)),
+       |alln AS (SELECT doc_id, w, len(w) AS n FROM d),
+       |pos AS (
+       |  SELECT doc_id, unnest(range(1, n + 1)) AS p FROM alln),
+       |keptp AS (
+       |  SELECT q.doc_id, q.p FROM pos q
+       |  WHERE NOT EXISTS (SELECT 1 FROM dr
+       |    WHERE dr.doc_id = q.doc_id
+       |      AND q.p BETWEEN dr.start_pos AND dr.end_pos)),
+       |outt AS (
+       |  SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_out,
+       |    string_agg(a.w[k.p], ' ' ORDER BY k.p) AS out_text
+       |  FROM keptp k JOIN alln a USING (doc_id) GROUP BY k.doc_id)
+       |SELECT a.doc_id,
+       |  CAST(a.n AS BIGINT) AS n_tokens_in,
+       |  CAST(a.n - coalesce(o.n_out, 0) AS BIGINT) AS n_dropped,
+       |  CAST(coalesce(o.n_out, 0) AS BIGINT) AS n_tokens_out,
+       |  coalesce(o.out_text, '') AS out_text
+       |FROM alln a LEFT JOIN outt o USING (doc_id)
+       |ORDER BY a.doc_id""".stripMargin
+
   // ── q72: weighted corpus mixing — per-source epoch weights ──────────────
   /** Deterministic mixture resampling: each source gets an epoch weight
     * (how many times its documents appear in the training mix — here
@@ -3338,7 +3436,8 @@ object Documents {
     "q128_incr_dup_spans" -> (dupSpansIncremental _),
     "q129_temperature_mix" -> (temperatureMix _),
     "q130_bpe_frozen_encode" -> (bpeFrozenEncode _),
-    "q131_bpe_drift"      -> (bpeDrift _))
+    "q131_bpe_drift"      -> (bpeDrift _),
+    "q132_span_rewrite"   -> (spanRewrite _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q52_char_ngram_langid" -> charNgramLangIdSql,
@@ -3381,5 +3480,6 @@ object Documents {
     "q128_incr_dup_spans" -> dupSpansIncrementalSql,
     "q129_temperature_mix" -> temperatureMixSql,
     "q130_bpe_frozen_encode" -> bpeFrozenEncodeSql,
-    "q131_bpe_drift"      -> bpeDriftSql)
+    "q131_bpe_drift"      -> bpeDriftSql,
+    "q132_span_rewrite"   -> spanRewriteSql)
 }

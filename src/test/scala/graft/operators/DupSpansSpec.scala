@@ -191,6 +191,42 @@ class DupSpansSpec extends SparkSpec {
     assert(bloomed === batch)
   }
 
+  test("applyDropRanges: overlapping, adjacent, and whole-doc ranges " +
+       "all conserve tokens — n_out = n_in - covered positions") {
+    val docs = Seq(
+      (1L, Seq("t1", "t2", "t3", "t4", "t5", "t6", "t7", "t8")),
+      (2L, Seq("u1", "u2", "u3", "u4")),
+      (3L, Seq("v1", "v2", "v3")),
+      (4L, Seq("w1", "w2"))).toDF("doc_id", "w")
+    val drops = Seq(
+      (1L, 2L, 5L), (1L, 4L, 7L),  // OVERLAP: covers 2..7 (6 positions)
+      (2L, 1L, 2L), (2L, 3L, 4L),  // ADJACENT: covers all 4
+      (3L, 1L, 3L))                // whole doc
+      .toDF("doc_id", "start_pos", "end_pos")
+    val got = Documents.applyDropRanges(docs, drops)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 8L, 6L, 2L, "t1 t8"),
+      (2L, 4L, 4L, 0L, ""),
+      (3L, 3L, 3L, 0L, ""),
+      (4L, 2L, 0L, 2L, "w1 w2")))  // no ranges -> untouched
+    got.foreach { case (_, in, dr, out, _) =>
+      assert(out === in - dr, "token conservation violated") }
+  }
+
+  test("span rewrite end-to-end: the keeper occurrence survives, " +
+       "duplicate occurrences are dropped from the text") {
+    val got = Documents.spanRewriteCore(Seq(
+        (2L, "z1 a b c d q1 a b c d"),
+        (1L, "x1 x2 a b c d y1"),
+        (5L, "only unique words here ok")).toDF("doc_id", "text"), 4)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 7L, 0L, 7L, "x1 x2 a b c d y1"),   // keeper: untouched
+      (2L, 10L, 8L, 2L, "z1 q1"),             // both occurrences dropped
+      (5L, 5L, 0L, 5L, "only unique words here ok")))
+  }
+
   test("spans of different extent are different content: each text " +
        "cluster keeps its own canonical") {
     // doc1+doc2 share 5 tokens (span 'a b c d e'); doc3+doc4 share the
