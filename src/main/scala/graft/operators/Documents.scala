@@ -2516,7 +2516,7 @@ object Documents {
     * span probe needs from the standing side, so it is the whole index
     * (contrast q82's prefix rows: no positions, no doc ids — duplication
     * is a property of the gram's global count). */
-  private[operators] def gramCounts(docs: DataFrame, K: Int): DataFrame =
+  private[graft] def gramCounts(docs: DataFrame, K: Int): DataFrame =
     docs.select(col("doc_id"), graft.functions.Text.toWords(col("text"))
         .as("w"))
       .filter(size(col("w")) >= K)
@@ -2592,13 +2592,20 @@ object Documents {
     * on the (gram, batch) identity absorbs replayed appends (a replay's
     * partials are byte-identical, so min is exact), then counts SUM
     * across batches — exact because occurrence counts decompose over
-    * disjoint batches (the property the q128 oracle gates). */
-  private[graft] def gramLedgerCounts(s: SparkSession,
-                                      ledgerPath: String): DataFrame = {
+    * disjoint batches (the property the q128 oracle gates).
+    * `excludeBatch` drops one batch's rows BEFORE the collapse — the
+    * streaming twin probes each micro-batch against "history before
+    * me", and a crashed run may have appended the batch before the
+    * checkpoint committed, so the replayed probe must not see its own
+    * counts (it would double-count the batch against itself and flag
+    * every position). */
+  private[graft] def gramLedgerCounts(s: SparkSession, ledgerPath: String,
+      excludeBatch: Option[String] = None): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(ledgerPath).getFileSystem(
       s.sparkContext.hadoopConfiguration)
     graft.etl.Merge.recoverSwap(fs, ledgerPath) // see appendGramLedger
-    s.read.parquet(ledgerPath)
+    val raw = s.read.parquet(ledgerPath)
+    excludeBatch.fold(raw)(b => raw.filter(col("batch_id") =!= b))
       .groupBy(col("gram"), col("batch_id"))
       .agg(min(col("n_idx")).as("n_part"))
       .groupBy(col("gram")).agg(sum(col("n_part")).as("n_idx"))
@@ -2622,7 +2629,7 @@ object Documents {
     * force the Bloom branch at unit scale and assert its exactness
     * (probe ≡ batch finder) instead of the branch only ever running at
     * sf100. */
-  private[operators] def dupSpanProbe(incoming: DataFrame, idx: DataFrame,
+  private[graft] def dupSpanProbe(incoming: DataFrame, idx: DataFrame,
       K: Int, bloomGateRows: Long = 8L * 1000 * 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g0 = incoming

@@ -775,6 +775,93 @@ class StreamsSpec extends SparkSpec {
            want.exceptAll(got).count() === 0)
   }
 
+  test("dup-span stream: ingest-time flagging over two batches, replay " +
+       "absorption, and the exact relation to the batch finder") {
+    import graft.operators.Documents
+    import spark.implicits._
+    val state = tmp("graft-dspan-state") + "/ledger"
+    val out = tmp("graft-dspan-out") + "/feed"
+    val K = 4
+    val corpus = Seq((1L, "a b c d p1 p2")).toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, "q1 a b c d"),    // dup vs corpus -> flags at b1
+      (11L, "e f g h r1"),    // FIRST occurrence -> silent at b1
+      (12L, "j k l m t1"), (13L, "t2 j k l m")) // within-batch pair
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (20L, "r2 e f g h"),    // second occurrence -> flags at b2
+      (21L, "u v w x y"))     // unique -> silent
+      .toDF("doc_id", "text")
+    Documents.appendGramLedger(state, corpus, K, "seed")
+    Streams.applyDupSpanBatch(b1, state, out, K, "t1")
+    Streams.applyDupSpanBatch(b2, state, out, K, "t2")
+    val feed = Streams.dupSpanFeed(spark, out)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(feed === Seq(
+      (10L, 2L, 5L, 4L, "t1"), (12L, 1L, 4L, 4L, "t1"),
+      (13L, 2L, 5L, 4L, "t1"), (20L, 2L, 5L, 4L, "t2")))
+    // checkpoint replay of b2 under its original token: the probe
+    // excludes the batch's own ledger rows (appended by the first
+    // attempt), so it re-derives byte-identical spans -> feed AND
+    // ledger both absorb the replay
+    val countsBefore = Documents.gramLedgerCounts(spark, state)
+      .as[(String, Long)].collect().toSet
+    Streams.applyDupSpanBatch(b2, state, out, K, "t2")
+    assert(Streams.dupSpanFeed(spark, out)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq === feed,
+      "replayed batch changed the published feed")
+    assert(Documents.gramLedgerCounts(spark, state)
+      .as[(String, Long)].collect().toSet === countsBefore,
+      "replayed batch changed the ledger counts")
+    // relation to the batch finder: the stream's spans are the batch
+    // q128 spans MINUS exactly the first occurrences whose duplicate
+    // arrived in a LATER batch (doc 11 here) — nothing else differs
+    val batchAll = Documents.dupSpanProbe(
+      b1.unionByName(b2), Documents.gramCounts(corpus, K), K)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val streamSet = feed.map(t => (t._1, t._2, t._3, t._4)).toSet
+    assert(streamSet.subsetOf(batchAll))
+    assert(batchAll -- streamSet === Set((11L, 1L, 4L, 4L)),
+      "stream/batch difference must be exactly the late-duplicated " +
+      "first occurrences")
+    // compaction leaves the next batch's probe invariant
+    val (nb, na) = Documents.compactGramLedger(spark, state)
+    assert(nb > na, s"compaction must shrink files ($nb -> $na)")
+    val b3 = Seq((30L, "z9 j k l m")).toDF("doc_id", "text") // dup vs b1
+    Streams.applyDupSpanBatch(b3, state, out, K, "t3")
+    assert(Streams.dupSpanFeed(spark, out)
+      .filter(col("batch_id") === "t3")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq ===
+      Seq((30L, 2L, 5L, 4L, "t3")),
+      "post-compaction batch probe diverged")
+  }
+
+  test("dup-span sink wires end-to-end through foreachBatch: one " +
+       "AvailableNow batch over an empty ledger == the q126 finder") {
+    import graft.operators.Documents
+    val state = tmp("graft-dspan-sink-state") + "/ledger"
+    val out = tmp("graft-dspan-sink-out") + "/feed"
+    val docsDir = Files.createTempDirectory("graft-dspan-docs")
+    Files.createSymbolicLink(
+      docsDir.resolve("part-0.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+    val docs = spark.readStream
+      .schema(Tables.documentsSchema)
+      .parquet(docsDir.toString)
+    val q = Streams.dupSpanSink(docs, state, out,
+      tmp("graft-dspan-ckpt"))
+    q.awaitTermination(120000)
+    // a single batch against an empty ledger is the global >= 2 rule
+    // over exactly that batch: the q126 finder on the same table
+    val got = Streams.dupSpanFeed(spark, out)
+      .select("doc_id", "start_pos", "end_pos", "n_tokens")
+    val want = Documents.dupSpans(spark, sfDir)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() === 0 &&
+           want.exceptAll(got).count() === 0,
+      "single-batch stream != q126 finder")
+  }
+
   test("stateful funnel == independent per-user model, horizon ties " +
        "inclusive (q84's streaming twin)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
