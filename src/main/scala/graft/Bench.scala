@@ -88,6 +88,58 @@ object Bench {
     ld
   }
 
+  /** CONTAINER CALIBRATION (r16 VERDICT item 5): cross-round absolute
+    * comparisons on single-thread codec paths (q67/q91/q113) proved
+    * unreliable — r16's quiet-box forensics showed a 1.5× swing on
+    * byte-identical code, i.e. the CONTAINER, not the code. These two
+    * fixed probes stamp every bench header with the box's single-thread
+    * speed so a reader can divide the container out: a codec query that
+    * moved 1.5× alongside a 1.5× probe move is machine variance; one
+    * that moved against a flat probe is a real regression.
+    *
+    * CPU probe: a 10^7-iteration FNV-style integer checksum loop —
+    * pure ALU, no allocation, no syscalls; measures raw single-thread
+    * throughput. */
+  def cpuProbeSec(): Double = {
+    val t0 = System.nanoTime()
+    var acc = 1469598103934665603L
+    var i = 0
+    while (i < 10000000) { acc = (acc ^ i) * 1099511628211L; i += 1 }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (acc == 42L) System.err.println("") // keep the loop live
+    dt
+  }
+
+  /** Codec probe: 8 encode+decode round-trips of a fixed 256×256 RGB
+    * pattern through javax.imageio's PNG plugin — the exact
+    * single-thread library path the media queries ride (deflate +
+    * filter + color-model conversion), so it moves when THEY would. */
+  def codecProbeSec(): Double = {
+    val img = new java.awt.image.BufferedImage(256, 256,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 256; x <- 0 until 256)
+      img.setRGB(x, y, (x * 31 + y * 17) * 2654435761L.toInt)
+    val t0 = System.nanoTime()
+    var n = 0
+    var sink = 0L
+    while (n < 8) {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      sink += back.getRGB(128, 128)
+      n += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (sink == 42L) System.err.println("")
+    dt
+  }
+
+  /** Min of `reps` probe runs — the same min-wins logic as query passes
+    * (load can only inflate). */
+  def probeMin(probe: () => Double, reps: Int = 5): Double =
+    (1 to reps).map(_ => probe()).min
+
   /** 1-minute load average from /proc/loadavg (Linux); -1 when
     * unreadable. Recorded before every timed pass so a contaminated
     * number carries its own evidence in the artifact instead of needing a
@@ -170,6 +222,13 @@ object Bench {
     graft.multimodal.Media.gifFrameStats(spark, sfDir)
       .queryExecution.toRdd.count()
 
+    // calibration probes run AFTER warm-up (imageio registry loaded) and
+    // before any timed pass; min-of-5 for the same reason query mins win
+    val probeCpu = probeMin(() => cpuProbeSec())
+    val probeCodec = probeMin(() => codecProbeSec())
+    System.err.println(
+      f"[bench] container probes: cpu $probeCpu%.4f s, codec $probeCodec%.4f s")
+
     val benchT0 = System.nanoTime()
     val loadStart = loadavg()
     val prev = prevQueryTimes()
@@ -234,7 +293,7 @@ object Bench {
     val core9 = results.collect {
       case (k, (mn, _, _, _)) if mn >= 0 && k.matches("q0[1-9].*") => mn }.sum
     val wall = (System.nanoTime() - benchT0) / 1e9
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_detail":$detail,"passes":$Passes,"n_queries":${results.size},"core9_total":$core9,"errors":$errJson,"loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadavg())},"gated":$allGated,"gate_wait_sec":${gateSpentMs / 1000},"wall_sec":${jnum(wall)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_detail":$detail,"passes":$Passes,"n_queries":${results.size},"core9_total":$core9,"errors":$errJson,"loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadavg())},"gated":$allGated,"gate_wait_sec":${gateSpentMs / 1000},"probe_cpu_sec":${jnum(probeCpu)},"probe_codec_sec":${jnum(probeCodec)},"wall_sec":${jnum(wall)},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -54,4 +54,14 @@ class BenchSpec extends AnyFunSuite {
     val txt = """{"queries":{"q02_b":0.5},"queries_detail":{"q02_b":{"min":0.5,"mean":0.7,"prev":0.9,"load":3.2,"reruns":1}},"loadavg_start":2.1}"""
     assert(Bench.parseQueryTimes(txt) === Map("q02_b" -> 0.5))
   }
+
+  test("container calibration probes return plausible positive times " +
+       "and are repeatable to the min-wins contract") {
+    val cpu = Bench.probeMin(() => Bench.cpuProbeSec(), 3)
+    val codec = Bench.probeMin(() => Bench.codecProbeSec(), 2)
+    // 10^7 ALU iterations: microseconds would mean the loop was DCE'd,
+    // >5 s would mean the probe itself is unusable as a yardstick
+    assert(cpu > 0.0005 && cpu < 5.0, s"cpu probe out of range: $cpu")
+    assert(codec > 0.001 && codec < 30.0, s"codec probe out of range: $codec")
+  }
 }
