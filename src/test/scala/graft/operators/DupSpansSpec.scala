@@ -191,6 +191,65 @@ class DupSpansSpec extends SparkSpec {
     assert(bloomed === batch)
   }
 
+  test("gram ledger survives a compaction crash at every interleaving: " +
+       "orphan adoption at append AND at read, replay-after-compaction " +
+       "absorbed (ADVICE r16)") {
+    def fsOf(p: String) = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def counts(ledger: String) =
+      Documents.gramLedgerCounts(spark, ledger)
+        .as[(String, Long)].collect().toSet
+    val b1 = Seq((1L, "a b c d p1 p2"), (2L, "a b c d p3 p4"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((3L, "e f g h z1")).toDF("doc_id", "text")
+
+    // interleaving 1: compact crashes in the delete->rename window
+    // (ledger dir GONE, only the .tmp-compact orphan), next APPEND must
+    // adopt the orphan first — without the recoverSwap guard it would
+    // recreate the dir and strand all pre-crash history forever
+    val l1 = java.nio.file.Files
+      .createTempDirectory("graft_ledger_i1").toString + "/idx"
+    Documents.appendGramLedger(l1, b1, 4, "b1")
+    val want1 = counts(l1)
+    val fs = fsOf(l1)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(l1),
+      new org.apache.hadoop.fs.Path(s"$l1.tmp-compact")),
+      "test setup: simulate the mid-swap crash")
+    Documents.appendGramLedger(l1, b2, 4, "b2")
+    val merged = counts(l1)
+    assert(want1.subsetOf(merged),
+      "pre-crash history lost: the append stranded the compaction orphan")
+    assert(merged.size === want1.size +
+      Documents.gramCounts(b2, 4).count().toInt,
+      "adopted ledger must hold exactly old + new grams (disjoint here)")
+
+    // interleaving 2: same crash, next touch is a READ — adoption at
+    // gramLedgerCounts
+    val l2 = java.nio.file.Files
+      .createTempDirectory("graft_ledger_i2").toString + "/idx"
+    Documents.appendGramLedger(l2, b1, 4, "b1")
+    val want2 = counts(l2)
+    val fs2 = fsOf(l2)
+    assert(fs2.rename(new org.apache.hadoop.fs.Path(l2),
+      new org.apache.hadoop.fs.Path(s"$l2.tmp-compact")))
+    assert(counts(l2) === want2, "read-side orphan adoption failed")
+
+    // interleaving 3: a batch committed BEFORE compaction replays AFTER
+    // it (lost checkpoint): compaction GC'd the first append's rows into
+    // the compacted generation; the replay re-appends byte-identical
+    // (gram, n_idx, batch_id) rows and the reader's (gram, batch)
+    // first-wins must absorb them — counts invariant
+    val l3 = java.nio.file.Files
+      .createTempDirectory("graft_ledger_i3").toString + "/idx"
+    Documents.appendGramLedger(l3, b1, 4, "b1")
+    Documents.appendGramLedger(l3, b2, 4, "b2")
+    val want3 = counts(l3)
+    Documents.compactGramLedger(spark, l3)
+    Documents.appendGramLedger(l3, b1, 4, "b1") // replay post-compaction
+    assert(counts(l3) === want3,
+      "replay-after-compaction changed the collapsed counts")
+  }
+
   test("applyDropRanges: overlapping, adjacent, and whole-doc ranges " +
        "all conserve tokens — n_out = n_in - covered positions") {
     val docs = Seq(
