@@ -2939,9 +2939,21 @@ object Documents {
     * TempMixSpec can pin the anchor (largest source ≡ 10000 bp), the
     * sqrt law, the cap, and the fractional-copy hash selection on
     * constructed token tables. */
-  private[operators] def temperatureMixCore(docs: DataFrame): DataFrame = {
+  private[operators] def temperatureMixCore(docs0: DataFrame): DataFrame = {
+    // TOKENIZE ONCE (r17 — the sf10 ladder caught this): the naive
+    // lineage re-ran the upstream normalize+split corpus scan once per
+    // consumer (bySrc, tMax, weights, perDoc ≈ 4-5 scans). Stage the
+    // 3-column projection (~24 B/doc — a skinny staged table at lake
+    // scale) and checkpoint the |sources|-row collapse so everything
+    // after the one scan runs on domain-sized frames.
+    val docs = docs0
+      .withColumn("h", Text.portableHash(
+        concat(col("doc_id").cast("string"), lit("tmix"))) % 10000L)
+      .select(col("source"), col("h"), col("n_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bySrc = docs.groupBy(col("source"))
       .agg(sum(col("n_tok")).as("t"), count(lit(1)).as("n_docs"))
+      .localCheckpoint() // |sources| rows, eager — truncates the lineage
     val tMax = bySrc.agg(max(col("t")).as("t_max"))
     // greatest(t, 1): a source whose every doc tokenizes empty would put
     // t = 0 in the divisor — Spark casts the resulting Inf to
@@ -2955,9 +2967,8 @@ object Documents {
         lit(TempMixCapBp)))
     val perDoc = docs.join(broadcast(
         weights.select(col("source"), col("e_bp"))), Seq("source"))
-      .withColumn("extra", (Text.portableHash(
-        concat(col("doc_id").cast("string"), lit("tmix"))) % 10000L <
-        col("e_bp") % 10000L).cast("long"))
+      .withColumn("extra",
+        (col("h") < col("e_bp") % 10000L).cast("long"))
       .withColumn("n_copies", (col("e_bp") / lit(10000L)).cast("long") +
         col("extra"))
     perDoc.groupBy(col("source"))
