@@ -60,7 +60,7 @@ object Documents {
 
   private val normSql =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
-  private val wordsSql = s"string_split($normSql, ' ')"
+  private[graft] val wordsSql = s"string_split($normSql, ' ')"
   /** DuckDB 3-gram shingle set over the normalized words (list_distinct). */
   private val shinglesSql =
     s"""list_distinct(list_transform(

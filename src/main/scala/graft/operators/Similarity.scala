@@ -587,6 +587,182 @@ object Similarity {
        |FROM ass WHERE arank = 1
        |GROUP BY 1 ORDER BY side""".stripMargin
 
+  // ── q133: hybrid retrieval — reciprocal-rank fusion of BM25 + dense ─────
+  /** RRF constant k (Cormack/Clarke/Buettcher 2009: k = 60 dominates
+    * most tunings) and the integer scale: a list contributes
+    * floor(10⁹ / (k + rank)) — exact integers, so fusion is order-free
+    * and hash-exact cross-engine (no float reciprocal sums). */
+  val RrfK = 60L
+  val RrfScale = 1000000000L
+  /** Candidates taken from each list before fusion; final cut. */
+  val RrfListK = 20
+  val RrfTopK = 10
+
+  /** q133: HYBRID ranked retrieval — the fusion step every RAG stack
+    * runs between its two recall arms: the DENSE arm is q23's exact
+    * cosine top-[[RrfListK]] over the embeddings (vec_id ≡ doc_id in
+    * this corpus — the standard doc-with-its-embedding layout), the
+    * LEXICAL arm is a per-query disjunctive BM25 (q122's integer-exact
+    * scoring) whose query terms are the query DOCUMENT's own distinct
+    * words (more-like-this retrieval — the hybrid-recall shape used for
+    * near-dup triage and RAG). Reciprocal-rank fusion then needs only
+    * the two RANK columns: rrf(q,d) = Σ_arms floor(10⁹/(60+rank)),
+    * absent-from-list contributing 0; ties break on id. Emits
+    * [[RrfTopK]] per query with both arm ranks (0 = not in that arm's
+    * list) for interpretability.
+    *
+    * Scale shape: the dense arm is q23's bounded-query broadcast (the
+    * corpus never shuffles). The lexical arm probes the SAME
+    * materialized search snapshot as q99/q122
+    * ([[graft.etl.Manifest.ensureMembers]] — one generation pairs
+    * corpus, AND-index, BM25 index, stats; whichever query runs first
+    * builds, the others widen): postings join a BROADCAST of the tiny
+    * (q_id, term) set (|Q|·words-per-doc rows, corpus-independent), df
+    * comes from a semi-join-restricted count over the probed terms
+    * only, stats are the 1-row broadcast. Because the term set is
+    * data-dependent the index scan has no static pushdown — a
+    * production probe would runtime-filter the term-clustered index
+    * with a Bloom of the query terms (the q128 move; at this index size
+    * the scan is the cheaper plan). Fusion joins two K-bounded lists
+    * per query — domain-sized. */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Documents
+    val dense = bruteTopK(withNorm(Tables.embeddings(s, d)), RrfListK)
+      .select(col("q_id"), col("n_id").as("id"),
+        col("rank").cast("long").as("d_rank"))
+    val tag = Tables.datasetTag(s, d, "documents")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val docs = Tables.documents(s, d)
+    val snap = graft.etl.Manifest.ensureMembers(s,
+      s"$wh/graft_search_$tag", Map(
+        "corpus"    -> (() => docs),
+        "postings"  -> (() => Documents.postings(docs)),
+        "bm25"      -> (() => Documents.bm25Postings(docs)),
+        "bm25stats" -> (() => Documents.bm25StatsLedger(docs, "build"))))
+    val post = s.read.parquet(snap("bm25")).dropDuplicates()
+    val stats = Documents.bm25StatsTotal(s.read.parquet(snap("bm25stats")))
+    val qTerms = docs.filter(col("doc_id").isin(QueryIds: _*))
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(graft.functions.Text.toWords(col("text"))))
+          .as("term"))
+      .filter(length(col("term")) > 0)
+    val dfq = post
+      .join(broadcast(qTerms.select(col("term")).distinct()),
+        Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val lexScored = post.join(broadcast(qTerms), Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(broadcast(dfq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("sc", floor(
+        lit(10000) *
+          log((col("n_docs") + 1).cast("double") / (col("df") + 1)) *
+          ((lit(22L) * col("tf") * col("total_tokens")) /
+           (lit(10L) * col("tf") * col("total_tokens") +
+             lit(3L) * col("total_tokens") +
+             lit(9L) * col("dl") * col("n_docs")))).cast("long"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("sc")).as("score_bp"))
+    val wl = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_bp").desc, col("doc_id").asc)
+    val lex = lexScored
+      .withColumn("l_rank", row_number().over(wl).cast("long"))
+      .filter(col("l_rank") <= RrfListK)
+      .select(col("q_id"), col("doc_id").as("id"), col("l_rank"))
+    rrfFuse(dense, lex)
+  }
+
+  /** The fusion step over two (q_id, id, rank) lists — factored so
+    * RrfSpec can pin the arithmetic (floor(10⁹/(60+rank)) per present
+    * arm, 0 when absent), the both-arms-beat-one-arm property, and the
+    * id tie-break on constructed lists. */
+  private[operators] def rrfFuse(dense: DataFrame,
+                                 lex: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fused = dense.join(lex, Seq("q_id", "id"), "full_outer")
+      .select(col("q_id"), col("id"),
+        coalesce(col("d_rank"), lit(0L)).as("d_rank"),
+        coalesce(col("l_rank"), lit(0L)).as("l_rank"))
+      .withColumn("rrf_score",
+        expr(s"CASE WHEN d_rank > 0 THEN $RrfScale div ($RrfK + d_rank) " +
+             "ELSE 0L END") +
+        expr(s"CASE WHEN l_rank > 0 THEN $RrfScale div ($RrfK + l_rank) " +
+             "ELSE 0L END"))
+    val wf = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_score").desc, col("id").asc)
+    fused.withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= RrfTopK)
+      .select(col("q_id"), col("rank"), col("id"), col("rrf_score"),
+        col("d_rank"), col("l_rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val hybridRrfSql: String =
+    s"""WITH $normedSql,
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+       |    ${dotSql("q.v", "e.v")} / (q.nrm * e.nrm) AS sim
+       |  FROM n q JOIN n e ON q.vec_id IN $queryIdsSql
+       |                    AND e.vec_id <> q.vec_id),
+       |dns AS (
+       |  SELECT q_id, n_id AS id, CAST(rank AS BIGINT) AS d_rank FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+       |    FROM pairs)
+       |  WHERE rank <= $RrfListK),
+       |toks AS (SELECT doc_id, unnest(${Documents.wordsSql}) AS term
+       |         FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE length(term) > 0 GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |       FROM tf GROUP BY 1),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS t
+       |       FROM dl),
+       |qt AS (
+       |  SELECT DISTINCT doc_id AS q_id, term FROM toks
+       |  WHERE doc_id IN $queryIdsSql AND length(term) > 0),
+       |dfq AS (
+       |  SELECT term, count(*) AS df FROM tf
+       |  WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+       |lsc AS (
+       |  SELECT qt.q_id, tf.doc_id,
+       |    CAST(sum(CAST(floor(10000 * ln((st.n_docs + 1.0) / (dfq.df + 1)) *
+       |      ((22 * tf.tf * st.t) /
+       |       (10 * tf.tf * st.t + 3 * st.t + 9 * dl.dl * st.n_docs)))
+       |      AS BIGINT)) AS BIGINT) AS score_bp
+       |  FROM qt JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+       |       JOIN dfq USING (term) CROSS JOIN st
+       |  WHERE tf.doc_id <> qt.q_id
+       |  GROUP BY qt.q_id, tf.doc_id),
+       |lex AS (
+       |  SELECT q_id, doc_id AS id, CAST(rank AS BIGINT) AS l_rank FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY score_bp DESC, doc_id ASC) AS rank
+       |    FROM lsc)
+       |  WHERE rank <= $RrfListK),
+       |fused AS (
+       |  SELECT coalesce(dns.q_id, lex.q_id) AS q_id,
+       |    coalesce(dns.id, lex.id) AS id,
+       |    coalesce(d_rank, 0) AS d_rank,
+       |    coalesce(l_rank, 0) AS l_rank,
+       |    (CASE WHEN coalesce(d_rank, 0) > 0
+       |          THEN $RrfScale // ($RrfK + d_rank) ELSE 0 END) +
+       |    (CASE WHEN coalesce(l_rank, 0) > 0
+       |          THEN $RrfScale // ($RrfK + l_rank) ELSE 0 END) AS rrf_score
+       |  FROM dns FULL OUTER JOIN lex
+       |    ON dns.q_id = lex.q_id AND dns.id = lex.id)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, id,
+       |  CAST(rrf_score AS BIGINT) AS rrf_score,
+       |  CAST(d_rank AS BIGINT) AS d_rank, CAST(l_rank AS BIGINT) AS l_rank
+       |FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY rrf_score DESC, id ASC) AS rank
+       |  FROM fused)
+       |WHERE rank <= $RrfTopK
+       |ORDER BY q_id, rank""".stripMargin
+
   // ── q90: SEMANTIC dedup — canopy leader quantizer, exact recall ─────────
   /** The semantic member of the dedup ladder (exact q17 → chunk q77 →
     * lexical near-dup q18/q68 → SEMANTIC), SemDeDup-style: duplicates
@@ -1059,7 +1235,8 @@ object Similarity {
     "q39_quantize_int8" -> (quantizeInt8 _),
     "q59_ivf_multiprobe"-> (ivfMultiProbeTopK _),
     "q62_lsh_topk"      -> (lshTopK _),
-    "q81_filtered_topk" -> (filteredTopK _))
+    "q81_filtered_topk" -> (filteredTopK _),
+    "q133_hybrid_rrf"   -> (hybridRrf _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q23_cosine_topk"   -> cosineTopKSql,
@@ -1072,5 +1249,6 @@ object Similarity {
     "q39_quantize_int8" -> quantizeInt8Sql,
     "q59_ivf_multiprobe"-> ivfMultiProbeTopKSql,
     "q62_lsh_topk"      -> lshTopKSql,
-    "q81_filtered_topk" -> filteredTopKSql)
+    "q81_filtered_topk" -> filteredTopKSql,
+    "q133_hybrid_rrf"   -> hybridRrfSql)
 }
