@@ -598,41 +598,54 @@ object Similarity {
   val RrfListK = 20
   val RrfTopK = 10
 
+  /** Dense-arm probe width: 2 of the coarse cells — the q59 multi-probe
+    * recall point, matched exactly by the oracle's replay. */
+  val RrfNprobe = 2
+
   /** q133: HYBRID ranked retrieval — the fusion step every RAG stack
-    * runs between its two recall arms: the DENSE arm is q23's exact
-    * cosine top-[[RrfListK]] over the embeddings (vec_id ≡ doc_id in
-    * this corpus — the standard doc-with-its-embedding layout), the
+    * runs between its two recall arms: the DENSE arm is the engine's
+    * ANN SERVING PATH (q86's materialized-centroid IVF probe,
+    * nprobe = [[RrfNprobe]]) over the embeddings (vec_id ≡ doc_id in
+    * this corpus — the standard doc-with-its-embedding layout); the
     * LEXICAL arm is a per-query disjunctive BM25 (q122's integer-exact
     * scoring) whose query terms are the query DOCUMENT's own distinct
     * words (more-like-this retrieval — the hybrid-recall shape used for
-    * near-dup triage and RAG). Reciprocal-rank fusion then needs only
-    * the two RANK columns: rrf(q,d) = Σ_arms floor(10⁹/(60+rank)),
-    * absent-from-list contributing 0; ties break on id. Emits
-    * [[RrfTopK]] per query with both arm ranks (0 = not in that arm's
-    * list) for interpretability.
+    * near-dup triage and RAG). Fusing the ANN list — not the exact scan
+    * — is the production shape: RRF exists precisely because each arm
+    * is individually approximate. An exact-arm draft measured 37.7 s at
+    * sf10 (5M vectors), all of it q23's linear scan; the IVF arm's cost
+    * per query is ∝ the probed cells, corpus-independent at fixed cell
+    * balance. Reciprocal-rank fusion then needs only the two RANK
+    * columns: rrf(q,d) = Σ_arms floor(10⁹/(60+rank)), absent
+    * contributing 0; ties break on id. Emits [[RrfTopK]] per query with
+    * both arm ranks (0 = not in that arm's list) for interpretability.
     *
-    * Scale shape: the dense arm is q23's bounded-query broadcast (the
-    * corpus never shuffles). The lexical arm probes the SAME
-    * materialized search snapshot as q99/q122
-    * ([[graft.etl.Manifest.ensureMembers]] — one generation pairs
-    * corpus, AND-index, BM25 index, stats; whichever query runs first
-    * builds, the others widen): postings join a BROADCAST of the tiny
-    * (q_id, term) set (|Q|·words-per-doc rows, corpus-independent), df
-    * comes from a semi-join-restricted count over the probed terms
-    * only, stats are the 1-row broadcast. Because the term set is
-    * data-dependent the index scan has no static pushdown — a
-    * production probe would runtime-filter the term-clustered index
-    * with a Bloom of the query terms (the q128 move; at this index size
-    * the scan is the cheaper plan). Fusion joins two K-bounded lists
-    * per query — domain-sized. */
+    * Scale shape: BOTH arms probe standing artifacts — the dense arm
+    * the q86 centroid model ([[graft.etl.Merge.materialize]], shared
+    * path, datasetTag-keyed), the lexical arm the SAME materialized
+    * search snapshot as q99/q122 ([[graft.etl.Manifest.ensureMembers]]
+    * — one generation pairs corpus, AND-index, BM25 index, stats;
+    * whichever query runs first builds, the others widen): postings
+    * join a BROADCAST of the tiny (q_id, term) set (|Q|·words-per-doc
+    * rows, corpus-independent), df comes from a semi-join-restricted
+    * count over the probed terms only, stats are the 1-row broadcast.
+    * Because the term set is data-dependent the index scan has no
+    * static pushdown — a production probe would runtime-filter the
+    * term-clustered index with a Bloom of the query terms (the q128
+    * move; at this index size the scan is the cheaper plan). Fusion
+    * joins two K-bounded lists per query — domain-sized. */
   def hybridRrf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.Documents
-    val dense = bruteTopK(withNorm(Tables.embeddings(s, d)), RrfListK)
+    val e = withNorm(Tables.embeddings(s, d))
+    val etag = Tables.datasetTag(s, d, "embeddings")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val cents = graft.etl.Merge.materialize(s,
+      s"$wh/graft_ivf_cents_$etag", trainCentroids(e))
+    val dense = ivfProbeWith(e, cents, RrfNprobe, RrfListK)
       .select(col("q_id"), col("n_id").as("id"),
         col("rank").cast("long").as("d_rank"))
     val tag = Tables.datasetTag(s, d, "documents")
-    val wh = s.conf.get("spark.sql.warehouse.dir")
     val docs = Tables.documents(s, d)
     val snap = graft.etl.Manifest.ensureMembers(s,
       s"$wh/graft_search_$tag", Map(
@@ -640,20 +653,41 @@ object Similarity {
         "postings"  -> (() => Documents.postings(docs)),
         "bm25"      -> (() => Documents.bm25Postings(docs)),
         "bm25stats" -> (() => Documents.bm25StatsLedger(docs, "build"))))
-    val post = s.read.parquet(snap("bm25")).dropDuplicates()
     val stats = Documents.bm25StatsTotal(s.read.parquet(snap("bm25stats")))
+    // qTerms is |Q|·words-per-doc rows — checkpoint it eagerly so its
+    // consumers don't each re-scan the documents table (the plan audit
+    // counted 8 documents scans before staging)
     val qTerms = docs.filter(col("doc_id").isin(QueryIds: _*))
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(graft.functions.Text.toWords(col("text"))))
           .as("term"))
       .filter(length(col("term")) > 0)
-    val dfq = post
+      .localCheckpoint()
+    val idx = s.read.parquet(snap("bm25"))
+    // DF CAP — the Lucene more-like-this convention, and the term that
+    // decides whether this query scales: an UNCAPPED disjunctive probe
+    // drags the full posting list of every stopword-ish query term
+    // through the candidate set (measured: the probe tracked the
+    // corpus, 40.9 s at sf10, because common words' df ≈ N). Terms
+    // with df·10 > n_docs carry ~no idf signal and O(N) postings —
+    // drop them BEFORE any posting list fans out. df is counted
+    // exactly ((term, doc) distinct — slim 2-column shuffle of the
+    // query terms' postings, the one corpus-proportional pass left,
+    // and it carries no payload), matching the oracle's tf-derived df.
+    val dfq = idx
       .join(broadcast(qTerms.select(col("term")).distinct()),
         Seq("term"), "left_semi")
+      .select(col("term"), col("doc_id")).dropDuplicates()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val informative = dfq.crossJoin(broadcast(stats))
+      .filter(col("df") * 10 <= col("n_docs"))
+      .select(col("term"), col("df"))
+    // the replay-absorbing dedup now runs on the INFORMATIVE terms'
+    // postings only — rare-term lists, candidate-bounded
+    val post = idx.join(broadcast(informative), Seq("term"))
+      .dropDuplicates()
     val lexScored = post.join(broadcast(qTerms), Seq("term"))
       .filter(col("doc_id") =!= col("q_id"))
-      .join(broadcast(dfq), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("sc", floor(
         lit(10000) *
@@ -700,11 +734,32 @@ object Similarity {
 
   val hybridRrfSql: String =
     s"""WITH $normedSql,
+       |perdim AS (
+       |  SELECT label, i AS pos,
+       |    CAST(floor(v[i + 1] * 1000.0 + 0.5) AS BIGINT) AS qx
+       |  FROM n, range(0, 64) t(i)),
+       |cents AS (
+       |  SELECT label, list(c ORDER BY pos) AS cv FROM (
+       |    SELECT label, pos,
+       |      CAST(sum(qx) AS DOUBLE) / 1000.0 / CAST(count(*) AS DOUBLE) AS c
+       |    FROM perdim GROUP BY label, pos)
+       |  GROUP BY label),
+       |assigned AS (
+       |  SELECT q_id, label AS probe_label FROM (
+       |    SELECT q.vec_id AS q_id, c.label,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(range(1, 65),
+       |            i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))),
+       |          (a, b) -> a + b) ASC, c.label ASC) AS arank
+       |    FROM n q, cents c WHERE q.vec_id IN $queryIdsSql)
+       |  WHERE arank <= $RrfNprobe),
        |pairs AS (
-       |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+       |  SELECT a.q_id, e.vec_id AS n_id,
        |    ${dotSql("q.v", "e.v")} / (q.nrm * e.nrm) AS sim
-       |  FROM n q JOIN n e ON q.vec_id IN $queryIdsSql
-       |                    AND e.vec_id <> q.vec_id),
+       |  FROM assigned a
+       |  JOIN n q ON q.vec_id = a.q_id
+       |  JOIN n e ON e.label = a.probe_label AND e.vec_id <> a.q_id),
        |dns AS (
        |  SELECT q_id, n_id AS id, CAST(rank AS BIGINT) AS d_rank FROM (
        |    SELECT *, row_number() OVER (
@@ -726,14 +781,17 @@ object Similarity {
        |dfq AS (
        |  SELECT term, count(*) AS df FROM tf
        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+       |inf AS (
+       |  SELECT term, df FROM dfq CROSS JOIN st
+       |  WHERE df * 10 <= st.n_docs),
        |lsc AS (
        |  SELECT qt.q_id, tf.doc_id,
-       |    CAST(sum(CAST(floor(10000 * ln((st.n_docs + 1.0) / (dfq.df + 1)) *
+       |    CAST(sum(CAST(floor(10000 * ln((st.n_docs + 1.0) / (inf.df + 1)) *
        |      ((22 * tf.tf * st.t) /
        |       (10 * tf.tf * st.t + 3 * st.t + 9 * dl.dl * st.n_docs)))
        |      AS BIGINT)) AS BIGINT) AS score_bp
        |  FROM qt JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
-       |       JOIN dfq USING (term) CROSS JOIN st
+       |       JOIN inf USING (term) CROSS JOIN st
        |  WHERE tf.doc_id <> qt.q_id
        |  GROUP BY qt.q_id, tf.doc_id),
        |lex AS (
