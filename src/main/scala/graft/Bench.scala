@@ -62,11 +62,12 @@ object Bench {
     * and our own decaying contribution between passes sits well under it
     * at sf0.1 pass lengths. */
   val GateLoad = 1.5
-  // 5 min sufficed through the 87-query r10 surface; at 106 queries with
-  // q104's graph passes keeping the 1-minute loadavg elevated between
-  // queries, the budget exhausts mid-run and flags the tail ungated even
-  // on an otherwise idle box — scale it with the surface.
-  val GateBudgetMs = 12 * 60 * 1000L
+  // 5 min sufficed through the 87-query r10 surface; 12 min through 106
+  // queries; at 133 the r17 run exhausted it mid-run again (gate_wait
+  // 720 s, tail flagged ungated on an idle box — the load being gated
+  // against is mostly our own passes' 1-min decay). Scale with the
+  // surface instead of chasing it: ~10 s of budget per registered query.
+  val GateBudgetMs = 10 * 1000L * graft.SparkEntry.queries.size
 
   /** Milliseconds of gate budget spent so far this run. */
   private var gateSpentMs = 0L
