@@ -67,7 +67,10 @@ object Bench {
   // 720 s, tail flagged ungated on an idle box — the load being gated
   // against is mostly our own passes' 1-min decay). Scale with the
   // surface instead of chasing it: ~10 s of budget per registered query.
-  val GateBudgetMs = 10 * 1000L * graft.SparkEntry.queries.size
+  // `lazy` (ADVICE r17): touching the registry size forces eager init of
+  // every operator object; tools that only want gate()/loadavg()
+  // (SpotBench) must not pay full registry construction at Bench init.
+  lazy val GateBudgetMs = 10 * 1000L * graft.SparkEntry.queries.size
 
   /** Milliseconds of gate budget spent so far this run. */
   private var gateSpentMs = 0L
@@ -116,6 +119,11 @@ object Bench {
     * single-thread library path the media queries ride (deflate +
     * filter + color-model conversion), so it moves when THEY would. */
   def codecProbeSec(): Double = {
+    // In-memory streams only (ADVICE r17): ImageIO's default disk cache
+    // routes the write through a temp file, so on contended scratch disk
+    // the probe would move for non-codec reasons — the opposite of its
+    // purpose as a pure deflate+filter yardstick.
+    javax.imageio.ImageIO.setUseCache(false)
     val img = new java.awt.image.BufferedImage(256, 256,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until 256; x <- 0 until 256)

@@ -440,6 +440,28 @@ object Merge {
     * [[writeAndSwap]] died between delete and rename: adopt the newest
     * orphan (by modification time) as the sink so the accumulated merges
     * are never lost. Single-writer contract, like the reference. */
+  /** Retire a swap-managed artifact COMPLETELY: delete every `.tmp-*`
+    * orphan FIRST, then the target. The order is the point (ADVICE r17,
+    * multi-artifact generations): a caller about to replace a PAIR of
+    * artifacts retires the second half before swapping the first, so any
+    * crash in the replacement window leaves that half ABSENT — forcing
+    * the consumer's rebuild-both path — rather than a stale generation
+    * that [[recoverSwap]] would adopt and silently pair with the other
+    * half's NEW generation. Deleting orphans before the target keeps
+    * every intermediate crash state safe: orphans-gone/target-present is
+    * the intact old artifact; orphans-gone/target-gone is the forced
+    * rebuild. (Target-first would open a window where an old orphan is
+    * adoptable against a newer sibling.) */
+  def retireArtifact(fs: org.apache.hadoop.fs.FileSystem,
+                     path: String): Unit = {
+    val orphans = Option(
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$path.tmp-*")))
+      .getOrElse(Array.empty)
+    orphans.foreach(o => fs.delete(o.getPath, true))
+    val target = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(target)) fs.delete(target, true)
+  }
+
   def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit =
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
       val orphans = Option(

@@ -2290,8 +2290,11 @@ object Documents {
     * FROZEN vocab; when the batch compresses worse than the corpus by
     * more than `maxDriftBp` basis points (cpt_batch·(10000+maxDriftBp)
     * < cpt_corpus·10000 — integer arithmetic, deterministic), retrain
-    * on corpus ∪ batch and REPLACE both artifact halves through the
-    * crash-safe writeAndSwap. Returns whether a refresh happened;
+    * on corpus ∪ batch and REPLACE both artifact halves: the types half
+    * is RETIRED first ([[graft.etl.Merge.retireArtifact]]) so no crash
+    * point can leave both halves present across generations — the pair
+    * is served matched or rebuilt together, never split. Returns
+    * whether a refresh happened;
     * BpeSpec drives both branches and proves the refreshed artifact
     * equals a from-scratch train on the union. */
   def bpeRefreshIfDrifted(s: SparkSession, mergesPath: String,
@@ -2312,6 +2315,18 @@ object Documents {
     if (drifted) {
       val (merges, newTypes) = bpeTrainTypes(
         corpusWords.unionByName(batchWords), BpeMerges)
+      // PAIR-SWAP crash safety (ADVICE r17): two independent writeAndSwap
+      // calls opened a window where a crash between them left NEW merges
+      // beside OLD types, both present — and [[bpeFreezeAt]] only
+      // rebuilds when a half is ABSENT, so the split pair would be
+      // served silently. Retiring the types half (orphans first, then
+      // target) BEFORE touching merges closes every window: a crash
+      // before the merges swap leaves old-merges/no-types, after it
+      // new-merges/no-types — either way the next freeze takes the
+      // deterministic rebuild-both path and publishes a matched pair.
+      val fs = new org.apache.hadoop.fs.Path(typesPath).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      graft.etl.Merge.retireArtifact(fs, typesPath)
       graft.etl.Merge.writeAndSwap(merges, mergesPath, "refresh")
       graft.etl.Merge.writeAndSwap(newTypes, typesPath, "refresh")
     }
@@ -2514,8 +2529,18 @@ object Documents {
         col("n_tokens"),
         (col("doc_id") === col("k_doc") &&
          col("start_pos") === col("k_pos")).cast("long").as("keep"))
-    verdictClean.unionByName(verdictCollided)
+    // RELEASE the staged span table (ADVICE r17): persist() blocks are
+    // CacheManager-held for the session — across a 3-pass bench and the
+    // per-batch streaming sink they accumulate unbounded (disk blocks
+    // are never evicted by memory pressure). Materialize the
+    // span-bounded verdict eagerly, unpersist the stage, hand back the
+    // checkpointed frame — its blocks are ContextCleaner-GC'd with the
+    // frame, so the operator leaves no session-lifetime residue.
+    val out = verdictClean.unionByName(verdictCollided)
       .orderBy(col("doc_id"), col("start_pos"))
+      .localCheckpoint(true)
+    withText.unpersist()
+    out
   }
 
   // ── q128: incremental dup-span probe — q126 through a gram index ───────
@@ -2683,7 +2708,7 @@ object Documents {
       .filter(col("n_in") + coalesce(col("n_idx"), lit(0L)) >= 2)
       .select(col("gram"))
     val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    g.join(dup, Seq("gram"), "left_semi")
+    val res = g.join(dup, Seq("gram"), "left_semi")
       .withColumn("isl", col("pos") - row_number().over(wIsl))
       .groupBy(col("doc_id"), col("isl"))
       .agg(min(col("pos")).as("start_pos"),
@@ -2694,6 +2719,15 @@ object Documents {
         (col("end_pos") - col("start_pos") + 1).cast("long")
           .as("n_tokens"))
       .orderBy(col("doc_id"), col("start_pos"))
+    // Bloom path: release the cached batch grams (ADVICE r17 — the
+    // streaming sink invokes this per micro-batch, and CacheManager
+    // blocks outlive the batch). The span result is span-bounded;
+    // checkpoint it eagerly so nothing downstream re-needs g.
+    if (useBloom) {
+      val out = res.localCheckpoint(true)
+      g.unpersist()
+      out
+    } else res
   }
 
   /** Oracle: the GLOBAL duplication rule restricted to incoming docs —
@@ -2971,12 +3005,18 @@ object Documents {
         (col("h") < col("e_bp") % 10000L).cast("long"))
       .withColumn("n_copies", (col("e_bp") / lit(10000L)).cast("long") +
         col("extra"))
-    perDoc.groupBy(col("source"))
+    val out = perDoc.groupBy(col("source"))
       .agg(sum(col("n_copies")).as("n_copies"))
       .join(weights, Seq("source"))
       .select(col("source"), col("t").as("n_tokens"), col("n_docs"),
         col("e_bp"), col("n_copies"))
       .orderBy(col("source"))
+      // |sources| rows, eager — lets the skinny staged projection be
+      // released NOW instead of living in the CacheManager for the
+      // session (ADVICE r17)
+      .localCheckpoint(true)
+    docs.unpersist()
+    out
   }
 
   val temperatureMixSql: String =

@@ -141,6 +141,37 @@ class BpeSpec extends SparkSpec {
       "refreshed artifact != from-scratch train on the union")
   }
 
+  test("pair-swap crash window: a refresh that dies between the merges " +
+       "swap and the types swap never serves a split-generation pair — " +
+       "the next freeze rebuilds BOTH halves (ADVICE r17)") {
+    val corpus = Seq.fill(8)("aaab").toDF("w")
+    val shifted = Seq.fill(6)("zzzzzzzz").toDF("w")
+    val (mp, tp) = tmpPaths()
+    Documents.bpeFreezeAt(spark, mp, tp, corpus.select("w"))
+    // Simulate the refresh path dying right after the merges swap:
+    // types retired (orphans + target gone), NEW-generation merges
+    // published, types swap never reached.
+    val fs = new org.apache.hadoop.fs.Path(tp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.retireArtifact(fs, tp)
+    val (newMerges, _) = Documents.bpeTrainTypes(
+      corpus.unionByName(shifted), Documents.BpeMerges)
+    graft.etl.Merge.writeAndSwap(newMerges, mp, "refresh")
+    // Recovery: freeze must take the rebuild-both path (types absent),
+    // publishing a MATCHED pair trained on the freeze words — not the
+    // crashed refresh's merges beside resurrected old types.
+    val (servedMerges, servedTypes) =
+      Documents.bpeFreezeAt(spark, mp, tp, corpus.select("w"))
+    val (wantMerges, wantTypes) =
+      Documents.bpeTrainTypes(corpus.select("w"), Documents.BpeMerges)
+    assert(servedMerges.exceptAll(wantMerges).count() === 0 &&
+           wantMerges.exceptAll(servedMerges).count() === 0,
+      "recovered merges must come from the rebuild, not the crashed swap")
+    assert(servedTypes.exceptAll(wantTypes).count() === 0 &&
+           wantTypes.exceptAll(servedTypes).count() === 0,
+      "recovered types must match the recovered merges' generation")
+  }
+
   test("bpeTrainTypes returns each word type's final segmentation — " +
        "the q125 encode lookup IS the trainer's rewritten type table") {
     // round 1: (a,a)=4 beats (a,b)=3 → 'aaab' = [aa, a, b];
