@@ -1216,6 +1216,34 @@ object Documents {
     ledger.agg(sum(col("n_docs")).as("n_docs"),
       sum(col("total_tokens")).cast("long").as("total_tokens"))
 
+  /** Per-term DOCUMENT FREQUENCY as a LEDGER slice keyed by batch
+    * identity (VERDICT r17 item 1) — the third mergeable BM25 statistic,
+    * materialized so a probe never pays a corpus-proportional (term,
+    * doc) distinct at query time. df decomposes over disjoint doc
+    * batches exactly like n_docs/total_tokens (each doc's postings live
+    * in one batch, so df(term) = Σ_batches df_batch(term)); unlike the
+    * 1-row stats ledger the slice is VOCAB-sized, so maintenance takes
+    * the POSTINGS contract, not read-modify-write: each batch appends
+    * its (batch_id, term, df) rows untouched, a replayed append only
+    * duplicates full rows (df per (batch, term) is deterministic), and
+    * [[bm25DfTotal]]'s dropDuplicates absorbs them — the same
+    * replay-absorption [[appendPostings]] has. Compaction clusters on
+    * `term` on the usual cadence, which also garbage-collects replay
+    * duplicates ([[graft.etl.Merge.compact]]'s documented dual use). */
+  private[graft] def bm25DfLedger(docs: DataFrame,
+                                  batchId: String): DataFrame =
+    postings(docs).groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .select(lit(batchId).as("batch_id"), col("term"), col("df"))
+
+  /** Collapse a df ledger to the per-term totals a probe consumes.
+    * Callers restrict to their probe terms FIRST (a broadcast semi-join
+    * of the tiny query-term set) so the dedup + sum shuffle carries
+    * |probe terms| · batches rows — vocabulary- and batch-bounded,
+    * never corpus-proportional. */
+  private[graft] def bm25DfTotal(ledger: DataFrame): DataFrame =
+    ledger.dropDuplicates()
+      .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
+
   /** Append-maintain a PLAIN-PATH BM25 index for a batch of NEW documents
     * — q99's `appendPostings` contract extended to the denormalized
     * index (VERDICT r14 item 4: q122's members were build-once; an
@@ -1225,15 +1253,19 @@ object Documents {
     * append only duplicates (term, doc_id, tf, dl) rows, which the
     * probe's dropDuplicates collapses. The stats half appends its ledger
     * row through a first-wins merge on `batch_id` over the crash-safe
-    * writeAndSwap — a replayed batch id is a no-op, so BOTH halves are
-    * replay-absorbing and the pair converges to the from-scratch build.
+    * writeAndSwap — a replayed batch id is a no-op, so ALL THREE parts
+    * (postings, df ledger, stats ledger) are replay-absorbing and the
+    * triple converges to the from-scratch build.
     * Caller contract (same as every append here): `docs` are NEW doc_ids
     * — an already-indexed doc would coexist with its old rows. Compact
-    * the postings on the usual cadence via [[compactBm25Index]]. */
+    * the postings AND the df ledger on the usual cadence via
+    * [[compactBm25Index]]. */
   private[graft] def appendBm25(idxPath: String, statsPath: String,
-                                docs: DataFrame, batchId: String): Unit = {
+                                dfPath: String, docs: DataFrame,
+                                batchId: String): Unit = {
     val s = docs.sparkSession
     bm25Postings(docs).write.mode("append").parquet(idxPath)
+    bm25DfLedger(docs, batchId).write.mode("append").parquet(dfPath)
     val incoming = bm25StatsLedger(docs, batchId)
     val target = new org.apache.hadoop.fs.Path(statsPath)
     val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -627,8 +627,12 @@ object Similarity {
     * — one generation pairs corpus, AND-index, BM25 index, stats;
     * whichever query runs first builds, the others widen): postings
     * join a BROADCAST of the tiny (q_id, term) set (|Q|·words-per-doc
-    * rows, corpus-independent), df comes from a semi-join-restricted
-    * count over the probed terms only, stats are the 1-row broadcast.
+    * rows, corpus-independent), df is a READ of the materialized
+    * per-term df ledger restricted to the probed terms (VERDICT r17
+    * item 1 — df is a mergeable per-batch sum, so it lives in the
+    * artifact like n_docs/total_tokens; the probe no longer pays a
+    * corpus-proportional (term, doc) distinct), stats are the 1-row
+    * broadcast.
     * Because the term set is data-dependent the index scan has no
     * static pushdown — a production probe would runtime-filter the
     * term-clustered index with a Bloom of the query terms (the q128
@@ -652,7 +656,8 @@ object Similarity {
         "corpus"    -> (() => docs),
         "postings"  -> (() => Documents.postings(docs)),
         "bm25"      -> (() => Documents.bm25Postings(docs)),
-        "bm25stats" -> (() => Documents.bm25StatsLedger(docs, "build"))))
+        "bm25stats" -> (() => Documents.bm25StatsLedger(docs, "build")),
+        "bm25df"    -> (() => Documents.bm25DfLedger(docs, "build"))))
     val stats = Documents.bm25StatsTotal(s.read.parquet(snap("bm25stats")))
     // qTerms is |Q|·words-per-doc rows — checkpoint it eagerly so its
     // consumers don't each re-scan the documents table (the plan audit
@@ -670,15 +675,19 @@ object Similarity {
     // through the candidate set (measured: the probe tracked the
     // corpus, 40.9 s at sf10, because common words' df ≈ N). Terms
     // with df·10 > n_docs carry ~no idf signal and O(N) postings —
-    // drop them BEFORE any posting list fans out. df is counted
-    // exactly ((term, doc) distinct — slim 2-column shuffle of the
-    // query terms' postings, the one corpus-proportional pass left,
-    // and it carries no payload), matching the oracle's tf-derived df.
-    val dfq = idx
-      .join(broadcast(qTerms.select(col("term")).distinct()),
-        Seq("term"), "left_semi")
-      .select(col("term"), col("doc_id")).dropDuplicates()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // drop them BEFORE any posting list fans out. df comes from the
+    // MATERIALIZED per-term ledger (r18 — the probe's last
+    // corpus-proportional pass, a (term, doc) distinct over the query
+    // terms' postings, moved into the artifact where it is a mergeable
+    // per-batch sum): one vocabulary-sized index scan, semi-joined down
+    // to the query terms BEFORE the dedup+sum shuffle, so everything
+    // past the scan is |query terms| · batches rows. Values are
+    // identical to the oracle's tf-derived df by construction (the
+    // ledger is built from the same postings).
+    val dfq = Documents.bm25DfTotal(
+      s.read.parquet(snap("bm25df"))
+        .join(broadcast(qTerms.select(col("term")).distinct()),
+          Seq("term"), "left_semi"))
     val informative = dfq.crossJoin(broadcast(stats))
       .filter(col("df") * 10 <= col("n_docs"))
       .select(col("term"), col("df"))

@@ -92,12 +92,15 @@ class InvertedIndexSpec extends SparkSpec {
       .createTempDirectory("graft-bm25").toString
     val idx = s"$dir/bm25"
     val stats = s"$dir/bm25stats"
+    val dfLed = s"$dir/bm25df"
 
     Merge.writeAndSwap(Documents.bm25Postings(standing), idx, "build")
     Merge.writeAndSwap(Documents.bm25StatsLedger(standing, "build"),
       stats, "build")
-    Documents.appendBm25(idx, stats, batch, "b1")
-    Documents.appendBm25(idx, stats, batch, "b1") // replayed batch id
+    Merge.writeAndSwap(Documents.bm25DfLedger(standing, "build"),
+      dfLed, "build")
+    Documents.appendBm25(idx, stats, dfLed, batch, "b1")
+    Documents.appendBm25(idx, stats, dfLed, batch, "b1") // replayed batch id
 
     def probe(i: DataFrame, l: DataFrame): Seq[(Long, Long, Long)] =
       Documents.bm25Probe(i, Documents.bm25StatsTotal(l), terms, 1000)
@@ -116,6 +119,21 @@ class InvertedIndexSpec extends SparkSpec {
       Documents.bm25StatsLedger(docs, "x")).as[(Long, Long)].head()
     assert(total === oneshot,
       s"replayed ledger row double-counted: $total != $oneshot")
+    // df ledger (r18, VERDICT r17 item 1): append ≡ rebuild — the
+    // per-term totals over build + appended batch (replay included)
+    // must equal a one-shot df over the whole corpus, for EVERY term
+    def dfRows(l: DataFrame): Seq[(String, Long)] =
+      Documents.bm25DfTotal(l).as[(String, Long)].collect().toSeq.sorted
+    val dfExpect = dfRows(Documents.bm25DfLedger(docs, "oneshot"))
+    assert(dfRows(spark.read.parquet(dfLed)) === dfExpect,
+      "appended df ledger != from-scratch df")
+    // and compaction of the df ledger (term-clustered, replay rows
+    // GC'd) must not change a single total
+    val (dfB, dfA) = Merge.compact(spark, dfLed, "term")
+    assert(dfA < dfB,
+      s"df compaction did not shrink the file population ($dfB -> $dfA)")
+    assert(dfRows(spark.read.parquet(dfLed)) === dfExpect,
+      "df compaction changed per-term totals")
 
     val (before, after) = Documents.compactBm25Index(spark, idx)
     assert(after < before,

@@ -632,6 +632,40 @@ class PlanSpec extends SparkSpec {
       s"top-20 is not a per-partition heap merge:\n$p")
   }
 
+  test("q133: the lexical arm's df comes from the MATERIALIZED per-term " +
+       "ledger, not a corpus-proportional (term, doc) distinct at probe " +
+       "time (VERDICT r17 item 1)") {
+    // explain truncates scan locations, so collect the scan roots from
+    // the optimized plan instead of grepping the plan string
+    val scanRoots = atScaleShape {
+      q("q133_hybrid_rrf").queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    }
+    assert(scanRoots.exists(_.contains("/bm25df/")),
+      s"df not read from the bm25df artifact; scans: $scanRoots")
+    // the member must exist under the shared search root as its own
+    // manifest-published generation
+    val wh = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val searchRoots = wh.listFiles
+      .filter(_.getName.startsWith("graft_search_"))
+    assert(searchRoots.nonEmpty, s"no search root under $wh")
+    // several roots can coexist (one per dataset tag the suite touched);
+    // the one this query probed must carry a published df generation
+    assert(searchRoots.exists { r =>
+      val m = new java.io.File(r, "bm25df")
+      m.isDirectory && m.listFiles.exists(g =>
+        g.getName.startsWith("gen-") && g.isDirectory)
+    }, s"no search root carries a bm25df generation: " +
+       s"${searchRoots.map(_.getName).mkString(", ")}")
+  }
+
   test("q87: batch scoring reads the FROZEN warehouse LM through broadcast " +
        "joins — no corpus-side count shuffle in the steady state") {
     val p = atScaleShape { plan(q("q87_lm_indexed")) }
