@@ -834,6 +834,73 @@ class StreamsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, String)].collect().toSeq ===
       Seq((30L, 2L, 5L, 4L, "t3")),
       "post-compaction batch probe diverged")
+    // FEED compaction (VERDICT r17 item 3): the replayed t2 left raw
+    // duplicate rows in the published dir; compaction must GC them for
+    // good (raw count drops to the distinct count), shrink the file
+    // population, and leave the feed relation byte-identical
+    val feedBefore = Streams.dupSpanFeed(spark, out)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    val rawBefore = spark.read.parquet(out).count()
+    assert(rawBefore > feedBefore.size.toLong,
+      "expected raw replay duplicates in the feed dir before compaction")
+    val (fb, fa) = Streams.compactDupSpanFeed(spark, out)
+    assert(fb > fa, s"feed compaction must shrink files ($fb -> $fa)")
+    assert(spark.read.parquet(out).count() === feedBefore.size.toLong,
+      "feed compaction did not GC the replay duplicates")
+    assert(Streams.dupSpanFeed(spark, out)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq === feedBefore,
+      "feed compaction changed the published relation")
+  }
+
+  test("dup-span ingest under DOUBLE-crash interleavings (VERDICT r17 " +
+       "item 2): any sequence of publish-only crashed attempts and full " +
+       "replays under one token converges to the clean one-attempt state") {
+    import graft.operators.Documents
+    import spark.implicits._
+    val K = 4
+    val corpus = Seq((1L, "a b c d p1 p2")).toDF("doc_id", "text")
+    val b2 = Seq((20L, "q7 a b c d"), (21L, "u v w x y"))
+      .toDF("doc_id", "text")
+    // applyDupSpanBatch's first half, run in isolation — the state a
+    // crash between the span publish and the ledger append leaves
+    def publishOnly(state: String, out: String, token: String): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(state).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      graft.etl.Merge.recoverSwap(fs, state)
+      Documents.dupSpanProbe(b2,
+        Documents.gramLedgerCounts(spark, state,
+          excludeBatch = Some(token)), K)
+        .withColumn("batch_id", lit(token))
+        .write.mode("append").parquet(out)
+    }
+    def feedOf(out: String) = Streams.dupSpanFeed(spark, out)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    def ledgerOf(state: String) = Documents
+      .gramLedgerCounts(spark, state).as[(String, Long)].collect().toSet
+    // clean reference: one uncrashed attempt
+    val cState = tmp("graft-dspan-dc-clean") + "/ledger"
+    val cOut = tmp("graft-dspan-dc-clean-out") + "/feed"
+    Documents.appendGramLedger(cState, corpus, K, "seed")
+    Streams.applyDupSpanBatch(b2, cState, cOut, K, "t2")
+    val wantFeed = feedOf(cOut)
+    val wantLedger = ledgerOf(cState)
+    assert(wantFeed.nonEmpty, "reference batch must flag a span")
+    // crashed double-replay: publish-only (ledger has NO own rows —
+    // exclude is a no-op), then a full attempt (appends the ledger),
+    // then publish-only AGAIN (ledger now HAS own t2 rows — exclude
+    // must hide them or every position self-flags), then the final
+    // full replay
+    val state = tmp("graft-dspan-dc") + "/ledger"
+    val out = tmp("graft-dspan-dc-out") + "/feed"
+    Documents.appendGramLedger(state, corpus, K, "seed")
+    publishOnly(state, out, "t2")               // attempt 1: crash
+    Streams.applyDupSpanBatch(b2, state, out, K, "t2") // attempt 2: crash
+    publishOnly(state, out, "t2")               // attempt 3: crash
+    Streams.applyDupSpanBatch(b2, state, out, K, "t2") // attempt 4: done
+    assert(feedOf(out) === wantFeed,
+      "interleaved crashed replays changed the published feed")
+    assert(ledgerOf(state) === wantLedger,
+      "interleaved crashed replays changed the ledger counts")
   }
 
   test("dup-span sink wires end-to-end through foreachBatch: one " +
