@@ -2509,8 +2509,15 @@ object Documents {
   private def spanHash128(t: Column): Column =
     struct(xxhash64(t), xxhash64(lit("graft.span.h2"), t))
 
+  /** `stage = false` skips the persist/localCheckpoint lifecycle and
+    * returns the pure declarative plan — PlanSpec pins the derivation's
+    * shuffle/join shape there (the staged form truncates lineage at the
+    * checkpoint, so the executed plan of the REGISTERED query is just a
+    * Scan of the materialized result — the shape that matters executes
+    * inside it). */
   private[operators] def spanDedupCore(docs0: DataFrame, K: Int,
-      clusterHash: Column => Column = spanHash128): DataFrame = {
+      clusterHash: Column => Column = spanHash128,
+      stage: Boolean = true): DataFrame = {
     val spans = dupSpansCore(docs0, K)
     val words = docs0.select(col("doc_id"),
       graft.functions.Text.toWords(col("text")).as("w"))
@@ -2520,13 +2527,15 @@ object Documents {
     // subtree (a corpus re-scan per consumer; measured 6.0 -> 3.3 s at
     // sf1). The 100 TB shape is the same: stage the tiny span table
     // once, never re-run the finder.
-    val withText = spans.join(words, Seq("doc_id"))
+    val withText0 = spans.join(words, Seq("doc_id"))
       .withColumn("span_text",
         array_join(slice(col("w"), col("start_pos").cast("int"),
           col("n_tokens").cast("int")), " "))
       .drop("w")
       .withColumn("h", clusterHash(col("span_text")))
+    val withText = if (stage) withText0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else withText0
     // hash-bucket election + in-bucket verify in ONE aggregation: the
     // min/max text extremes detect any collision (min == max iff all
     // bucket members are byte-identical), and their partials combine
@@ -2568,11 +2577,14 @@ object Documents {
     // span-bounded verdict eagerly, unpersist the stage, hand back the
     // checkpointed frame — its blocks are ContextCleaner-GC'd with the
     // frame, so the operator leaves no session-lifetime residue.
-    val out = verdictClean.unionByName(verdictCollided)
+    val outPlan = verdictClean.unionByName(verdictCollided)
       .orderBy(col("doc_id"), col("start_pos"))
-      .localCheckpoint(true)
-    withText.unpersist()
-    out
+    if (!stage) outPlan
+    else {
+      val out = outPlan.localCheckpoint(true)
+      withText.unpersist()
+      out
+    }
   }
 
   // ── q128: incremental dup-span probe — q126 through a gram index ───────
@@ -3492,6 +3504,217 @@ object Documents {
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  // ── q134/q135: supervised classifier quality filter (CCNet/GPT-3 style) ─
+  /** The quality family's missing production gate (VERDICT r17 item 4):
+    * the heuristics (q20), the unsupervised corpus LM (q83/q87) and its
+    * drift stat (q88) cover what CCNet calls "perplexity filtering", but
+    * production pipelines (CCNet, GPT-3's WebText classifier, Gopher)
+    * additionally gate on a SUPERVISED classifier trained to separate a
+    * target class from the crawl. This is that gate, trained on a
+    * deterministic weak label the data already carries — `lang = 'en'`
+    * (the target-language filter CCNet runs via fastText; balanced
+    * ~40/60 at every harness SF) — under the engine's exactness
+    * discipline.
+    *
+    * Real Naive Bayes sums per-term log-likelihood ratios in floating
+    * point; Spark's and DuckDB's libm need not agree in the last ulp,
+    * and one flipped floor() at a class boundary fails the hash gate. So
+    * the score is the mean-posterior (Robinson) form of the same
+    * classifier, rational end to end: each vocabulary term carries its
+    * add-one-smoothed class posterior in integer basis points,
+    * `(10000·(c1+1)) div (c1+c0+2)` (c1/c0 = the term's occurrence
+    * counts in positive/negative training docs), out-of-vocabulary
+    * terms back off to the class PRIOR in the same units (derived from
+    * the model table itself, so frozen scoring is a pure function of
+    * ONE artifact), and a document scores the occurrence-weighted
+    * integer mean — monotone with the NB decision for thresholding,
+    * bit-identical in both engines. `pred_en` thresholds at the
+    * maximum-uncertainty midpoint (5000 bp).
+    *
+    * Lifecycle and scale are the q87 shape exactly: the model is capped
+    * at the top-[[NbModelTopK]] terms by training occurrence count
+    * (ties by term text — deterministic in both engines), so it
+    * BROADCASTS at any corpus size; it trains ONCE on the standing
+    * corpus (the q42 hash split's <90 bucket), freezes as a
+    * datasetTag-keyed warehouse artifact — a SINGLE table, so the swap
+    * has no split-generation window by construction (the ADVICE-r17 BPE
+    * pair-swap lesson applied at design time) — and every incoming
+    * batch (≥90 bucket) scores against the frozen table: map-side word
+    * fan-out, one broadcast join, one 1-row prior crossJoin, ONE wide
+    * exchange (the per-doc aggregate, partial-aggregated map-side).
+    * Steady state never re-touches the corpus; [[nbDrift]] makes the
+    * calibration cost of freezing observable and [[nbRefreshIfDrifted]]
+    * closes the loop (NbSpec proves frozen ≡ train-and-score and drives
+    * both refresh branches). */
+  val NbModelTopK = 100000
+
+  /** (doc_id, w) word-occurrence rows — the map-side fan-out all NB
+    * passes share (multinomial event model: occurrences, not presence). */
+  private def nbWords(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(Text.toWords(col("text"))).as("w"))
+
+  /** Capped-model training over (doc_id, text, y) docs: top-K
+    * (w, c1, c0) by total occurrence count, ties by term (deterministic
+    * in both engines; NbSpec drives the boundary). */
+  private[graft] def nbTrainModel(labeled: DataFrame,
+      topK: Int = NbModelTopK): DataFrame =
+    labeled.select(explode(Text.toWords(col("text"))).as("w"), col("y"))
+      .groupBy(col("w"))
+      .agg(sum(col("y")).as("c1"),
+        (count(lit(1)) - sum(col("y"))).as("c0"))
+      .orderBy((col("c1") + col("c0")).desc, col("w").asc)
+      .limit(topK)
+
+  /** Weak label: the target-language flag, as a column. */
+  private def nbLabel: Column =
+    when(col("lang") === "en", 1L).otherwise(0L)
+
+  /** The class prior in basis points, derived from the model table
+    * itself (1-row aggregate → broadcast) — frozen scoring depends on
+    * nothing but the one artifact. */
+  private def nbPrior(model: DataFrame): DataFrame =
+    model.agg(expr("(10000 * (sum(c1) + 1)) div (sum(c1) + sum(c0) + 2)")
+      .as("prior_bp"))
+
+  /** Per-occurrence scoring rows (doc_id, sbp) of `docs` against a
+    * frozen model: broadcast the capped table, smooth in-vocabulary
+    * terms, back off OOV to the prior. */
+  private def nbOccScores(docs: DataFrame, model: DataFrame): DataFrame =
+    nbWords(docs)
+      .join(broadcast(model), Seq("w"), "left")
+      .crossJoin(broadcast(nbPrior(model)))
+      .select(col("doc_id"),
+        when(col("c1").isNull, col("prior_bp"))
+          .otherwise(expr("(10000 * (c1 + 1)) div (c1 + c0 + 2)"))
+          .as("sbp"))
+
+  /** Per-doc score tail shared by q134 and NbSpec. */
+  private[graft] def nbScoreAgainst(docs: DataFrame,
+                                    model: DataFrame): DataFrame =
+    nbOccScores(docs, model)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        expr("sum(sbp) div count(1)").as("nb_en_bp"))
+      .select(col("doc_id"), col("n_words"), col("nb_en_bp"),
+        (col("nb_en_bp") >= 5000L).cast("long").as("pred_en"))
+      .orderBy(col("doc_id"))
+
+  /** The frozen classifier as a warehouse artifact — shared by q134,
+    * q135 and the refresh so all three read (and on first touch, build)
+    * the SAME materialization. */
+  private def frozenNb(s: SparkSession, d: String,
+                       docs: DataFrame): DataFrame =
+    graft.etl.Merge.materialize(s,
+      s"${s.conf.get("spark.sql.warehouse.dir")}/graft_nb_" +
+        Tables.datasetTag(s, d, "documents"),
+      nbTrainModel(docs.filter(col("bucket") < 90)
+        .select(col("doc_id"), col("text"), nbLabel.as("y"))))
+
+  private def bucketedDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("bucket",
+      pmod(Text.portableHash(col("doc_id").cast("string")), lit(100L)))
+
+  /** q134: score the incoming batch (≥90 bucket) under the FROZEN
+    * corpus-trained classifier. */
+  def nbClassifier(s: SparkSession, d: String): DataFrame = {
+    val docs = bucketedDocs(s, d)
+    nbScoreAgainst(docs.filter(col("bucket") >= 90),
+      frozenNb(s, d, docs))
+  }
+
+  private val nbModelSql: String =
+    s"""d AS (
+       |  SELECT doc_id, text, lang,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+       |  FROM documents),
+       |cw AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    unnest($wordsSql) AS w
+       |  FROM d WHERE bucket < 90),
+       |bw AS (SELECT doc_id, unnest($wordsSql) AS w FROM d WHERE bucket >= 90),
+       |m AS (
+       |  SELECT w, c1, c0 FROM (
+       |    SELECT w, sum(y) AS c1, count(*) - sum(y) AS c0,
+       |      row_number() OVER (ORDER BY count(*) DESC, w ASC) AS rk
+       |    FROM cw GROUP BY w) WHERE rk <= $NbModelTopK),
+       |p AS (
+       |  SELECT (10000 * (sum(c1) + 1)) // (sum(c1) + sum(c0) + 2) AS prior_bp
+       |  FROM m),
+       |scored AS (
+       |  SELECT bw.doc_id,
+       |    CASE WHEN m.c1 IS NULL THEN p.prior_bp
+       |         ELSE (10000 * (m.c1 + 1)) // (m.c1 + m.c0 + 2) END AS sbp,
+       |    CASE WHEN m.c1 IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM bw LEFT JOIN m USING (w) CROSS JOIN p)""".stripMargin
+
+  val nbClassifierSql: String =
+    s"""WITH $nbModelSql
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(sbp) // count(*) AS BIGINT) AS nb_en_bp,
+       |  CAST(CASE WHEN sum(sbp) // count(*) >= 5000 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS pred_en
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q135: classifier drift — the q88 statistic for the frozen NB model.
+    * Out-of-vocabulary fraction of batch occurrences (rising oov_bp IS
+    * the refresh signal) plus the calibration shift: the batch's mean
+    * occurrence score vs the frozen prior, all integer basis points.
+    * Cost: batch word fan-out, one broadcast join, ONE single-row
+    * aggregate — no corpus pass in steady state. */
+  def nbDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = bucketedDocs(s, d)
+    val model = frozenNb(s, d, docs)
+    nbWords(docs.filter(col("bucket") >= 90))
+      .join(broadcast(model), Seq("w"), "left")
+      .crossJoin(broadcast(nbPrior(model)))
+      .select(col("prior_bp"),
+        when(col("c1").isNull, col("prior_bp"))
+          .otherwise(expr("(10000 * (c1 + 1)) div (c1 + c0 + 2)"))
+          .as("sbp"),
+        col("c1").isNull.cast("long").as("oov"))
+      .groupBy(col("prior_bp"))
+      .agg(count(lit(1)).as("n_occ"), sum(col("oov")).as("n_oov"),
+        expr("(10000 * sum(oov)) div count(1)").as("oov_bp"),
+        expr("sum(sbp) div count(1)").as("batch_mean_bp"))
+      .select(col("n_occ"), col("n_oov"), col("oov_bp"), col("prior_bp"),
+        col("batch_mean_bp"),
+        (col("batch_mean_bp") - col("prior_bp")).as("shift_bp"))
+  }
+
+  val nbDriftSql: String =
+    s"""WITH $nbModelSql
+       |SELECT CAST(count(*) AS BIGINT) AS n_occ,
+       |  CAST(sum(oov) AS BIGINT) AS n_oov,
+       |  CAST((10000 * sum(oov)) // count(*) AS BIGINT) AS oov_bp,
+       |  CAST(any_value(p.prior_bp) AS BIGINT) AS prior_bp,
+       |  CAST(sum(sbp) // count(*) AS BIGINT) AS batch_mean_bp,
+       |  CAST(sum(sbp) // count(*) - any_value(p.prior_bp) AS BIGINT)
+       |    AS shift_bp
+       |FROM scored CROSS JOIN p""".stripMargin
+
+  /** Drift-triggered classifier REFRESH — the action half of q135,
+    * mirroring [[bpeRefreshIfDrifted]]/[[graft.operators.Similarity
+    * .refreshIfDrifted]]: when the batch's OOV fraction under the frozen
+    * model exceeds `maxOovBp`, retrain on corpus ∪ batch and swap the
+    * artifact. ONE table, one [[graft.etl.Merge.writeAndSwap]] — no
+    * split-generation crash window exists to guard (the BPE pair-swap
+    * fix, applied here as single-artifact design). Both frames carry
+    * (doc_id, text, y). Returns whether a refresh happened. */
+  def nbRefreshIfDrifted(s: SparkSession, path: String,
+      corpusDocs: DataFrame, batchDocs: DataFrame,
+      maxOovBp: Long = 500L): Boolean = {
+    val model = graft.etl.Merge.materialize(s, path, nbTrainModel(corpusDocs))
+    val oovBp = nbWords(batchDocs)
+      .join(broadcast(model), Seq("w"), "left")
+      .agg(expr("(10000 * sum(cast(c1 is null as long))) div count(1)"))
+      .head.getLong(0)
+    val drifted = oovBp > maxOovBp
+    if (drifted)
+      graft.etl.Merge.writeAndSwap(
+        nbTrainModel(corpusDocs.unionByName(batchDocs)), path, "refresh")
+    drifted
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q52_char_ngram_langid" -> (charNgramLangId _),
     "q43_scrub_pii"       -> (scrubPii _),
@@ -3534,6 +3757,8 @@ object Documents {
     "q129_temperature_mix" -> (temperatureMix _),
     "q130_bpe_frozen_encode" -> (bpeFrozenEncode _),
     "q131_bpe_drift"      -> (bpeDrift _),
+    "q134_nb_classifier"  -> (nbClassifier _),
+    "q135_nb_drift"       -> (nbDrift _),
     "q132_span_rewrite"   -> (spanRewrite _))
 
   val oracles: Seq[(String, String)] = Seq(
@@ -3578,5 +3803,7 @@ object Documents {
     "q129_temperature_mix" -> temperatureMixSql,
     "q130_bpe_frozen_encode" -> bpeFrozenEncodeSql,
     "q131_bpe_drift"      -> bpeDriftSql,
+    "q134_nb_classifier"  -> nbClassifierSql,
+    "q135_nb_drift"       -> nbDriftSql,
     "q132_span_rewrite"   -> spanRewriteSql)
 }

@@ -671,6 +671,64 @@ object Relational {
       |FROM tc LEFT JOIN nb ON nb.batch = tc.batch
       |ORDER BY tc.batch""".stripMargin
 
+  // ── q136: steady-state single-batch triangle apply ──────────────────────
+  /** q107's PRODUCTION face (VERDICT r17 item 6). The registered q107
+    * folds all 4 batches — the right DECOMPOSITION PROOF (its oracle
+    * differences full prefix recounts, so fold ≡ one-shot is what the
+    * gate checks), but as a bench number it ≈ a recount by construction:
+    * the fold re-derives every triangle exactly once. What a deployment
+    * actually pays per maintenance cycle is THIS query: one Δ-batch (a
+    * 1/16 hash slice of the edge log) applied against the standing 15/16
+    * corpus — GraphDiag's measured shape (11.4 s apply vs 43 s recount
+    * at sf10). Same [[deltaTriangles]] kernel, same independent oracle
+    * idea at single-batch grain: a difference of two full recounts
+    * (with/without the batch) must equal the class-decomposed
+    * incremental count. The 16-way split lives in its own materialized
+    * artifact (h16 beside the edges) so the standing set is a pruned
+    * parquet read, not a recomputed self-join. */
+  def triangleApply(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val tag = Tables.datasetTag(s, d, "lineitem")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val e = graft.etl.Merge.materialize(s, s"$wh/graft_tri16_$tag",
+      li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .select(col("pk").as("a"), col("pk2").as("b"))
+        .distinct()
+        .withColumn("h16", pmod(graft.functions.Text.portableHash(
+            concat(col("a").cast("string"), lit(","),
+              col("b").cast("string"))),
+          lit(16L))))
+    deltaTriangles(e.filter(col("h16") =!= 15).select("a", "b"),
+                   e.filter(col("h16") === 15).select("a", "b"))
+  }
+
+  val triangleApplySql: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |   AND a.l_partkey < b.l_partkey),
+      |e AS (
+      |  SELECT a, b, CAST(concat('0x', substr(md5(concat(
+      |      CAST(a AS VARCHAR), ',', CAST(b AS VARCHAR))), 1, 15))
+      |    AS BIGINT) % 16 AS h16
+      |  FROM e0),
+      |tall AS (
+      |  SELECT count(*) AS t FROM e e1
+      |    JOIN e e2 ON e2.a = e1.b
+      |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |told AS (
+      |  SELECT count(*) AS t FROM e e1
+      |    JOIN e e2 ON e2.a = e1.b
+      |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+      |  WHERE e1.h16 != 15 AND e2.h16 != 15 AND e3.h16 != 15)
+      |SELECT
+      |  CAST((SELECT count(*) FROM e WHERE h16 = 15) AS BIGINT)
+      |    AS n_new_edges,
+      |  CAST(tall.t - told.t AS BIGINT) AS delta_triangles
+      |FROM tall, told""".stripMargin
+
   // ── q109: point-in-time (AS OF) read over the SCD2 history ──────────────
   /** Time travel over q92's effective-dated dimension — the consumer an
     * SCD2 table exists for: "what did the customer dimension look like on
@@ -1253,6 +1311,7 @@ object Relational {
     "q103_dq_report"          -> (dqReport _),
     "q104_triangle_count"     -> (triangleCount _),
     "q107_triangle_delta"     -> (triangleDelta _),
+    "q136_triangle_apply"     -> (triangleApply _),
     "q108_pagerank"           -> (pageRank _),
     "q109_scd2_asof"          -> (scd2AsOfSnapshot _),
     "q111_scd2_dim_join"      -> (scd2DimensionJoin _),
@@ -1279,6 +1338,7 @@ object Relational {
     "q103_dq_report"           -> dqReportSql,
     "q104_triangle_count"      -> triangleCountSql,
     "q107_triangle_delta"      -> triangleDeltaSql,
+    "q136_triangle_apply"      -> triangleApplySql,
     "q108_pagerank"            -> pageRankSql,
     "q109_scd2_asof"           -> scd2AsOfSql,
     "q111_scd2_dim_join"       -> scd2DimensionJoinSql,

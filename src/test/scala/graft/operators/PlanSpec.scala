@@ -885,7 +885,13 @@ class PlanSpec extends SparkSpec {
   test("q127: the keeper election partial-aggs its struct-min over the " +
        "span-text domain; the finder's semi-join shape is preserved") {
     atScaleShape {
-      val p = plan(q("q127_span_dedup"))
+      // the registered query stages through an eager localCheckpoint
+      // (ADVICE r17 persist-release), which truncates the executed plan
+      // to a Scan of the result — pin the UNstaged derivation, the plan
+      // that actually executes inside the checkpoint
+      val p = plan(Documents.spanDedupCore(
+        graft.Tables.documents(spark, sfDir), Documents.DupSpanK,
+        stage = false))
       assert(p.contains("LeftSemi"), s"finder semi-join lost:\n$p")
       assert(p.contains("partial_min"),
         s"keeper election must partial-agg map-side:\n$p")
