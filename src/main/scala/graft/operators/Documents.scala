@@ -2164,7 +2164,7 @@ object Documents {
     * applied to the one family that was still retraining per run
     * (VERDICT r16 #1): a real pipeline tokenizes every batch under a
     * frozen vocab and watches compression drift. */
-  private[operators] def bpeFreezeAt(s: SparkSession, mergesPath: String,
+  private[graft] def bpeFreezeAt(s: SparkSession, mergesPath: String,
       typesPath: String, words: => DataFrame): (DataFrame, DataFrame) = {
     val fs = new org.apache.hadoop.fs.Path(mergesPath).getFileSystem(
       s.sparkContext.hadoopConfiguration)

@@ -723,6 +723,84 @@ object Streams {
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
     graft.etl.Merge.compact(s, outPath, "doc_id", targetBytes)
 
+  // ── tokenizer-drift sink: the q131 statistic per ingest micro-batch ─────
+  /** Streaming face of the TOKENIZER lifecycle (VERDICT r17 missing #3)
+    * — the last drift family whose consumer couldn't run at ingest time.
+    * Per micro-batch: encode the batch's words under the FROZEN type
+    * segmentation (a READ of the standing q130 artifact — the sink never
+    * trains; an absent artifact is a deployment-order error and fails
+    * loudly) and append ONE drift row to a ledger keyed by batch id:
+    * (batch_id, n_words, n_tokens, n_unseen, n_chars,
+    * chars_per_token_bp, unseen_bp) — q131's batch-side row, integer
+    * basis points. Idempotence is the ledger discipline shared with
+    * [[applyRetentionBatch]]/`appendGramLedger`: a checkpoint-replayed
+    * batch re-derives a byte-identical row under the same batch_id and
+    * the reader collapses first-wins, so a crash at any point changes
+    * no published statistic. Drift checks are naturally PERIODIC, not
+    * per-row: the ledger IS the time series a scheduler thresholds —
+    * rising unseen_bp / falling chars_per_token_bp across batch rows is
+    * the retrain signal, and [[graft.operators.Documents
+    * .bpeRefreshIfDrifted]] is the action half.
+    *
+    * Cost per batch: one batch-side word fan-out, one broadcast join
+    * against the (type-bounded) segmentation table, one single-row
+    * aggregate, one O(1)-row append — no corpus pass, no state table,
+    * no shuffle beyond the 1-row partial. */
+  def bpeDriftSink(docs: DataFrame, typesPath: String, ledgerPath: String,
+                   checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyBpeDriftBatch(batch.toDF(), typesPath, ledgerPath,
+          batchId.toString)
+      }
+      .start()
+
+  /** One batch of [[bpeDriftSink]] — factored so StreamsSpec can fold
+    * explicit in-order batches and assert parity with q131's batch-side
+    * row on the same documents. */
+  private[graft] def applyBpeDriftBatch(batch: DataFrame, typesPath: String,
+                                        ledgerPath: String,
+                                        batchId: String): Unit = {
+    val s = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(ledgerPath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, ledgerPath) // adopt a crashed compaction
+    val types = s.read.parquet(typesPath)
+      .select(col("w"), size(split(trim(col("s")), " ")).cast("long")
+        .as("n_tok"))
+    batch.select(explode(graft.functions.Text.toWords(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(types), Seq("w"), "left")
+      .withColumn("tok", coalesce(col("n_tok"),
+        length(col("w")).cast("long")))
+      .agg(count(lit(1)).as("n_words"), sum(col("tok")).as("n_tokens"),
+        sum(col("n_tok").isNull.cast("long")).as("n_unseen"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .select(lit(batchId).as("batch_id"), col("n_words"), col("n_tokens"),
+        col("n_unseen"),
+        expr("10000 * n_chars div n_tokens").as("chars_per_token_bp"),
+        expr("10000 * n_unseen div n_words").as("unseen_bp"))
+      .filter(col("n_words") > 0) // an empty batch publishes no stat row
+      .write.mode("append").parquet(ledgerPath)
+  }
+
+  /** The drift ledger as its consumer reads it: first-wins on batch_id
+    * (a replayed batch's row is byte-identical; min over the stat struct
+    * is exact), ordered as a time series. */
+  def bpeDriftFeed(s: SparkSession, ledgerPath: String): DataFrame =
+    s.read.parquet(ledgerPath)
+      .groupBy(col("batch_id"))
+      .agg(min(struct(col("n_words"), col("n_tokens"), col("n_unseen"),
+        col("chars_per_token_bp"), col("unseen_bp"))).as("r"))
+      .select(col("batch_id"), col("r.n_words").as("n_words"),
+        col("r.n_tokens").as("n_tokens"), col("r.n_unseen").as("n_unseen"),
+        col("r.chars_per_token_bp").as("chars_per_token_bp"),
+        col("r.unseen_bp").as("unseen_bp"))
+      .orderBy(col("batch_id"))
+
   /** One click-matched view awaiting its click's purchase horizon. */
   case class FunnelAwait(viewUs: Long, clickUs: Long)
   /** Per-user funnel state: views awaiting a click; click-matched views

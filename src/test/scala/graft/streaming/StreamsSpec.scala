@@ -903,6 +903,56 @@ class StreamsSpec extends SparkSpec {
       "interleaved crashed replays changed the ledger counts")
   }
 
+  test("tokenizer-drift ledger: per-batch rows are q131's batch-side " +
+       "stat under the frozen vocab, and replay is absorbing") {
+    import graft.operators.Documents
+    import spark.implicits._
+    val base = tmp("graft-bpedrift")
+    val (mp, tp, ledger) = (s"$base/merges", s"$base/types", s"$base/drift")
+    Documents.bpeFreezeAt(spark, mp, tp,
+      Seq("aaab", "aaab", "aaab").toDF("w"))
+    // b1: aaab x3 (frozen, 1 token each) + zz unseen (char fallback, 2)
+    val b1 = Seq((1L, "aaab aaab"), (2L, "aaab zz")).toDF("doc_id", "text")
+    // b2: all-unseen — the drifted-batch signature
+    val b2 = Seq((3L, "zz zz")).toDF("doc_id", "text")
+    Streams.applyBpeDriftBatch(b1, tp, ledger, "b1")
+    Streams.applyBpeDriftBatch(b2, tp, ledger, "b2")
+    def feed() = Streams.bpeDriftFeed(spark, ledger)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val want = Seq(
+      // 4 words, 1+1+1+2 tokens, 1 unseen, 14 chars -> cpt 28000, un 2500
+      ("b1", 4L, 5L, 1L, 28000L, 2500L),
+      // 2 words, 4 tokens, 2 unseen, 4 chars -> cpt 10000, un 10000
+      ("b2", 2L, 4L, 2L, 10000L, 10000L))
+    assert(feed() === want)
+    // a checkpoint-replayed batch re-appends a byte-identical row under
+    // the same id; the feed's first-wins collapse absorbs it
+    Streams.applyBpeDriftBatch(b2, tp, ledger, "b2")
+    assert(feed() === want, "replaying a batch changed the drift series")
+  }
+
+  test("tokenizer-drift sink wires end-to-end through foreachBatch") {
+    import graft.operators.Documents
+    import spark.implicits._
+    val base = tmp("graft-bpedrift-sink")
+    val (mp, tp, ledger) = (s"$base/merges", s"$base/types", s"$base/drift")
+    Documents.bpeFreezeAt(spark, mp, tp,
+      Seq("aaab", "aaab", "aaab").toDF("w"))
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab zz"))
+      .toDF("doc_id", "text")
+    val docsDir = tmp("graft-bpedrift-docs")
+    docs.write.mode("overwrite").parquet(docsDir)
+    val q = Streams.bpeDriftSink(
+      spark.readStream.schema(docs.schema).parquet(docsDir),
+      tp, ledger, tmp("graft-bpedrift-ckpt"))
+    q.awaitTermination(120000)
+    val got = Streams.bpeDriftFeed(spark, ledger)
+      .select("n_words", "n_tokens", "n_unseen", "chars_per_token_bp",
+        "unseen_bp")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((4L, 5L, 1L, 28000L, 2500L)))
+  }
+
   test("dup-span sink wires end-to-end through foreachBatch: one " +
        "AvailableNow batch over an empty ledger == the q126 finder") {
     import graft.operators.Documents
