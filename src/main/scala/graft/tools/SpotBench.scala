@@ -70,10 +70,14 @@ object SpotBench {
       val rows = if (ok) times.head._2 else -1L
       if (ok) System.err.println(
         f"[spot] $n%-24s min $mn%8.2f s  rows $rows")
-      n -> (mn, mean, rows)
+      n -> (mn, mean, rows, times.map(_._1))
     }
-    val qs = results.map { case (n, (mn, mean, rows)) =>
-      f""""$n":{"min":$mn%.4f,"mean":$mean%.4f,"rows":$rows}"""
+    // per-pass times ride along explicitly (r17 VERDICT item 8: the
+    // ladder's cold/warm split used to be derivable-only; pass 1 IS the
+    // cold end-to-end number when the run starts from a fresh session)
+    val qs = results.map { case (n, (mn, mean, rows, ts)) =>
+      val passesJson = ts.map(t => f"$t%.4f").mkString("[", ",", "]")
+      f""""$n":{"min":$mn%.4f,"mean":$mean%.4f,"rows":$rows,"passes_sec":$passesJson}"""
     }.mkString("{", ",", "}")
     val wall = (System.nanoTime() - t0All) / 1e9
     println(s"""{"metric":"spot","sf":"$sfDir","passes":$passes,"loadavg_start":$loadStart,"loadavg_end":${Bench.loadavg()},"wall_sec":${f"$wall%.1f"},"queries":$qs}""")

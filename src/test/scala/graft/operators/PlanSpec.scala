@@ -679,6 +679,22 @@ class PlanSpec extends SparkSpec {
       s"steady-state plan still builds the model:\n$p")
   }
 
+  test("q134: batch scoring reads the FROZEN warehouse classifier " +
+       "through a broadcast join — one wide exchange, no training " +
+       "shuffle in the steady state") {
+    val p = atScaleShape { plan(q("q134_nb_classifier")) }
+    assert(p.contains("graft_nb_"),
+      s"model not read from the warehouse:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"frozen-classifier scoring join shuffles the word side:\n$p")
+    // a corpus-side training aggregate would surface as the top-K cap
+    assert(!p.contains("TakeOrderedAndProject"),
+      s"steady-state plan still trains the model:\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly one hash Exchange (per-doc agg), " +
+      s"got $n:\n$p")
+  }
+
   test("q80: the canonical election is one window over the cluster label") {
     // the quality election must not plan a per-cluster self-join: the
     // canonical id rides the SAME window shuffle that sorts the family

@@ -72,4 +72,44 @@ class TriangleDeltaSpec extends SparkSpec {
       assert(oneShot > 100, s"trial $trial: weak corpus ($oneShot triangles)")
     }
   }
+
+  /** q136's artifact-backed apply must equal the checkpoint-frame kernel
+    * under BOTH closing-probe branches (the registered query only takes
+    * the Bloom path past the 8M-edge threshold, so the spec injects the
+    * bits directly). */
+  private def applyPar(old: DataFrame, d: DataFrame,
+                       withBloom: Boolean): (Long, Long) = {
+    val adj = old.select(col("a").as("u"), col("b").as("w"))
+      .unionByName(old.select(col("b").as("u"), col("a").as("w")))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+    val bloom =
+      if (!withBloom) None
+      else {
+        val agg = udaf(new graft.functions.Bloom.Agg(
+          graft.functions.Bloom.sizeWords(math.max(1L, old.count()))))
+        Some(old.agg(agg(xxhash64(col("a"), col("b"))).as("bf"))
+          .select(col("bf.bits").as("bits")))
+      }
+    val r = Relational.applyTriangles(adj, old, deg, bloom, d)
+      .collect().head
+    (r.getAs[Long]("n_new_edges"), r.getAs[Long]("delta_triangles"))
+  }
+
+  test("q136 applyTriangles == deltaTriangles on the constructed class " +
+       "graph and random graphs, with and without the closing Bloom") {
+    val old = edges((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L), (5L, 7L))
+    val d = edges((1L, 4L), (2L, 4L), (3L, 4L), (6L, 7L),
+      (8L, 9L), (8L, 10L), (9L, 10L))
+    assert(applyPar(old, d, withBloom = false) === ((7L, 5L)))
+    assert(applyPar(old, d, withBloom = true) === ((7L, 5L)))
+    val rnd = new scala.util.Random(1717)
+    val es = Seq.fill(260) {
+      val u = rnd.nextInt(40).toLong; val v = rnd.nextInt(40).toLong
+      (math.min(u, v), math.max(u, v))
+    }.filter(p => p._1 != p._2).distinct
+    val (oldR, dR) = es.partition(_ => rnd.nextInt(16) != 0)
+    val want = delta(edgeDf(oldR), edgeDf(dR))
+    assert(applyPar(edgeDf(oldR), edgeDf(dR), withBloom = false) === want)
+    assert(applyPar(edgeDf(oldR), edgeDf(dR), withBloom = true) === want)
+  }
 }
