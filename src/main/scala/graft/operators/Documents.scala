@@ -3663,8 +3663,15 @@ object Documents {
     * aggregate — no corpus pass in steady state. */
   def nbDrift(s: SparkSession, d: String): DataFrame = {
     val docs = bucketedDocs(s, d)
-    val model = frozenNb(s, d, docs)
-    nbWords(docs.filter(col("bucket") >= 90))
+    nbDriftRow(docs.filter(col("bucket") >= 90), frozenNb(s, d, docs))
+  }
+
+  /** The q135 statistic of an arbitrary (doc_id, text) frame against a
+    * frozen model — factored so [[graft.streaming.Streams.nbDriftSink]]
+    * appends the SAME row per ingest micro-batch. */
+  private[graft] def nbDriftRow(docs: DataFrame,
+                                model: DataFrame): DataFrame =
+    nbWords(docs)
       .join(broadcast(model), Seq("w"), "left")
       .crossJoin(broadcast(nbPrior(model)))
       .select(col("prior_bp"),
@@ -3679,7 +3686,6 @@ object Documents {
       .select(col("n_occ"), col("n_oov"), col("oov_bp"), col("prior_bp"),
         col("batch_mean_bp"),
         (col("batch_mean_bp") - col("prior_bp")).as("shift_bp"))
-  }
 
   val nbDriftSql: String =
     s"""WITH $nbModelSql
@@ -3713,6 +3719,82 @@ object Documents {
       graft.etl.Merge.writeAndSwap(
         nbTrainModel(corpusDocs.unionByName(batchDocs)), path, "refresh")
     drifted
+  }
+
+  // ── q137: INCREMENTAL classifier maintenance — the NB count ledger ──────
+  /** q134's training made batch-linear (the q82/q128/bm25-ledger move
+    * applied to the classifier): NB's sufficient statistics are
+    * per-term occurrence COUNTS per class, and counts decompose over
+    * any partition of the training docs — so instead of
+    * [[nbRefreshIfDrifted]]'s retrain-on-union (a full corpus re-scan
+    * per refresh), each training batch appends its own (w, c1, c0)
+    * partials to a standing ledger keyed by batch id, and the served
+    * model is the ledger summed per term and capped top-K. Append is
+    * O(batch); a checkpoint-replayed append re-derives byte-identical
+    * partials under the same id and the reader's first-wins absorbs it;
+    * compaction is the shared [[graft.etl.Merge.compact]] clustered on
+    * the term. The registered query carves the training side into two
+    * sub-batches (bucket <45 / 45–89), folds both through the ledger,
+    * and scores the ≥90 batch — against q134's ORACLE VERBATIM: the
+    * gate itself proves ledger-decomposition ≡ one-shot training (the
+    * q112 stance). Build is crash-safe by PRESENCE, not existence: a
+    * death between the two appends leaves a batch id missing, and the
+    * next touch appends exactly the missing ones (idempotent under
+    * replay by first-wins). */
+  private[graft] def appendNbLedger(ledgerPath: String, docs: DataFrame,
+                                    batchId: String): Unit = {
+    val s = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(ledgerPath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, ledgerPath) // adopt a crashed compaction
+    docs.select(explode(Text.toWords(col("text"))).as("w"), col("y"))
+      .groupBy(col("w"))
+      .agg(sum(col("y")).as("c1"),
+        (count(lit(1)) - sum(col("y"))).as("c0"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(ledgerPath)
+  }
+
+  /** The ledger collapsed to the model the scorer broadcasts: first-wins
+    * on (w, batch_id) absorbs replayed appends, counts SUM across
+    * batches (exact — disjoint doc batches), then the same deterministic
+    * top-K cap as [[nbTrainModel]]. */
+  private[graft] def nbLedgerModel(s: SparkSession, ledgerPath: String,
+                                   topK: Int = NbModelTopK): DataFrame =
+    s.read.parquet(ledgerPath)
+      .groupBy(col("w"), col("batch_id"))
+      .agg(min(struct(col("c1"), col("c0"))).as("r"))
+      .groupBy(col("w"))
+      .agg(sum(col("r.c1")).as("c1"), sum(col("r.c0")).as("c0"))
+      .orderBy((col("c1") + col("c0")).desc, col("w").asc)
+      .limit(topK)
+
+  /** Term-clustered ledger compaction — the standard lifecycle close. */
+  def compactNbLedger(s: SparkSession, ledgerPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    graft.etl.Merge.compact(s, ledgerPath, "w", targetBytes)
+
+  def nbClassifierIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = bucketedDocs(s, d)
+    val path = s"${s.conf.get("spark.sql.warehouse.dir")}/graft_nb_ledger_" +
+      Tables.datasetTag(s, d, "documents")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, path)
+    val have: Set[String] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        s.read.parquet(path).select(col("batch_id")).distinct()
+          .collect().map(_.getString(0)).toSet
+      else Set.empty
+    Seq("b0" -> (col("bucket") < 45),
+        "b1" -> (col("bucket") >= 45 && col("bucket") < 90))
+      .filterNot(b => have(b._1))
+      .foreach { case (id, pred) =>
+        appendNbLedger(path, docs.filter(pred)
+          .select(col("doc_id"), col("text"), nbLabel.as("y")), id)
+      }
+    nbScoreAgainst(docs.filter(col("bucket") >= 90),
+      nbLedgerModel(s, path))
   }
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -3759,6 +3841,7 @@ object Documents {
     "q131_bpe_drift"      -> (bpeDrift _),
     "q134_nb_classifier"  -> (nbClassifier _),
     "q135_nb_drift"       -> (nbDrift _),
+    "q137_nb_incremental" -> (nbClassifierIncremental _),
     "q132_span_rewrite"   -> (spanRewrite _))
 
   val oracles: Seq[(String, String)] = Seq(
@@ -3805,5 +3888,8 @@ object Documents {
     "q131_bpe_drift"      -> bpeDriftSql,
     "q134_nb_classifier"  -> nbClassifierSql,
     "q135_nb_drift"       -> nbDriftSql,
+    // q137's oracle IS q134's one-shot SQL — the gate itself proves
+    // ledger-decomposition ≡ one-shot training (the q112 stance)
+    "q137_nb_incremental" -> nbClassifierSql,
     "q132_span_rewrite"   -> spanRewriteSql)
 }

@@ -801,6 +801,63 @@ object Streams {
         col("r.unseen_bp").as("unseen_bp"))
       .orderBy(col("batch_id"))
 
+  // ── classifier-drift sink: the q135 statistic per ingest micro-batch ────
+  /** The q134/q135 supervised classifier's streaming face — with this,
+    * EVERY drift family's consumer runs at ingest time (LM q88 via its
+    * batch query, tabular q114, centroid q89, tokenizer [[bpeDriftSink]],
+    * classifier this). Per micro-batch: score the batch's word
+    * occurrences under the FROZEN single-table NB artifact (a read — the
+    * sink never trains) and append q135's row keyed by batch id:
+    * (batch_id, n_occ, n_oov, oov_bp, prior_bp, batch_mean_bp,
+    * shift_bp), integer basis points. Same ledger discipline as
+    * [[bpeDriftSink]]: byte-identical replay rows, first-wins feed.
+    * Rising oov_bp or a widening shift_bp across rows is the retrain
+    * signal; [[graft.operators.Documents.nbRefreshIfDrifted]] is the
+    * action half. Cost per batch: word fan-out + one broadcast join +
+    * one single-row aggregate + an O(1) append. */
+  def nbDriftSink(docs: DataFrame, modelPath: String, ledgerPath: String,
+                  checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyNbDriftBatch(batch.toDF(), modelPath, ledgerPath,
+          batchId.toString)
+      }
+      .start()
+
+  /** One batch of [[nbDriftSink]] — factored so StreamsSpec can fold
+    * explicit batches and assert parity with q135's batch-side row. */
+  private[graft] def applyNbDriftBatch(batch: DataFrame, modelPath: String,
+                                       ledgerPath: String,
+                                       batchId: String): Unit = {
+    val s = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(ledgerPath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, ledgerPath) // adopt a crashed compaction
+    val model = s.read.parquet(modelPath)
+    graft.operators.Documents.nbDriftRow(batch, model)
+      .select(lit(batchId).as("batch_id"), col("n_occ"), col("n_oov"),
+        col("oov_bp"), col("prior_bp"), col("batch_mean_bp"),
+        col("shift_bp"))
+      .filter(col("n_occ") > 0) // an empty batch publishes no stat row
+      .write.mode("append").parquet(ledgerPath)
+  }
+
+  /** The classifier-drift ledger, first-wins on batch_id. */
+  def nbDriftFeed(s: SparkSession, ledgerPath: String): DataFrame =
+    s.read.parquet(ledgerPath)
+      .groupBy(col("batch_id"))
+      .agg(min(struct(col("n_occ"), col("n_oov"), col("oov_bp"),
+        col("prior_bp"), col("batch_mean_bp"), col("shift_bp"))).as("r"))
+      .select(col("batch_id"), col("r.n_occ").as("n_occ"),
+        col("r.n_oov").as("n_oov"), col("r.oov_bp").as("oov_bp"),
+        col("r.prior_bp").as("prior_bp"),
+        col("r.batch_mean_bp").as("batch_mean_bp"),
+        col("r.shift_bp").as("shift_bp"))
+      .orderBy(col("batch_id"))
+
   /** One click-matched view awaiting its click's purchase horizon. */
   case class FunnelAwait(viewUs: Long, clickUs: Long)
   /** Per-user funnel state: views awaiting a click; click-matched views

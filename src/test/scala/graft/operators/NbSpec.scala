@@ -83,6 +83,31 @@ class NbSpec extends SparkSpec {
            frozen.exceptAll(again).count() === 0)
   }
 
+  test("NB count ledger (q137): two appended batches == one-shot train " +
+       "on the union; a replayed append is absorbed; compaction changes " +
+       "nothing and shrinks the file population") {
+    val b0 = labeled((1L, "good day", 1L), (2L, "bad day", 0L))
+    val b1 = labeled((3L, "good good zoo", 1L), (4L, "zoo bad", 0L))
+    val p = tmpPath()
+    Documents.appendNbLedger(p, b0, "b0")
+    Documents.appendNbLedger(p, b1, "b1")
+    def model(): Set[(String, Long, Long)] =
+      Documents.nbLedgerModel(spark, p)
+        .as[(String, Long, Long)].collect().toSet
+    val want = Documents.nbTrainModel(b0.unionByName(b1))
+      .as[(String, Long, Long)].collect().toSet
+    assert(model() === want, "ledger sum != one-shot counts")
+    Documents.appendNbLedger(p, b1, "b1") // checkpoint-replayed append
+    assert(model() === want, "replayed append changed the model")
+    val (before, after) = Documents.compactNbLedger(spark, p)
+    assert(after < before, s"compaction must shrink files ($before->$after)")
+    assert(model() === want, "compaction changed the model")
+    // the scoring face is byte-identical under either training path
+    val batch = docs((9L, "good zzz"))
+    assert(scores(batch, Documents.nbLedgerModel(spark, p)) ===
+           scores(batch, Documents.nbTrainModel(b0.unionByName(b1))))
+  }
+
   test("nbRefreshIfDrifted: an in-distribution batch refreshes nothing; " +
        "an OOV-heavy batch triggers and the refreshed artifact equals a " +
        "from-scratch train on the union") {

@@ -931,6 +931,54 @@ class StreamsSpec extends SparkSpec {
     assert(feed() === want, "replaying a batch changed the drift series")
   }
 
+  test("classifier-drift ledger: per-batch rows are q135's statistic " +
+       "under the frozen NB model, and replay is absorbing") {
+    import graft.operators.Documents
+    import spark.implicits._
+    val base = tmp("graft-nbdrift")
+    val (mp, ledger) = (s"$base/model", s"$base/drift")
+    // good: 6666 bp, day: 5000, bad: 3333; prior = 5000
+    graft.etl.Merge.materialize(spark, mp, Documents.nbTrainModel(
+      Seq((1L, "good day", 1L), (2L, "bad day", 0L))
+        .toDF("doc_id", "text", "y")))
+    val b1 = Seq((10L, "good day")).toDF("doc_id", "text")
+    val b2 = Seq((11L, "zzz qqq")).toDF("doc_id", "text")
+    Streams.applyNbDriftBatch(b1, mp, ledger, "b1")
+    Streams.applyNbDriftBatch(b2, mp, ledger, "b2")
+    def feed() = Streams.nbDriftFeed(spark, ledger)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val want = Seq(
+      // (6666+5000)//2 = 5833, in-vocab -> oov 0, shift +833
+      ("b1", 2L, 0L, 0L, 5000L, 5833L, 833L),
+      // all-OOV -> both occurrences score the prior, shift 0
+      ("b2", 2L, 2L, 10000L, 5000L, 5000L, 0L))
+    assert(feed() === want)
+    Streams.applyNbDriftBatch(b2, mp, ledger, "b2") // replay
+    assert(feed() === want, "replaying a batch changed the drift series")
+  }
+
+  test("classifier-drift sink wires end-to-end through foreachBatch") {
+    import graft.operators.Documents
+    import spark.implicits._
+    val base = tmp("graft-nbdrift-sink")
+    val (mp, ledger) = (s"$base/model", s"$base/drift")
+    graft.etl.Merge.materialize(spark, mp, Documents.nbTrainModel(
+      Seq((1L, "good day", 1L), (2L, "bad day", 0L))
+        .toDF("doc_id", "text", "y")))
+    val docs = Seq((10L, "good day")).toDF("doc_id", "text")
+    val docsDir = tmp("graft-nbdrift-docs")
+    docs.write.mode("overwrite").parquet(docsDir)
+    val q = Streams.nbDriftSink(
+      spark.readStream.schema(docs.schema).parquet(docsDir),
+      mp, ledger, tmp("graft-nbdrift-ckpt"))
+    q.awaitTermination(120000)
+    val got = Streams.nbDriftFeed(spark, ledger)
+      .select("n_occ", "n_oov", "oov_bp", "prior_bp", "batch_mean_bp",
+        "shift_bp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((2L, 0L, 0L, 5000L, 5833L, 833L)))
+  }
+
   test("tokenizer-drift sink wires end-to-end through foreachBatch") {
     import graft.operators.Documents
     import spark.implicits._
