@@ -724,6 +724,91 @@ object Documents {
       .orderBy(col("doc_id"))
   }
 
+  // ── q138: leakage-safe train/test split (cluster-aware assignment) ──────
+  /** The split the DEDUP decision makes necessary: q42's hash split is a
+    * pure function of the DOCUMENT key, so two near-duplicates can land
+    * on opposite sides of the train/eval boundary — the textbook eval
+    * contamination production pipelines guard against (the reason Dolma/
+    * NeMo-Curator sequence their split AFTER clustering, and the same
+    * failure q69 decontaminates against when the eval set is external).
+    * Fix: assign the split to the CLUSTER, not the doc — every member
+    * inherits split(hash(cluster_rep)), so a near-dup family can never
+    * straddle the boundary. Output per doc: the inherited split, the
+    * naive q42 split, and `leaky` = where the two disagree — i.e. exactly
+    * the documents the naive split would place across the boundary from a
+    * near-duplicate (3 at sf0.01's 25 planted pairs, measured).
+    *
+    * Scale: split assignment is a PROJECTION of the CC labels — the
+    * rep's bucket is computed from the label value itself, so past q63's
+    * already-audited component loop this adds ZERO joins and ZERO
+    * exchanges (the final orderBy is the gate's presentation sort).
+    * Singleton clusters (rep = own id) reduce to the naive split, so the
+    * operator degrades to q42 exactly when dedup finds nothing. */
+  def leakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashNearDup(s, d).select(col("a_id"), col("b_id"))
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    splitByCluster(connectedComponents(nodes, pairs))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The split projection over CC labels — factored so DedupClusterSpec
+    * can prove the invariants (cluster-uniform split, split = the rep's
+    * own naive split, leaky ⇔ member bucket disagrees, identity labels
+    * degrade to q42) without re-running near-dup discovery. */
+  private[graft] def splitByCluster(labels: DataFrame): DataFrame = {
+    def bucket(c: Column): Column =
+      pmod(Text.portableHash(c.cast("string")), lit(100L))
+    def splitOf(b: Column): Column =
+      when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    labels
+      .select(col("doc_id"), col("lbl").as("cluster_rep"),
+        splitOf(bucket(col("lbl"))).as("split"),
+        splitOf(bucket(col("doc_id"))).as("naive_split"))
+      .withColumn("leaky", col("split") =!= col("naive_split"))
+  }
+
+  /** Oracle: q63's recursive-CTE components + q42's md5 bucket, composed
+    * declaratively — the leak flag falls out of comparing the two split
+    * functions on the same row. */
+  val leakageSafeSplitSql: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, $shinglesSql AS s
+       |  FROM (SELECT doc_id, $wordsSql AS w FROM documents)),
+       |ok AS (SELECT * FROM sh WHERE len(s) > 0),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM ok a JOIN ok b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 10000
+       |      // CAST(len(list_distinct(a.s || b.s)) AS BIGINT) >= 8000),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+       |cc(doc_id, lbl) AS (
+       |  SELECT doc_id, doc_id AS lbl FROM documents
+       |  UNION
+       |  SELECT e.dst AS doc_id, cc.lbl
+       |  FROM cc JOIN edges e ON cc.doc_id = e.src),
+       |lbl AS (
+       |  SELECT doc_id, CAST(min(lbl) AS BIGINT) AS cluster_rep
+       |  FROM cc GROUP BY doc_id),
+       |b AS (
+       |  SELECT doc_id, cluster_rep,
+       |    CAST(concat('0x', substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 100 AS bc,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 100 AS bd
+       |  FROM lbl)
+       |SELECT doc_id, cluster_rep,
+       |  CASE WHEN bc < 80 THEN 'train' WHEN bc < 90 THEN 'valid'
+       |       ELSE 'test' END AS split,
+       |  CASE WHEN bd < 80 THEN 'train' WHEN bd < 90 THEN 'valid'
+       |       ELSE 'test' END AS naive_split,
+       |  (CASE WHEN bc < 80 THEN 'train' WHEN bc < 90 THEN 'valid'
+       |        ELSE 'test' END
+       |   != CASE WHEN bd < 80 THEN 'train' WHEN bd < 90 THEN 'valid'
+       |           ELSE 'test' END) AS leaky
+       |FROM b ORDER BY doc_id""".stripMargin
+
   // ── q80: quality-ranked canonical election over near-dup clusters ───────
   /** Dedup with QUALITY-RANKED canonical selection. q63 answers "which
     * docs are the same" (min-label CC over the near-dup pair graph) and
@@ -1904,6 +1989,118 @@ object Documents {
        |FROM c GROUP BY source, bin
        |ORDER BY source, bin""".stripMargin
   }
+
+  // ── q139: GLOBAL shard export — corpus shuffle-order manifest ───────────
+  /** Fixed token budget per exported shard (2^12 — integer div exact in
+    * both engines). */
+  val ShardBudgetTokens = 4096L
+
+  /** Distributed GLOBAL cumulative sum — the machinery q139 needs and
+    * q71/q95 deliberately avoided by partitioning their windows on
+    * `source`: a corpus-wide export has no partition key, and
+    * `sum().over(Window.orderBy(...))` with no partitionBy collapses the
+    * whole corpus into ONE task (Spark plans it as a single-partition
+    * window — the canonical driver-killer at 100 TB). This is the
+    * textbook two-pass parallel scan instead: range-shuffle on the total
+    * order, per-partition sums (one long per partition — P rows to the
+    * driver, ~thousands on a 1000-executor cluster), exclusive-prefix the
+    * offsets, broadcast them back, and each partition cumsums its own
+    * sorted run starting from its offset. One shuffle total, every pass
+    * parallel, driver state O(P).
+    *
+    * The `localCheckpoint(true)` is LOAD-BEARING, not an optimization:
+    * `repartitionByRange` samples the data to pick range boundaries, and
+    * the two passes (offsets, cumsum) must observe the SAME partitioning
+    * and partition ids — a recomputation between passes could re-sample
+    * different boundaries and mis-assign every offset. Pinning the ranged
+    * RDD makes pid a stable join key between the passes. The RESULT is
+    * partitioning-independent either way (ShardExportSpec proves equality
+    * across numParts 1/3/8 and against the single-window form): the total
+    * order (h, doc_id) is tie-free, so cum is a pure function of the data.
+    *
+    * Input: (doc_id, h, n_tokens); output adds inclusive `cum` in global
+    * (h, doc_id) order. The per-partition scan is `mapPartitions` — the
+    * repo's third justified imperative site (with Media's codecs and
+    * Misra-Gries): a running sum over a sorted iterator is exactly the
+    * "genuine per-partition imperative logic" escape hatch. */
+  private[graft] def globalCumsum(t: DataFrame,
+                                  numParts: Option[Int] = None): DataFrame = {
+    val s = t.sparkSession
+    import s.implicits._
+    val cols = Seq(col("h").asc, col("doc_id").asc)
+    val typed = t.select(col("h").cast("long"), col("doc_id").cast("long"),
+      col("n_tokens").cast("long")).as[(Long, Long, Long)]
+    val ranged = numParts.fold(typed.repartitionByRange(cols: _*))(
+        n => typed.repartitionByRange(n, cols: _*))
+      .sortWithinPartitions(cols: _*)
+      .localCheckpoint(true)
+    val psums = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var acc = 0L
+      it.foreach(acc += _._3)
+      Iterator.single((pid, acc))
+    }.collect().sortBy(_._1)
+    val offsets: Map[Int, Long] =
+      psums.map(_._1).zip(psums.scanLeft(0L)(_ + _._2)).toMap
+    val offB = s.sparkContext.broadcast(offsets)
+    ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var run = offB.value.getOrElse(pid, 0L)
+      it.map { case (h, id, n) => run += n; (h, id, n, run) }
+    }.toDF("h", "doc_id", "n_tokens", "cum")
+  }
+
+  /** q139: the pipeline's LAST step — export the filtered corpus as
+    * fixed-budget shards in deterministic pseudo-random order, with a
+    * manifest row per shard. Every pretraining pipeline ends here: a
+    * global example-level shuffle (portable hash order — reproducible,
+    * resumable, and independent of source file layout) and contiguous
+    * cuts every [[ShardBudgetTokens]] tokens, q71's contiguous-packing
+    * semantics lifted from per-source to corpus-global (a doc belongs to
+    * the shard where its start offset lands; the straddling doc is the
+    * same slack real packers accept). The manifest (docs, tokens, hash
+    * bounds per shard) is what a training job consumes to schedule reads.
+    *
+    * Scale: one range shuffle of a 24-byte projection + the O(P) offset
+    * exchange from [[globalCumsum]]; the manifest aggregate groups on
+    * shard id — already co-located with the range order, and
+    * partial-aggregated map-side regardless. Nothing here touches text
+    * bytes; the actual byte export would colocate by the same shard id. */
+  def shardExport(s: SparkSession, d: String): DataFrame =
+    shardManifest(Tables.documents(s, d).select(col("doc_id"),
+      Text.portableHash(col("doc_id").cast("string")).as("h"),
+      size(Text.toWords(col("text"))).cast("long").as("n_tokens")))
+
+  /** Manifest over any (doc_id, h, n_tokens) frame — factored so
+    * ShardExportSpec can drive hand-computed offsets (straddling docs,
+    * h ties) with h under the test's control. */
+  private[graft] def shardManifest(t: DataFrame,
+                                   numParts: Option[Int] = None): DataFrame =
+    globalCumsum(t, numParts)
+      .withColumn("shard", expr(s"(cum - n_tokens) div $ShardBudgetTokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        min(col("h")).as("first_h"), max(col("h")).as("last_h"))
+      .orderBy(col("shard"))
+
+  /** Oracle: the single-window global cumsum — DuckDB runs the exact
+    * declarative form whose Spark plan would be the 1-partition
+    * bottleneck [[globalCumsum]] exists to avoid. */
+  val shardExportSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+       |    len($wordsSql) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT h, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY h ASC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT CAST((cum - n_tokens) // $ShardBudgetTokens AS BIGINT) AS shard,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(min(h) AS BIGINT) AS first_h, CAST(max(h) AS BIGINT) AS last_h
+       |FROM c GROUP BY shard ORDER BY shard""".stripMargin
 
   // ── q124: BPE vocabulary induction — iterative pair-count + merge ──────
   /** Number of merge rounds the trainer runs (and the oracle unrolls). */
@@ -3822,6 +4019,7 @@ object Documents {
     "q70_tfidf_keywords"  -> (tfidfKeywords _),
     "q63_dedup_clusters"  -> (dedupClusters _),
     "q112_incr_clusters"  -> (incrementalClusters _),
+    "q138_leakage_split"  -> (leakageSafeSplit _),
     "q80_quality_canonical" -> (qualityCanonical _),
     "q19_simhash"         -> (simhashSign _),
     "q54_simhash_neardup" -> (simhashNearDup _),
@@ -3842,6 +4040,7 @@ object Documents {
     "q134_nb_classifier"  -> (nbClassifier _),
     "q135_nb_drift"       -> (nbDrift _),
     "q137_nb_incremental" -> (nbClassifierIncremental _),
+    "q139_shard_export"   -> (shardExport _),
     "q132_span_rewrite"   -> (spanRewrite _))
 
   val oracles: Seq[(String, String)] = Seq(
@@ -3869,6 +4068,7 @@ object Documents {
     "q70_tfidf_keywords"  -> tfidfKeywordsSql,
     "q63_dedup_clusters"  -> dedupClustersSql,
     "q112_incr_clusters"  -> dedupClustersSql,
+    "q138_leakage_split"  -> leakageSafeSplitSql,
     "q80_quality_canonical" -> qualityCanonicalSql,
     "q19_simhash"         -> simhashSignSql,
     "q54_simhash_neardup" -> simhashNearDupSql,
@@ -3891,5 +4091,6 @@ object Documents {
     // q137's oracle IS q134's one-shot SQL — the gate itself proves
     // ledger-decomposition ≡ one-shot training (the q112 stance)
     "q137_nb_incremental" -> nbClassifierSql,
+    "q139_shard_export"   -> shardExportSql,
     "q132_span_rewrite"   -> spanRewriteSql)
 }

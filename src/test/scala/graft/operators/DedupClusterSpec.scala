@@ -112,4 +112,50 @@ class DedupClusterSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
     assert(keeps === Map(1L -> false, 9L -> true))
   }
+
+  // ── q138: leakage-safe split over CC labels ──────────────────────────────
+
+  /** The q42 split function, recomputed independently of splitByCluster so
+    * the leaky-flag assertion isn't circular. */
+  private def naiveSplitOf(ids: Seq[Long]): Map[Long, String] =
+    ids.toDF("doc_id")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.pmod(
+          graft.functions.Text.portableHash(
+            org.apache.spark.sql.functions.col("doc_id").cast("string")),
+          org.apache.spark.sql.functions.lit(100L)).as("b"))
+      .as[(Long, Long)].collect().map { case (id, b) =>
+        id -> (if (b < 80) "train" else if (b < 90) "valid" else "test")
+      }.toMap
+
+  test("splitByCluster: every member inherits the REP's own split; reps " +
+       "are never leaky; members leak exactly when their q42 bucket " +
+       "disagrees") {
+    // pair clusters over 1..400 — enough families that some straddle
+    val labels = (1L to 400L).map(i => (i, i - ((i - 1) % 2)))
+    val out = Documents.splitByCluster(labels.toDF("doc_id", "lbl"))
+      .as[(Long, Long, String, String, Boolean)].collect()
+    val naive = naiveSplitOf((1L to 400L).toSeq)
+    // one distinct split per cluster, and it is the rep's naive split
+    out.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.map(_._3).toSet === Set(naive(rep)),
+        s"cluster $rep split is not the rep's own bucket")
+    }
+    out.foreach { case (id, rep, split, naiveSplit, leaky) =>
+      assert(naiveSplit === naive(id))
+      assert(leaky === (naive(id) != naive(rep)))
+      if (id == rep) assert(!leaky, s"rep $id flagged leaky")
+    }
+    // the operator is observably different from q42 on this input
+    assert(out.exists(_._5), "no straddling family in 200 pairs — " +
+      "the leak demonstration is degenerate")
+  }
+
+  test("splitByCluster degrades to q42 exactly on identity labels " +
+       "(dedup found nothing)") {
+    val labels = (1L to 100L).map(i => (i, i))
+    val out = Documents.splitByCluster(labels.toDF("doc_id", "lbl"))
+      .as[(Long, Long, String, String, Boolean)].collect()
+    assert(out.forall(r => r._3 == r._4 && !r._5))
+  }
 }
