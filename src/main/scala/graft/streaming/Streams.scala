@@ -858,6 +858,70 @@ object Streams {
         col("r.shift_bp").as("shift_bp"))
       .orderBy(col("batch_id"))
 
+  // ── shard-manifest sink: q139's export at ingest grain ──────────────────
+  /** The q139 shard export's streaming face. A corpus-GLOBAL hash order
+    * is not append-stable — one new document lands anywhere in the order
+    * and renumbers every downstream shard — which is exactly why
+    * production pipelines shard PER INGEST SNAPSHOT: each micro-batch is
+    * packed on its own (deterministic hash order within the batch,
+    * q139's contiguous-cut rule), and its manifest rows append to a
+    * ledger keyed by (batch_id, shard). Published shards are immutable
+    * from birth; the one-shot [[graft.operators.Documents.shardExport]]
+    * remains the full-corpus re-export (a re-shuffle epoch), this sink
+    * is the between-epochs arrival path. Idempotence is the ledger
+    * discipline: a checkpoint-replayed batch re-packs to byte-identical
+    * manifest rows under the same key and the feed's first-wins collapse
+    * absorbs them. Cost per batch: one batch-sized range shuffle + the
+    * O(P) offset pass from `globalCumsum` — never a corpus pass. */
+  def shardManifestSink(docs: DataFrame, ledgerPath: String,
+                        checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyShardBatch(batch.toDF(), ledgerPath, s"b$batchId")
+      }
+      .start()
+
+  /** One batch of [[shardManifestSink]] — factored so StreamsSpec can
+    * fold explicit batches and assert parity with the batch-side
+    * [[graft.operators.Documents.shardManifest]]. */
+  private[graft] def applyShardBatch(batch: DataFrame, ledgerPath: String,
+                                     batchId: String): Unit = {
+    val s = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(ledgerPath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, ledgerPath) // adopt a crashed compaction
+    graft.operators.Documents.shardManifest(
+        batch.select(col("doc_id"),
+          graft.functions.Text.portableHash(col("doc_id").cast("string"))
+            .as("h"),
+          size(graft.functions.Text.toWords(col("text"))).cast("long")
+            .as("n_tokens")))
+      .select(lit(batchId).as("batch_id"), col("shard"), col("n_docs"),
+        col("sum_tokens"), col("first_h"), col("last_h"))
+      .write.mode("append").parquet(ledgerPath)
+  }
+
+  /** The manifest ledger as a training job reads it: first-wins on
+    * (batch_id, shard) — a replayed batch's rows are byte-identical —
+    * ordered by arrival then shard. */
+  def shardManifestFeed(s: SparkSession, ledgerPath: String): DataFrame =
+    s.read.parquet(ledgerPath)
+      .groupBy(col("batch_id"), col("shard"))
+      .agg(min(struct(col("n_docs"), col("sum_tokens"), col("first_h"),
+        col("last_h"))).as("r"))
+      .select(col("batch_id"), col("shard"), col("r.n_docs").as("n_docs"),
+        col("r.sum_tokens").as("sum_tokens"),
+        col("r.first_h").as("first_h"), col("r.last_h").as("last_h"))
+      .orderBy(col("batch_id"), col("shard"))
+
+  /** Manifest-ledger compaction, clustered on the consumer's key. */
+  def compactShardLedger(s: SparkSession, ledgerPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    graft.etl.Merge.compact(s, ledgerPath, "batch_id", targetBytes)
+
   /** One click-matched view awaiting its click's purchase horizon. */
   case class FunnelAwait(viewUs: Long, clickUs: Long)
   /** Per-user funnel state: views awaiting a click; click-matched views

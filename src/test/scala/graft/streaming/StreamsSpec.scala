@@ -1001,6 +1001,61 @@ class StreamsSpec extends SparkSpec {
     assert(got === Seq((4L, 5L, 1L, 28000L, 2500L)))
   }
 
+  test("shard-manifest ledger: each batch packs on its own (published " +
+       "shards are immutable), replay is absorbing") {
+    import spark.implicits._
+    val ledger = tmp("graft-shard-ledger") + "/manifest"
+    def doc(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "))
+    // b1: 3000 + 2000 tokens — both start inside shard 0 in EITHER hash
+    // order (starts 0 and min(2000,3000) < 4096), so the row is
+    // order-independent; b2: 4100 + 4100 — starts 0 and 4100 straddle
+    // the budget in either order, two shards
+    val b1 = Seq(doc(1L, 3000), doc(2L, 2000)).toDF("doc_id", "text")
+    val b2 = Seq(doc(3L, 4100), doc(4L, 4100)).toDF("doc_id", "text")
+    Streams.applyShardBatch(b1, ledger, "b1")
+    Streams.applyShardBatch(b2, ledger, "b2")
+    def feed() = Streams.shardManifestFeed(spark, ledger)
+      .select("batch_id", "shard", "n_docs", "sum_tokens")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val want = Seq(
+      ("b1", 0L, 2L, 5000L),
+      ("b2", 0L, 1L, 4100L), ("b2", 1L, 1L, 4100L))
+    assert(feed() === want)
+    // b1's shards were published before b2 arrived — b2 appending must
+    // not have renumbered them (the append-stability argument), and a
+    // checkpoint-replayed batch re-packs byte-identically
+    Streams.applyShardBatch(b1, ledger, "b1")
+    assert(feed() === want, "replaying a batch changed the manifest")
+  }
+
+  test("shard-manifest sink wires end-to-end through foreachBatch and " +
+       "matches the batch-side shardManifest on the same docs") {
+    import graft.operators.Documents
+    import spark.implicits._
+    val ledger = tmp("graft-shard-sink") + "/manifest"
+    val docs = Seq((1L, Seq.fill(300)("w").mkString(" ")),
+                   (2L, Seq.fill(200)("x").mkString(" ")))
+      .toDF("doc_id", "text")
+    val docsDir = tmp("graft-shard-docs")
+    docs.write.mode("overwrite").parquet(docsDir)
+    val q = Streams.shardManifestSink(
+      spark.readStream.schema(docs.schema).parquet(docsDir),
+      ledger, tmp("graft-shard-ckpt"))
+    q.awaitTermination(120000)
+    val got = Streams.shardManifestFeed(spark, ledger)
+      .select("shard", "n_docs", "sum_tokens", "first_h", "last_h")
+      .collect().toSeq
+    val want = Documents.shardManifest(docs.select(col("doc_id"),
+        graft.functions.Text.portableHash(col("doc_id").cast("string"))
+          .as("h"),
+        size(graft.functions.Text.toWords(col("text"))).cast("long")
+          .as("n_tokens")))
+      .select("shard", "n_docs", "sum_tokens", "first_h", "last_h")
+      .collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("dup-span sink wires end-to-end through foreachBatch: one " +
        "AvailableNow batch over an empty ledger == the q126 finder") {
     import graft.operators.Documents
