@@ -898,6 +898,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q138: past the component labels, the split is a PROJECTION — no " +
+       "join, no hash Exchange (the presentation sort is the only one)") {
+    // connectedComponents checkpoints its fixpoint, so the executed plan
+    // of the registered query IS the split assignment's own shape
+    val p = plan(q("q138_leakage_split"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"split assignment must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"split assignment must not join:\n$p")
+  }
+
+  test("q139: the manifest NEVER plans a no-partition global Window (the " +
+       "1-task bottleneck the two-pass scan exists to avoid); the shard " +
+       "aggregate partial-aggs over exactly one hash Exchange") {
+    val p = plan(q("q139_shard_export"))
+    assert(!p.contains("Window"),
+      s"global cumsum must not plan a Window:\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly one hash Exchange (shard agg), " +
+      s"got $n:\n$p")
+    assert(p.contains("partial_count"),
+      s"manifest aggregate must partial-agg map-side:\n$p")
+  }
+
   test("q127: the keeper election partial-aggs its struct-min over the " +
        "span-text domain; the finder's semi-join shape is preserved") {
     atScaleShape {
