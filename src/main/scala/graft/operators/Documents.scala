@@ -2102,6 +2102,66 @@ object Documents {
        |  CAST(min(h) AS BIGINT) AS first_h, CAST(max(h) AS BIGINT) AS last_h
        |FROM c GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ── q140: the ingest-grain shard manifest, cross-engine gated ───────────
+  /** The [[graft.streaming.Streams.shardManifestSink]] path as a GATED
+    * query (the q137/q128 stance: internal parity specs prove the sink
+    * equals its batch twin, but only a cross-engine oracle catches a
+    * shared bug in both). The training carve splits 2-way on the q42
+    * hash bucket (<50 / ≥50 — both engines see identical batches), each
+    * batch folds through the sink's own `applyShardBatch` (presence-
+    * keyed: a missing batch id is appended, an existing one skipped —
+    * the crash-safe idempotence contract, exercised every run because
+    * the bench re-invokes against the standing ledger), and the feed is
+    * compared against DuckDB packing each batch independently — a window
+    * PARTITIONED by the batch, q139's global form restricted to ingest
+    * grain. Batch-local shard ids are the design (published shards are
+    * immutable; nothing renumbers on append). */
+  def shardIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = bucketedDocs(s, d)
+    val path = s"${s.conf.get("spark.sql.warehouse.dir")}/graft_shard_" +
+      Tables.datasetTag(s, d, "documents")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, path)
+    val have: Set[String] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        s.read.parquet(path).select(col("batch_id")).distinct()
+          .collect().map(_.getString(0)).toSet
+      else Set.empty
+    Seq("b0" -> (col("bucket") < 50), "b1" -> (col("bucket") >= 50))
+      .filterNot(b => have(b._1))
+      .foreach { case (id, pred) =>
+        graft.streaming.Streams.applyShardBatch(
+          docs.filter(pred).select(col("doc_id"), col("text")), path, id)
+      }
+    graft.streaming.Streams.shardManifestFeed(s, path)
+  }
+
+  /** Oracle: each batch packed independently — the per-batch window
+    * cumsum (PARTITION BY the carve), never a cross-batch order. */
+  val shardIncrementalSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+       |        1, 15)) AS BIGINT) % 100 < 50 THEN 'b0' ELSE 'b1' END
+       |      AS batch_id,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS h,
+       |    len($wordsSql) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT batch_id, h, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY batch_id
+       |      ORDER BY h ASC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT batch_id,
+       |  CAST((cum - n_tokens) // $ShardBudgetTokens AS BIGINT) AS shard,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(min(h) AS BIGINT) AS first_h, CAST(max(h) AS BIGINT) AS last_h
+       |FROM c GROUP BY batch_id, shard
+       |ORDER BY batch_id, shard""".stripMargin
+
   // ── q124: BPE vocabulary induction — iterative pair-count + merge ──────
   /** Number of merge rounds the trainer runs (and the oracle unrolls). */
   val BpeMerges = 10
@@ -4041,6 +4101,7 @@ object Documents {
     "q135_nb_drift"       -> (nbDrift _),
     "q137_nb_incremental" -> (nbClassifierIncremental _),
     "q139_shard_export"   -> (shardExport _),
+    "q140_shard_incremental" -> (shardIncremental _),
     "q132_span_rewrite"   -> (spanRewrite _))
 
   val oracles: Seq[(String, String)] = Seq(
@@ -4092,5 +4153,6 @@ object Documents {
     // ledger-decomposition ≡ one-shot training (the q112 stance)
     "q137_nb_incremental" -> nbClassifierSql,
     "q139_shard_export"   -> shardExportSql,
+    "q140_shard_incremental" -> shardIncrementalSql,
     "q132_span_rewrite"   -> spanRewriteSql)
 }
