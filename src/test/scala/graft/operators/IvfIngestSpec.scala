@@ -1,0 +1,84 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Contract of the q141 incremental IVF ingest: folding the corpus into
+  * the cell-partitioned postings table through any batch decomposition —
+  * including a crashed-and-replayed append — must probe identically to
+  * the one-shot index, and compaction must GC the replay rows without
+  * touching the partition layout the probe's pruning needs. */
+class IvfIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 64-dim deterministic corpus over ids 0..99 (queries 0 and 50 land in
+    * the fixed QueryIds list), 4 cells. Floats roundtrip parquet exactly,
+    * so probe equality is exact, not approximate. */
+  private def corpus(): DataFrame = {
+    val rows = (0L to 99L).map { id =>
+      val v = Array.tabulate(64)(j =>
+        (math.sin(id * 31 + j).toFloat * 100).round / 100.0f)
+      (id, (id % 4).toInt, v.toSeq)
+    }
+    Similarity.withNorm(rows.toDF("vec_id", "label", "embedding"))
+  }
+
+  private def probeOf(e: DataFrame): Seq[(Long, Long, Long, Long)] = {
+    val cents = Similarity.trainCentroids(e)
+    Similarity.ivfProbeWith(e, cents, nprobe = 1, k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+  }
+
+  private def probePostings(path: String): Seq[(Long, Long, Long, Long)] = {
+    val post = Similarity.readPostings(spark, path)
+    val cents = Similarity.trainCentroids(post)
+    Similarity.ivfProbeWith(post, cents, nprobe = 1, k = 5,
+        dedupPairs = true)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+  }
+
+  test("fold through two appended batches == one-shot probe; a replayed " +
+       "batch is absorbed at pair grain; compaction GCs it permanently " +
+       "and preserves the cell layout") {
+    val e = corpus().localCheckpoint(true)
+    val path = Files.createTempDirectory("graft-ivf-ingest").toString + "/post"
+    val (b0, b1) = (e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" % 2 === 1))
+    Similarity.appendIvfBatch(path, b0, "b0")
+    Similarity.appendIvfBatch(path, b1, "b1")
+    val want = probeOf(e)
+    assert(want.nonEmpty)
+    assert(probePostings(path) === want, "fold != one-shot")
+    // crashed-and-replayed append: byte-identical rows land twice
+    Similarity.appendIvfBatch(path, b0, "b0")
+    assert(probePostings(path) === want, "replay changed the probe")
+    // compaction: fewer files, duplicates gone, label= dirs intact
+    val (before, after) = Similarity.compactIvfPostings(spark, path)
+    assert(after < before, s"no file reduction: $before -> $after")
+    val dirs = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("label=")).toSet
+    assert(dirs === Set("label=0", "label=1", "label=2", "label=3"),
+      s"partition layout lost: $dirs")
+    assert(spark.read.parquet(path).count() === 100L,
+      "compaction did not GC the replayed rows")
+    assert(probePostings(path) === want, "compaction changed the probe")
+  }
+
+  test("presence check: an already-appended batch id is skipped, a " +
+       "missing one is appended (crash between appends heals)") {
+    val e = corpus().localCheckpoint(true)
+    val path = Files.createTempDirectory("graft-ivf-ingest2").toString + "/post"
+    Similarity.appendIvfBatch(path, e.filter($"vec_id" % 2 === 0), "b0")
+    // simulate the registered query's healing pass: only b1 is missing
+    val have = spark.read.parquet(path).select($"batch_id").distinct()
+      .as[String].collect().toSet
+    assert(have === Set("b0"))
+    Seq("b0", "b1").filterNot(have).foreach { id =>
+      Similarity.appendIvfBatch(path,
+        e.filter($"vec_id" % 2 === (if (id == "b0") 0 else 1)), id)
+    }
+    assert(probePostings(path) === probeOf(e))
+  }
+}

@@ -921,6 +921,16 @@ class PlanSpec extends SparkSpec {
       s"manifest aggregate must partial-agg map-side:\n$p")
   }
 
+  test("q141: the postings probe DYNAMICALLY PRUNES cells — the scan's " +
+       "PartitionFilters carry the broadcast query assignment, so a probe " +
+       "reads nprobe inverted lists, not the corpus") {
+    val p = plan(q("q141_ivf_incremental"))
+    assert(p.contains("dynamicpruning"),
+      s"postings scan must carry a dynamic pruning expression:\n$p")
+    assert(p.contains("PartitionFilters: [isnotnull(label"),
+      s"postings scan must filter on the cell partition column:\n$p")
+  }
+
   test("q127: the keeper election partial-aggs its struct-min over the " +
        "span-text domain; the finder's semi-join shape is preserved") {
     atScaleShape {
