@@ -922,6 +922,31 @@ object Streams {
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
     graft.etl.Merge.compact(s, ledgerPath, "batch_id", targetBytes)
 
+  // ── IVF ingest sink: q141's arrival path as a stream ────────────────────
+  /** The q141 incremental IVF ingest driven by Structured Streaming:
+    * per micro-batch, append the batch's vectors into the standing
+    * cell-partitioned postings table
+    * ([[graft.operators.Similarity.appendIvfBatch]] — assignment under
+    * the frozen quantizer is per-vector-independent, so arrival IS
+    * indexing; the sink never trains). Idempotence is the postings
+    * contract: a checkpoint-replayed batch re-appends byte-identical
+    * rows under the same batch token, the probe dedups them at pair
+    * grain, and [[graft.operators.Similarity.compactIvfPostings]] GCs
+    * them permanently on the usual cadence. Expects (vec_id, label, v,
+    * nrm) rows — i.e. the normalized corpus shape; the batch is
+    * immediately searchable by any q141-style probe. */
+  def ivfIngestSink(vecs: DataFrame, postPath: String,
+                    checkpoint: String): StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Similarity.appendIvfBatch(postPath, batch.toDF(),
+          s"b$batchId")
+      }
+      .start()
+
   /** One click-matched view awaiting its click's purchase horizon. */
   case class FunnelAwait(viewUs: Long, clickUs: Long)
   /** Per-user funnel state: views awaiting a click; click-matched views

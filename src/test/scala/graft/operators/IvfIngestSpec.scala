@@ -66,6 +66,19 @@ class IvfIngestSpec extends SparkSpec {
     assert(probePostings(path) === want, "compaction changed the probe")
   }
 
+  test("ivfIngestSink wires end-to-end through foreachBatch: a streamed " +
+       "corpus probes identically to the one-shot index") {
+    val e = corpus().localCheckpoint(true)
+    val base = Files.createTempDirectory("graft-ivf-sink").toString
+    val vecsDir = s"$base/vecs"
+    e.write.mode("overwrite").parquet(vecsDir)
+    val q = graft.streaming.Streams.ivfIngestSink(
+      spark.readStream.schema(e.schema).parquet(vecsDir),
+      s"$base/post", s"$base/ckpt")
+    q.awaitTermination(120000)
+    assert(probePostings(s"$base/post") === probeOf(e))
+  }
+
   test("presence check: an already-appended batch id is skipped, a " +
        "missing one is appended (crash between appends heals)") {
     val e = corpus().localCheckpoint(true)
