@@ -66,6 +66,27 @@ class IvfIngestSpec extends SparkSpec {
     assert(probePostings(path) === want, "compaction changed the probe")
   }
 
+  test("a compaction that died between delete and rename is adopted on " +
+       "the next touch — the partitioned layout renames atomically") {
+    val e = corpus().localCheckpoint(true)
+    val path = Files.createTempDirectory("graft-ivf-crash").toString + "/post"
+    Similarity.appendIvfBatch(path, e.filter($"vec_id" % 2 === 0), "b0")
+    Similarity.appendIvfBatch(path, e.filter($"vec_id" % 2 === 1), "b1")
+    val want = probePostings(path)
+    // simulate the crash window: the compacted generation is fully
+    // written under the tmp name, the old target already deleted
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(s"$path.tmp-compact")))
+    // every entry point (append, registered query) runs recoverSwap first
+    graft.etl.Merge.recoverSwap(fs, path)
+    assert(probePostings(path) === want, "adoption lost posting rows")
+    val dirs = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("label=")).toSet
+    assert(dirs.size === 4, s"partition layout lost in adoption: $dirs")
+  }
+
   test("ivfIngestSink wires end-to-end through foreachBatch: a streamed " +
        "corpus probes identically to the one-shot index") {
     val e = corpus().localCheckpoint(true)
