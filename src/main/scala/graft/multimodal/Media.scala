@@ -340,10 +340,20 @@ object Media {
     * and everything that shuffles is 32 bytes/doc. For sub-exact matching
     * (Hamming ≤ k), the two halves band directly into the q54
     * Hamming-band LSH — same key shape as the simhash family. */
-  def perceptualNearDup(s: SparkSession, d: String): DataFrame = {
+  def perceptualNearDup(s: SparkSession, d: String): DataFrame =
+    electPhashClusters(phashPerDoc(
+      Tables.documents(s, d).select(col("doc_id"))))
+
+  /** Decode → dHash → per-doc collapse for any frame with a `doc_id`
+    * column: (doc_id, n_variants, n_doc_hashes, hash_hi, hash_lo). The
+    * EXPENSIVE half of the family — payloads are born and die inside one
+    * mapPartitions; only 32 bytes/doc survive. Factored so the q142
+    * ledger appends exactly this per batch (decode work runs once per
+    * document EVER, the amortization that matters at 100 TB of images). */
+  private[multimodal] def phashPerDoc(ids: DataFrame): DataFrame = {
+    val s = ids.sparkSession
     import s.implicits._
-    val hashes = Tables.documents(s, d)
-      .select(col("doc_id"))
+    val hashes = ids.select(col("doc_id"))
       .repartition(s.sparkContext.defaultParallelism)
       .as[Long]
       .mapPartitions { it =>
@@ -360,11 +370,16 @@ object Media {
           }
         }
       }
-    val perDoc = hashes.groupBy(col("doc_id"))
+    hashes.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_variants"),
            countDistinct(col("hash_hi"), col("hash_lo")).as("n_doc_hashes"),
            min(col("hash_hi")).as("hash_hi"),
            min(col("hash_lo")).as("hash_lo"))
+  }
+
+  /** Cluster election over per-doc hashes — two aggregates + one
+    * co-partitioned join on the hash pair, all 4-long rows. */
+  private[multimodal] def electPhashClusters(perDoc: DataFrame): DataFrame = {
     val clusters = perDoc.groupBy(col("hash_hi"), col("hash_lo"))
       .agg(count(lit(1)).as("n_same"), min(col("doc_id")).as("canonical_id"))
     perDoc.join(clusters, Seq("hash_hi", "hash_lo"))
@@ -394,6 +409,67 @@ object Media {
       |  1::BIGINT AS n_doc_hashes, n_same, canonical_id
       |FROM h JOIN cl USING (hash_hi, hash_lo)
       |ORDER BY doc_id""".stripMargin
+
+  // ── q142: INCREMENTAL perceptual dedup — the multimodal ledger face ─────
+  /** The q82/q128/q137 ledger move applied to the media ring (previously
+    * the only family without an incremental face): at 100 TB of images
+    * the decode→downsample→dHash pass is the dominant cost, and a
+    * standing corpus must never re-decode because a batch arrived. Each
+    * ingest batch appends its PER-DOC hash rows (the [[phashPerDoc]]
+    * output — 32 bytes/doc, media payloads already dead) to a ledger
+    * keyed by batch id; serving is the [[electPhashClusters]] election
+    * over the ledger — two aggregates on long rows, decode-free. The
+    * registered query carves the corpus 2-way on the q42 hash bucket,
+    * folds both batches presence-keyed (a missing id is appended, an
+    * existing one skipped — the healing contract), and is gated against
+    * q91's ORACLE VERBATIM: fold ≡ one-shot, the q112/q137/q141 stance.
+    * Replayed appends re-derive byte-identical rows (the hash is a pure
+    * function of the payload) and the reader's full-row dedup absorbs
+    * them; compaction is the shared hash-clustered rewrite. */
+  private[multimodal] def appendPhashLedger(ledgerPath: String,
+      ids: DataFrame, batchId: String): Unit = {
+    val s = ids.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(ledgerPath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, ledgerPath) // adopt a crashed compaction
+    phashPerDoc(ids).withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(ledgerPath)
+  }
+
+  /** The ledger in [[electPhashClusters]]'s shape: full-row dedup absorbs
+    * replayed appends (rows are a pure function of the payload). */
+  private[multimodal] def readPhashLedger(s: SparkSession,
+                                          ledgerPath: String): DataFrame =
+    s.read.parquet(ledgerPath).dropDuplicates()
+      .select(col("doc_id"), col("n_variants"), col("n_doc_hashes"),
+        col("hash_hi"), col("hash_lo"))
+
+  /** Hash-clustered ledger compaction — the standard lifecycle close. */
+  def compactPhashLedger(s: SparkSession, ledgerPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    graft.etl.Merge.compact(s, ledgerPath, "hash_hi", targetBytes)
+
+  def perceptualNearDupIncremental(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.documents(s, d).select(col("doc_id"),
+      pmod(graft.functions.Text.portableHash(col("doc_id").cast("string")),
+        lit(100L)).as("bucket"))
+    val path = s"${s.conf.get("spark.sql.warehouse.dir")}/graft_phash_" +
+      Tables.datasetTag(s, d, "documents")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, path)
+    val have: Set[String] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        s.read.parquet(path).select(col("batch_id")).distinct()
+          .collect().map(_.getString(0)).toSet
+      else Set.empty
+    Seq("b0" -> (col("bucket") < 50), "b1" -> (col("bucket") >= 50))
+      .filterNot(b => have(b._1))
+      .foreach { case (id, pred) =>
+        appendPhashLedger(path, ids.filter(pred).select(col("doc_id")), id)
+      }
+    electPhashClusters(readPhashLedger(s, path))
+  }
 
   // ── q113: perceptual AUDIO near-dup (envelope fingerprint) ──────────────
 
@@ -597,6 +673,7 @@ object Media {
     "q57_frame_sample"   -> (frameSampleStats _),
     "q67_gif_frames"     -> (gifFrameStats _),
     "q91_phash_neardup"  -> (perceptualNearDup _),
+    "q142_phash_incremental" -> (perceptualNearDupIncremental _),
     "q113_audio_neardup" -> (audioNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
@@ -606,6 +683,9 @@ object Media {
     "q57_frame_sample"   -> frameSampleStatsSql,
     "q67_gif_frames"     -> gifFrameStatsSql,
     "q91_phash_neardup"  -> perceptualNearDupSql,
+    // q142's oracle IS q91's one-shot SQL — the gate itself proves
+    // ledger-decomposition ≡ one-shot perceptual clustering
+    "q142_phash_incremental" -> perceptualNearDupSql,
     "q113_audio_neardup" -> audioNearDupSql)
 }
 

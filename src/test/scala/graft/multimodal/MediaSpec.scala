@@ -361,4 +361,28 @@ class MediaSpec extends SparkSpec {
       assert(sumIdx === cuts.sum, s"doc $id cut index sum")
     }
   }
+
+  test("q142 phash ledger: fold over two appended batches == one-shot " +
+       "clusters; replay absorbs; compaction GCs and preserves the feed") {
+    import spark.implicits._
+    val ids = (0L to 79L).toDF("doc_id").localCheckpoint(true)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-phash-ledger").toString + "/ledger"
+    val (b0, b1) = (ids.filter($"doc_id" % 2 === 0),
+                    ids.filter($"doc_id" % 2 === 1))
+    Media.appendPhashLedger(path, b0, "b0")
+    Media.appendPhashLedger(path, b1, "b1")
+    val want = Media.electPhashClusters(Media.phashPerDoc(ids))
+      .collect().toSeq
+    def got() = Media.electPhashClusters(Media.readPhashLedger(spark, path))
+      .collect().toSeq
+    assert(want.nonEmpty)
+    assert(got() === want, "fold != one-shot")
+    // a crashed-and-replayed append re-derives byte-identical rows
+    Media.appendPhashLedger(path, b0, "b0")
+    assert(got() === want, "replay changed the clusters")
+    val (before, after) = Media.compactPhashLedger(spark, path)
+    assert(after < before, s"no file reduction: $before -> $after")
+    assert(got() === want, "compaction changed the clusters")
+  }
 }
