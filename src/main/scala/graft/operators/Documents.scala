@@ -3320,6 +3320,111 @@ object Documents {
     out
   }
 
+  /** Per-DOC copy counts under the q129 temperature weights — the frame
+    * [[epochShards]] explodes. Same weight derivation as
+    * [[temperatureMixCore]] (anchor, sqrt law, cap, hash-selected
+    * fraction — all TempMixSpec-pinned exprs), but doc_id survives to
+    * the output. Two passes over an eagerly-staged 32 B/doc projection
+    * (per-source collapse, then the broadcast weight join); the staging
+    * is GC-reclaimed with the frame. */
+  private[operators] def temperatureCopies(docs0: DataFrame): DataFrame = {
+    val docs = docs0
+      .withColumn("h", Text.portableHash(
+        concat(col("doc_id").cast("string"), lit("tmix"))) % 10000L)
+      .localCheckpoint(true)
+    val bySrc = docs.groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("t"))
+      .localCheckpoint()
+    val tMax = bySrc.agg(max(col("t")).as("t_max"))
+    val weights = bySrc.crossJoin(broadcast(tMax))
+      .withColumn("e_bp", least(
+        floor(lit(10000.0) * sqrt(col("t_max").cast("double") /
+          greatest(col("t"), lit(1L)))).cast("long"),
+        lit(TempMixCapBp)))
+    docs.join(broadcast(weights.select(col("source"), col("e_bp"))),
+        Seq("source"))
+      .withColumn("n_copies", (col("e_bp") / lit(10000L)).cast("long") +
+        (col("h") < col("e_bp") % 10000L).cast("long"))
+      .filter(col("n_copies") >= 1L)
+      .select(col("source"), col("doc_id"), col("n_tok"), col("n_copies"))
+  }
+
+  // ── q143: EPOCH EXPORT — temperature mix composed with the shard cut ────
+  /** The job a pipeline actually runs to build a training epoch: q129
+    * decides each document's copy count (data-derived temperature
+    * weights), q139 cuts the resulting stream into fixed-budget shards —
+    * and production fuses them, because the thing you shard is the MIXED
+    * epoch, never the raw corpus. Each (doc, copy) instance gets its own
+    * position in the global order (hash of doc_id:copy — the q110 draw
+    * convention — so the copies of an upsampled document SCATTER across
+    * the epoch instead of clumping back-to-back, which is the entire
+    * point of shuffling training data), and the tie-free total-order key
+    * is uid = doc_id·16 + copy (copies are capped at 5 by
+    * [[TempMixCapBp]], so 16 never collides). Output: the epoch's shard
+    * manifest.
+    *
+    * Scale = the two components' shapes composed, nothing new added: the
+    * mix is one |sources|-row collapse + a broadcast weight join with the
+    * copy fan-out exploding map-side at scan site, and the shard cut is
+    * [[globalCumsum]]'s one range shuffle of a 24-byte/row stream (now
+    * epoch-sized, i.e. ×(mean copies) rows) + O(P) offsets. */
+  def epochShards(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("source"), col("doc_id"),
+      size(Text.toWords(col("text"))).cast("long").as("n_tok"))
+    val instances = temperatureCopies(base)
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+      .select(
+        (col("doc_id") * 16L + col("copy")).as("doc_id"),
+        Text.portableHash(concat(col("doc_id").cast("string"), lit(":"),
+          col("copy").cast("string"))).as("h"),
+        col("n_tok").as("n_tokens"))
+    shardManifest(instances)
+  }
+
+  /** Oracle: q129's weight CTEs chained into q139's single-window cumsum
+    * over the exploded copy stream. */
+  val epochShardsSql: String =
+    s"""WITH dt AS (
+       |  SELECT source, doc_id,
+       |    CAST(len($wordsSql) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |src AS (
+       |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS t
+       |  FROM dt GROUP BY 1),
+       |w AS (
+       |  SELECT source,
+       |    least(CAST(floor(10000.0 *
+       |        sqrt(CAST((SELECT max(t) FROM src) AS DOUBLE)
+       |             / greatest(t, 1))) AS BIGINT), $TempMixCapBp) AS e_bp
+       |  FROM src),
+       |pd AS (
+       |  SELECT dt.doc_id, dt.n_tok,
+       |    (w.e_bp // 10000) + CASE WHEN
+       |      CAST(concat('0x', substr(md5(CAST(dt.doc_id AS VARCHAR)
+       |        || 'tmix'), 1, 15)) AS BIGINT) % 10000 < w.e_bp % 10000
+       |      THEN 1 ELSE 0 END AS n_copies
+       |  FROM dt JOIN w USING (source)),
+       |x AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy
+       |  FROM pd WHERE n_copies >= 1),
+       |inst AS (
+       |  SELECT doc_id * 16 + copy AS uid,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':'
+       |      || CAST(copy AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+       |    n_tok AS n_tokens
+       |  FROM x),
+       |c AS (
+       |  SELECT h, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY h ASC, uid ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM inst)
+       |SELECT CAST((cum - n_tokens) // $ShardBudgetTokens AS BIGINT) AS shard,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(min(h) AS BIGINT) AS first_h, CAST(max(h) AS BIGINT) AS last_h
+       |FROM c GROUP BY shard ORDER BY shard""".stripMargin
+
   val temperatureMixSql: String =
     s"""WITH dt AS (
        |  SELECT source, doc_id,
@@ -4102,6 +4207,7 @@ object Documents {
     "q137_nb_incremental" -> (nbClassifierIncremental _),
     "q139_shard_export"   -> (shardExport _),
     "q140_shard_incremental" -> (shardIncremental _),
+    "q143_epoch_shards"   -> (epochShards _),
     "q132_span_rewrite"   -> (spanRewrite _))
 
   val oracles: Seq[(String, String)] = Seq(
@@ -4154,5 +4260,6 @@ object Documents {
     "q137_nb_incremental" -> nbClassifierSql,
     "q139_shard_export"   -> shardExportSql,
     "q140_shard_incremental" -> shardIncrementalSql,
+    "q143_epoch_shards"   -> epochShardsSql,
     "q132_span_rewrite"   -> spanRewriteSql)
 }
