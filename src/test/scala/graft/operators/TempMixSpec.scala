@@ -53,4 +53,22 @@ class TempMixSpec extends SparkSpec {
       s"8 docs at 2.5 epochs: 16 whole + 0..8 selected, got ${b._5}")
     assert(mix(docs: _*) === got1, "mix must be a pure function of data")
   }
+
+  test("temperatureCopies (q143's per-doc frame) agrees with the q129 " +
+       "aggregate per source — the duplicated weight logic cannot drift") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val docs = (1L to 120L).map(i =>
+      (s"src${i % 5}", i, rnd.nextInt(400).toLong + 1L))
+    val df = docs.toDF("source", "doc_id", "n_tok")
+    val perDoc = Documents.temperatureCopies(df)
+      .groupBy($"source")
+      .agg(org.apache.spark.sql.functions.sum($"n_copies").as("n_copies"))
+      .as[(String, Long)].collect().toMap
+    val agg = Documents.temperatureMixCore(df)
+      .select($"source", $"n_copies")
+      .as[(String, Long)].collect().toMap
+    assert(perDoc === agg,
+      "per-doc copies disagree with the q129 per-source aggregate")
+  }
 }
