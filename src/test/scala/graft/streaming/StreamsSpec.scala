@@ -1026,6 +1026,12 @@ class StreamsSpec extends SparkSpec {
     // checkpoint-replayed batch re-packs byte-identically
     Streams.applyShardBatch(b1, ledger, "b1")
     assert(feed() === want, "replaying a batch changed the manifest")
+    // compaction rewrites the file population (and GCs the replay
+    // duplicates permanently) without changing what a reader sees
+    val (before, after) = Streams.compactShardLedger(spark, ledger)
+    assert(after < before,
+      s"compaction did not reduce files: $before -> $after")
+    assert(feed() === want, "compaction changed the manifest feed")
   }
 
   test("shard-manifest sink wires end-to-end through foreachBatch and " +
