@@ -931,6 +931,25 @@ class PlanSpec extends SparkSpec {
       s"postings scan must filter on the cell partition column:\n$p")
   }
 
+  test("q142: the warm probe is DECODE-FREE — the served plan is the " +
+       "cluster election over the parquet ledger, with no imperative " +
+       "object boundary (the codec lives only in the cold build)") {
+    // constructing the frame runs the presence-keyed appends (cold
+    // build); the PLAN that serves afterwards must read the ledger only
+    val p = plan(q("q142_phash_incremental"))
+    assert(p.contains("FileScan parquet"),
+      s"q142 must serve from the materialized ledger:\n$p")
+    assert(!p.contains("DeserializeToObject") && !p.contains("MapPartitions"),
+      s"warm probe must not cross an object boundary (decode!):\n$p")
+  }
+
+  test("q143: the fused epoch export never plans a no-partition Window " +
+       "— composition must not reintroduce the 1-task cumsum") {
+    val p = plan(q("q143_epoch_shards"))
+    assert(!p.contains("Window"),
+      s"epoch export must use the two-pass scan, not a Window:\n$p")
+  }
+
   test("q127: the keeper election partial-aggs its struct-min over the " +
        "span-text domain; the finder's semi-join shape is preserved") {
     atScaleShape {
