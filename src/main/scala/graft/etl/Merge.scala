@@ -474,4 +474,43 @@ object Merge {
             s"orphan recovery rename $newest -> $path failed")
       }
     }
+
+  /** Presence-keyed idempotent batch fold over an append-maintained
+    * directory — the shared shape of q137/q140/q141/q142 (each used to
+    * inline it; four copies of a crash contract is how contracts drift).
+    *
+    * Presence is a COMMIT MARKER (`<path>.batches/<id>`, an empty file)
+    * written strictly AFTER the batch's data append. The former
+    * formulation read `batch_id` DISTINCT from the data itself, which has
+    * two defects this fixes: (a) a driver death mid-job-commit can leave
+    * a SUBSET of the batch's files visible, and any visible row made the
+    * batch "present" — silently serving a half-appended batch forever;
+    * with the marker, a crash anywhere before the marker write replays
+    * the batch in full and the reader's replay-dedup (full-row /
+    * first-wins — the same absorption the streaming sinks rely on under
+    * checkpoint replay) collapses whatever the crashed attempt had
+    * published; (b) the presence probe was a corpus-proportional column
+    * scan, while listing the marker dir is O(batches).
+    *
+    * Single-writer between batches, like every offline fold here.
+    * Compaction never touches the marker dir (writeAndSwap rewrites only
+    * `path`), so compacted ledgers keep their presence state. Returns the
+    * ids appended by THIS call. */
+  def foldMissingBatches(s: org.apache.spark.sql.SparkSession, path: String,
+      batches: Seq[(String, () => Unit)]): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, path)
+    val mdir = new org.apache.hadoop.fs.Path(s"$path.batches")
+    val have: Set[String] =
+      if (fs.exists(mdir)) fs.listStatus(mdir).map(_.getPath.getName).toSet
+      else Set.empty
+    val todo = batches.filterNot(b => have(b._1))
+    todo.foreach { case (id, append) =>
+      append()
+      fs.mkdirs(mdir)
+      fs.create(new org.apache.hadoop.fs.Path(mdir, id), true).close()
+    }
+    todo.map(_._1)
+  }
 }

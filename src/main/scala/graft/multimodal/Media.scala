@@ -455,19 +455,12 @@ object Media {
         lit(100L)).as("bucket"))
     val path = s"${s.conf.get("spark.sql.warehouse.dir")}/graft_phash_" +
       Tables.datasetTag(s, d, "documents")
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-      s.sparkContext.hadoopConfiguration)
-    graft.etl.Merge.recoverSwap(fs, path)
-    val have: Set[String] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-        s.read.parquet(path).select(col("batch_id")).distinct()
-          .collect().map(_.getString(0)).toSet
-      else Set.empty
-    Seq("b0" -> (col("bucket") < 50), "b1" -> (col("bucket") >= 50))
-      .filterNot(b => have(b._1))
-      .foreach { case (id, pred) =>
-        appendPhashLedger(path, ids.filter(pred).select(col("doc_id")), id)
-      }
+    graft.etl.Merge.foldMissingBatches(s, path,
+      Seq("b0" -> (col("bucket") < 50), "b1" -> (col("bucket") >= 50))
+        .map { case (id, pred) => id -> (() =>
+          appendPhashLedger(path, ids.filter(pred).select(col("doc_id")),
+            id))
+        })
     electPhashClusters(readPhashLedger(s, path))
   }
 

@@ -2120,20 +2120,12 @@ object Documents {
     val docs = bucketedDocs(s, d)
     val path = s"${s.conf.get("spark.sql.warehouse.dir")}/graft_shard_" +
       Tables.datasetTag(s, d, "documents")
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-      s.sparkContext.hadoopConfiguration)
-    graft.etl.Merge.recoverSwap(fs, path)
-    val have: Set[String] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-        s.read.parquet(path).select(col("batch_id")).distinct()
-          .collect().map(_.getString(0)).toSet
-      else Set.empty
-    Seq("b0" -> (col("bucket") < 50), "b1" -> (col("bucket") >= 50))
-      .filterNot(b => have(b._1))
-      .foreach { case (id, pred) =>
-        graft.streaming.Streams.applyShardBatch(
-          docs.filter(pred).select(col("doc_id"), col("text")), path, id)
-      }
+    graft.etl.Merge.foldMissingBatches(s, path,
+      Seq("b0" -> (col("bucket") < 50), "b1" -> (col("bucket") >= 50))
+        .map { case (id, pred) => id -> (() =>
+          graft.streaming.Streams.applyShardBatch(
+            docs.filter(pred).select(col("doc_id"), col("text")), path, id))
+        })
     graft.streaming.Streams.shardManifestFeed(s, path)
   }
 
@@ -2526,26 +2518,43 @@ object Documents {
     val (mPath, tPath) = bpePaths(s, d)
     val (_, types) = bpeFreezeAt(s, mPath, tPath,
       docWordsOf(base.filter(col("bucket") < 90)).select(col("w")))
-    base.select(col("bucket"),
-        explode(Text.toWords(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
+    bpeStatRow(
+      bpeEncodeStats(base.select(col("bucket"),
+        explode(Text.toWords(col("text"))).as("w")), types),
+      when(col("bucket") >= 90, lit("batch")).otherwise(lit("corpus")),
+      "side")
+      .orderBy(col("side"))
+  }
+
+  /** Per-word encode stats under a frozen (w, s) segmentation table —
+    * the (w, n_tok, tok) stream [[bpeDrift]] and the streaming drift
+    * sink aggregate under different keys. ONE copy of the decode +
+    * char-fallback expressions (code-review r18: the sink used to inline
+    * them, and a future tweak to either copy would silently diverge the
+    * ledger rows from the q131 statistic the sink promises parity with). */
+  private[graft] def bpeEncodeStats(words: DataFrame,
+                                    types: DataFrame): DataFrame =
+    words.filter(length(col("w")) > 0)
       .join(broadcast(types.select(col("w"),
         size(split(trim(col("s")), " ")).cast("long").as("n_tok"))),
         Seq("w"), "left")
       .withColumn("tok", coalesce(col("n_tok"),
         length(col("w")).cast("long")))
-      .groupBy(when(col("bucket") >= 90, lit("batch"))
-        .otherwise(lit("corpus")).as("side"))
+
+  /** Collapse encode stats to the q131 row under an arbitrary grouping
+    * key (side for the batch query, batch_id for the sink). */
+  private[graft] def bpeStatRow(stats: DataFrame, key: Column,
+                                keyName: String): DataFrame =
+    stats
+      .groupBy(key.as(keyName))
       .agg(count(lit(1)).as("n_words"),
         sum(col("tok")).as("n_tokens"),
         sum(col("n_tok").isNull.cast("long")).as("n_unseen"),
         sum(length(col("w")).cast("long")).as("n_chars"))
-      .select(col("side"), col("n_words"), col("n_tokens"),
+      .select(col(keyName), col("n_words"), col("n_tokens"),
         col("n_unseen"),
         expr("10000 * n_chars div n_tokens").as("chars_per_token_bp"),
         expr("10000 * n_unseen div n_words").as("unseen_bp"))
-      .orderBy(col("side"))
-  }
 
   val bpeDriftSql: String =
     s"""WITH ${bpeChainSqlOn(corpusPredSql)},
@@ -4072,9 +4081,14 @@ object Documents {
       corpusDocs: DataFrame, batchDocs: DataFrame,
       maxOovBp: Long = 500L): Boolean = {
     val model = graft.etl.Merge.materialize(s, path, nbTrainModel(corpusDocs))
+    // coalesce: an EMPTY batch (or one whose docs all tokenize to zero
+    // words) sums to NULL — an idle ingest tick must decide "no drift",
+    // not NPE on head.getLong (code-review r18)
     val oovBp = nbWords(batchDocs)
       .join(broadcast(model), Seq("w"), "left")
-      .agg(expr("(10000 * sum(cast(c1 is null as long))) div count(1)"))
+      .agg(coalesce(
+        expr("(10000 * sum(cast(c1 is null as long))) div count(1)"),
+        lit(0L)))
       .head.getLong(0)
     val drifted = oovBp > maxOovBp
     if (drifted)
@@ -4099,10 +4113,11 @@ object Documents {
     * sub-batches (bucket <45 / 45–89), folds both through the ledger,
     * and scores the ≥90 batch — against q134's ORACLE VERBATIM: the
     * gate itself proves ledger-decomposition ≡ one-shot training (the
-    * q112 stance). Build is crash-safe by PRESENCE, not existence: a
-    * death between the two appends leaves a batch id missing, and the
-    * next touch appends exactly the missing ones (idempotent under
-    * replay by first-wins). */
+    * q112 stance). Build is crash-safe by PRESENCE via
+    * [[graft.etl.Merge.foldMissingBatches]]'s commit markers: a death
+    * anywhere before a batch's marker write — including mid-job-commit
+    * with a partial file set visible — replays that batch in full, and
+    * the reader's first-wins absorbs the duplicates. */
   private[graft] def appendNbLedger(ledgerPath: String, docs: DataFrame,
                                     batchId: String): Unit = {
     val s = docs.sparkSession
@@ -4140,21 +4155,13 @@ object Documents {
     val docs = bucketedDocs(s, d)
     val path = s"${s.conf.get("spark.sql.warehouse.dir")}/graft_nb_ledger_" +
       Tables.datasetTag(s, d, "documents")
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-      s.sparkContext.hadoopConfiguration)
-    graft.etl.Merge.recoverSwap(fs, path)
-    val have: Set[String] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-        s.read.parquet(path).select(col("batch_id")).distinct()
-          .collect().map(_.getString(0)).toSet
-      else Set.empty
-    Seq("b0" -> (col("bucket") < 45),
-        "b1" -> (col("bucket") >= 45 && col("bucket") < 90))
-      .filterNot(b => have(b._1))
-      .foreach { case (id, pred) =>
-        appendNbLedger(path, docs.filter(pred)
-          .select(col("doc_id"), col("text"), nbLabel.as("y")), id)
-      }
+    graft.etl.Merge.foldMissingBatches(s, path,
+      Seq("b0" -> (col("bucket") < 45),
+          "b1" -> (col("bucket") >= 45 && col("bucket") < 90))
+        .map { case (id, pred) => id -> (() =>
+          appendNbLedger(path, docs.filter(pred)
+            .select(col("doc_id"), col("text"), nbLabel.as("y")), id))
+        })
     nbScoreAgainst(docs.filter(col("bucket") >= 90),
       nbLedgerModel(s, path))
   }

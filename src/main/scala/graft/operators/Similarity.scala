@@ -543,19 +543,11 @@ object Similarity {
     val tag = Tables.datasetTag(s, d, "embeddings")
     val wh = s.conf.get("spark.sql.warehouse.dir")
     val postPath = s"$wh/graft_ivf_post_$tag"
-    val fs = new org.apache.hadoop.fs.Path(postPath).getFileSystem(
-      s.sparkContext.hadoopConfiguration)
-    graft.etl.Merge.recoverSwap(fs, postPath)
-    val have: Set[String] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(postPath)))
-        s.read.parquet(postPath).select(col("batch_id")).distinct()
-          .collect().map(_.getString(0)).toSet
-      else Set.empty
-    Seq("b0" -> (col("bucket") < 50), "b1" -> (col("bucket") >= 50))
-      .filterNot(b => have(b._1))
-      .foreach { case (id, pred) =>
-        appendIvfBatch(postPath, e.filter(pred), id)
-      }
+    graft.etl.Merge.foldMissingBatches(s, postPath,
+      Seq("b0" -> (col("bucket") < 50), "b1" -> (col("bucket") >= 50))
+        .map { case (id, pred) => id -> (() =>
+          appendIvfBatch(postPath, e.filter(pred), id))
+        })
     val post = readPostings(s, postPath)
     // the SAME quantizer artifact q86/q133 serve from — one coarse model
     // for the whole ANN family; content is identical whichever query

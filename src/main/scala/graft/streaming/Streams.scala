@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
@@ -768,24 +768,25 @@ object Streams {
     val fs = new org.apache.hadoop.fs.Path(ledgerPath).getFileSystem(
       s.sparkContext.hadoopConfiguration)
     graft.etl.Merge.recoverSwap(fs, ledgerPath) // adopt a crashed compaction
-    val types = s.read.parquet(typesPath)
-      .select(col("w"), size(split(trim(col("s")), " ")).cast("long")
-        .as("n_tok"))
-    batch.select(explode(graft.functions.Text.toWords(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
-      .join(broadcast(types), Seq("w"), "left")
-      .withColumn("tok", coalesce(col("n_tok"),
-        length(col("w")).cast("long")))
-      .agg(count(lit(1)).as("n_words"), sum(col("tok")).as("n_tokens"),
-        sum(col("n_tok").isNull.cast("long")).as("n_unseen"),
-        sum(length(col("w")).cast("long")).as("n_chars"))
-      .select(lit(batchId).as("batch_id"), col("n_words"), col("n_tokens"),
-        col("n_unseen"),
-        expr("10000 * n_chars div n_tokens").as("chars_per_token_bp"),
-        expr("10000 * n_unseen div n_words").as("unseen_bp"))
-      .filter(col("n_words") > 0) // an empty batch publishes no stat row
+    // scoring is Documents' own q131 core (code-review r18: this used to
+    // inline the decode/fallback/aggregate exprs — one copy now); an
+    // empty batch groups to zero rows, so it publishes no stat row
+    graft.operators.Documents.bpeStatRow(
+        graft.operators.Documents.bpeEncodeStats(
+          batch.select(
+            explode(graft.functions.Text.toWords(col("text"))).as("w")),
+          s.read.parquet(typesPath)),
+        lit(batchId), "batch_id")
       .write.mode("append").parquet(ledgerPath)
   }
+
+  /** Arrival-order sort key for string batch ids: plain lexicographic
+    * ordering breaks at 10+ batches ("10" < "2", "b10" < "b2"); under
+    * (length, value) decimal ids — bare or with a constant prefix — sort
+    * numerically, so the feeds below really are the time series their
+    * consumers threshold. */
+  private def batchIdOrder: Seq[Column] =
+    Seq(length(col("batch_id")).asc, col("batch_id").asc)
 
   /** The drift ledger as its consumer reads it: first-wins on batch_id
     * (a replayed batch's row is byte-identical; min over the stat struct
@@ -799,7 +800,7 @@ object Streams {
         col("r.n_tokens").as("n_tokens"), col("r.n_unseen").as("n_unseen"),
         col("r.chars_per_token_bp").as("chars_per_token_bp"),
         col("r.unseen_bp").as("unseen_bp"))
-      .orderBy(col("batch_id"))
+      .orderBy(batchIdOrder: _*)
 
   // ── classifier-drift sink: the q135 statistic per ingest micro-batch ────
   /** The q134/q135 supervised classifier's streaming face — with this,
@@ -856,7 +857,7 @@ object Streams {
         col("r.prior_bp").as("prior_bp"),
         col("r.batch_mean_bp").as("batch_mean_bp"),
         col("r.shift_bp").as("shift_bp"))
-      .orderBy(col("batch_id"))
+      .orderBy(batchIdOrder: _*)
 
   // ── shard-manifest sink: q139's export at ingest grain ──────────────────
   /** The q139 shard export's streaming face. A corpus-GLOBAL hash order
@@ -915,7 +916,7 @@ object Streams {
       .select(col("batch_id"), col("shard"), col("r.n_docs").as("n_docs"),
         col("r.sum_tokens").as("sum_tokens"),
         col("r.first_h").as("first_h"), col("r.last_h").as("last_h"))
-      .orderBy(col("batch_id"), col("shard"))
+      .orderBy(batchIdOrder :+ col("shard"): _*)
 
   /** Manifest-ledger compaction, clustered on the consumer's key. */
   def compactShardLedger(s: SparkSession, ledgerPath: String,

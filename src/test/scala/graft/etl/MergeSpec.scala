@@ -460,4 +460,31 @@ class MergeSpec extends SparkSpec {
     val out = cdcRows(spark.read.parquet(path))
     assert(out === Array((1L, 4L, "U", "a2"), (2L, 6L, "D", "")))
   }
+
+  test("foldMissingBatches: presence is the commit MARKER, not data rows " +
+       "— a partially committed crashed append is re-appended in full " +
+       "and the reader's dedup absorbs it (code-review r18)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-fold").toString + "/ledger"
+    def append(id: String, rows: Seq[(String, Long)]): Unit =
+      rows.toDF("k", "v").withColumn("batch_id", lit(id))
+        .write.mode("append").parquet(path)
+    // simulate a crashed b0: SOME of its rows are visible (a mid-commit
+    // death), but no marker was written
+    append("b0", Seq(("a", 1L)))
+    var ran = List.empty[String]
+    def fold(): Seq[String] = Merge.foldMissingBatches(spark, path, Seq(
+      "b0" -> (() => { ran ::= "b0"; append("b0", Seq(("a", 1L), ("b", 2L))) }),
+      "b1" -> (() => { ran ::= "b1"; append("b1", Seq(("c", 3L))) })))
+    assert(fold().toSet === Set("b0", "b1"),
+      "partial data rows must NOT count as presence")
+    // the reader's full-row dedup absorbs the crashed attempt's rows
+    val got = spark.read.parquet(path).dropDuplicates()
+      .select("k", "v").as[(String, Long)].collect().toSet
+    assert(got === Set(("a", 1L), ("b", 2L), ("c", 3L)))
+    // second touch: markers present, nothing re-runs
+    ran = Nil
+    assert(fold().isEmpty)
+    assert(ran.isEmpty, "marked batches must be skipped")
+  }
 }

@@ -129,4 +129,19 @@ class NbSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet,
       "refreshed artifact != from-scratch train on the union")
   }
+
+  test("nbRefreshIfDrifted: an EMPTY batch (idle ingest tick) decides " +
+       "'no drift' instead of NPE-ing on the null aggregate " +
+       "(code-review r18)") {
+    val corpus = labeled((1L, "good day", 1L), (2L, "bad day", 0L))
+    val p = tmpPath()
+    assert(!Documents.nbRefreshIfDrifted(spark, p, corpus,
+      labeled()), "empty batch must not refresh")
+    // an empty-TEXT doc is a different case: both engines split "" to
+    // one empty-string token (the q134 gate's semantics), which is OOV
+    // against any trained vocabulary — such a batch is honestly 100%
+    // out-of-distribution and DOES trigger
+    assert(Documents.nbRefreshIfDrifted(spark, tmpPath(), corpus,
+      labeled((5L, "", 1L))), "all-empty-text batch is 100% OOV")
+  }
 }

@@ -957,6 +957,26 @@ class StreamsSpec extends SparkSpec {
     assert(feed() === want, "replaying a batch changed the drift series")
   }
 
+  test("drift/manifest feeds order numerically past 9 batches — " +
+       "lexicographic batch_id ordering would scramble the time series " +
+       "(code-review r18)") {
+    import graft.operators.Documents
+    import spark.implicits._
+    val base = tmp("graft-nbdrift-order")
+    val (mp, ledger) = (s"$base/model", s"$base/drift")
+    graft.etl.Merge.materialize(spark, mp, Documents.nbTrainModel(
+      Seq((1L, "good day", 1L), (2L, "bad day", 0L))
+        .toDF("doc_id", "text", "y")))
+    val b = Seq((10L, "good day")).toDF("doc_id", "text")
+    // "10" < "2" lexicographically — the arrival order must win
+    Streams.applyNbDriftBatch(b, mp, ledger, "2")
+    Streams.applyNbDriftBatch(b, mp, ledger, "10")
+    val order = Streams.nbDriftFeed(spark, ledger)
+      .select("batch_id").as[String].collect().toSeq
+    assert(order === Seq("2", "10"),
+      s"feed is not in arrival order: $order")
+  }
+
   test("classifier-drift sink wires end-to-end through foreachBatch") {
     import graft.operators.Documents
     import spark.implicits._
