@@ -502,6 +502,13 @@ object Merge {
       s.sparkContext.hadoopConfiguration)
     recoverSwap(fs, path)
     val mdir = new org.apache.hadoop.fs.Path(s"$path.batches")
+    // Markers are only meaningful while their ledger exists: if the data
+    // directory was deleted/retired but the sibling marker dir survived,
+    // trusting the markers would skip every re-append and downstream
+    // readers would throw on the missing path (ADVICE r18). A vanished
+    // ledger drops its stale markers and rebuilds from scratch.
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path)) && fs.exists(mdir))
+      fs.delete(mdir, true)
     val have: Set[String] =
       if (fs.exists(mdir)) fs.listStatus(mdir).map(_.getPath.getName).toSet
       else Set.empty

@@ -2018,6 +2018,19 @@ object Documents {
     * across numParts 1/3/8 and against the single-window form): the total
     * order (h, doc_id) is tie-free, so cum is a pure function of the data.
     *
+    * Fault-tolerance cost of that pin (ADVICE r18): localCheckpoint
+    * blocks are unreplicated executor storage with truncated lineage, so
+    * an executor loss between the offsets pass and the cumsum pass
+    * FAILS the job (fail-fast, never wrong) and the export restarts from
+    * the range shuffle. That is an accepted restart-on-loss cost: the
+    * pinned projection is 24 bytes/doc (not the corpus), the export is
+    * the pipeline's terminal step and rerunnable, and the alternative — a
+    * reliable `checkpoint()` to the warehouse — would double-write the
+    * projection on EVERY export to insure against a rare loss. A
+    * production deployment that cannot tolerate the restart sets
+    * `spark.sql.warehouse.dir`-backed `sparkContext.setCheckpointDir` and
+    * swaps the call site; the semantics are unchanged.
+    *
     * Input: (doc_id, h, n_tokens); output adds inclusive `cum` in global
     * (h, doc_id) order. The per-partition scan is `mapPartitions` — the
     * repo's third justified imperative site (with Media's codecs and

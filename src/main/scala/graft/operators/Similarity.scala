@@ -551,9 +551,15 @@ object Similarity {
     val post = readPostings(s, postPath)
     // the SAME quantizer artifact q86/q133 serve from — one coarse model
     // for the whole ANN family; content is identical whichever query
-    // builds it first (trainCentroids is order-independent integer sums)
+    // builds it first (trainCentroids is order-independent integer sums).
+    // Train on vec_id-deduped rows: in the crash-replay window (data
+    // visible, marker absent) the healing re-append leaves duplicate
+    // postings rows; the pair-grain dedup protects ranking but NOT the
+    // cell means a frozen quantizer is built from (ADVICE r18) — a
+    // skewed centroid artifact would diverge q141 from its q86 oracle
+    // permanently once materialized.
     val cents = graft.etl.Merge.materialize(s, s"$wh/graft_ivf_cents_$tag",
-      trainCentroids(post))
+      trainCentroids(post.dropDuplicates(Seq("vec_id"))))
     ivfProbeWith(post, cents, nprobe = 1, k = 5, dedupPairs = true)
   }
 

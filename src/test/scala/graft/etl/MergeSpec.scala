@@ -487,4 +487,30 @@ class MergeSpec extends SparkSpec {
     assert(fold().isEmpty)
     assert(ran.isEmpty, "marked batches must be skipped")
   }
+
+  test("foldMissingBatches: a vanished ledger drops its stale markers " +
+       "and rebuilds — surviving markers must not vouch for deleted " +
+       "data (ADVICE r18)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-fold-gone").toString + "/ledger"
+    def append(id: String, rows: Seq[(String, Long)]): Unit =
+      rows.toDF("k", "v").withColumn("batch_id", lit(id))
+        .write.mode("append").parquet(path)
+    def fold(): Seq[String] = Merge.foldMissingBatches(spark, path, Seq(
+      "b0" -> (() => append("b0", Seq(("a", 1L)))),
+      "b1" -> (() => append("b1", Seq(("b", 2L))))))
+    assert(fold().toSet === Set("b0", "b1"))
+    // retire the ledger but leave the sibling marker dir behind — the
+    // exact state retireArtifact produces today
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Merge.retireArtifact(fs, path)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path.batches")),
+      "precondition: stale markers survive retirement")
+    assert(fold().toSet === Set("b0", "b1"),
+      "stale markers vouched for a vanished ledger")
+    val got = spark.read.parquet(path)
+      .select("k", "v").as[(String, Long)].collect().toSet
+    assert(got === Set(("a", 1L), ("b", 2L)), "ledger did not rebuild")
+  }
 }

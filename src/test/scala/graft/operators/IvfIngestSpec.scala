@@ -34,7 +34,10 @@ class IvfIngestSpec extends SparkSpec {
 
   private def probePostings(path: String): Seq[(Long, Long, Long, Long)] = {
     val post = Similarity.readPostings(spark, path)
-    val cents = Similarity.trainCentroids(post)
+    // mirror of ivfIncremental's training path (ADVICE r18): the
+    // quantizer trains on vec_id-deduped rows so replay duplicates can
+    // never skew a frozen cell mean
+    val cents = Similarity.trainCentroids(post.dropDuplicates(Seq("vec_id")))
     Similarity.ivfProbeWith(post, cents, nprobe = 1, k = 5,
         dedupPairs = true)
       .as[(Long, Long, Long, Long)].collect().toSeq
@@ -45,7 +48,12 @@ class IvfIngestSpec extends SparkSpec {
        "and preserves the cell layout") {
     val e = corpus().localCheckpoint(true)
     val path = Files.createTempDirectory("graft-ivf-ingest").toString + "/post"
-    val (b0, b1) = (e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" % 2 === 1))
+    // batch carve deliberately DE-ALIGNED from the label=id%4 cells
+    // (ADVICE r18): a replayed batch duplicates only HALF of each cell's
+    // members, so undeduplicated training would shift every cell mean —
+    // the parity carve used before was mean-preserving by construction
+    // and could not catch it
+    val (b0, b1) = (e.filter($"vec_id" < 50), e.filter($"vec_id" >= 50))
     Similarity.appendIvfBatch(path, b0, "b0")
     Similarity.appendIvfBatch(path, b1, "b1")
     val want = probeOf(e)
@@ -64,6 +72,25 @@ class IvfIngestSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === 100L,
       "compaction did not GC the replayed rows")
     assert(probePostings(path) === want, "compaction changed the probe")
+  }
+
+  test("a replayed batch cannot skew the frozen quantizer: centroids " +
+       "trained through the dedup path equal the one-shot model, while " +
+       "raw training over the duplicated postings provably differs") {
+    val e = corpus().localCheckpoint(true)
+    val path = Files.createTempDirectory("graft-ivf-skew").toString + "/post"
+    Similarity.appendIvfBatch(path, e.filter($"vec_id" < 50), "b0")
+    Similarity.appendIvfBatch(path, e.filter($"vec_id" >= 50), "b1")
+    // crash-replay window: b0's data visible twice
+    Similarity.appendIvfBatch(path, e.filter($"vec_id" < 50), "b0")
+    val post = Similarity.readPostings(spark, path)
+    def model(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+      Similarity.trainCentroids(df).as[(Long, Seq[Double])].collect().toMap
+    val oneShot = model(e.select($"vec_id", $"label", $"v"))
+    assert(model(post.dropDuplicates(Seq("vec_id"))) === oneShot,
+      "dedup-trained quantizer diverged from the one-shot model")
+    assert(model(post) !== oneShot,
+      "carve failed to perturb a cell mean — the test is vacuous")
   }
 
   test("a compaction that died between delete and rename is adopted on " +
