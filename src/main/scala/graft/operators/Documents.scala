@@ -809,6 +809,116 @@ object Documents {
        |           ELSE 'test' END) AS leaky
        |FROM b ORDER BY doc_id""".stripMargin
 
+  // ── q146: INCREMENTAL leakage-safe split (q138 ∘ q112) ──────────────────
+  /** The two standing loops composed (VERDICT r18 item 2): an arriving
+    * Δ-pair batch folds into the standing cluster labels through
+    * [[incrementalCC]] (batch-sized work, never a corpus re-cluster) and
+    * every doc re-inherits split(hash(rep)) as a PROJECTION of the new
+    * label — but the composition has an alert face the one-shot can't
+    * have: when a bridge doc MERGES two standing clusters, min-label
+    * composition keeps the min side's rep (and therefore its split) and
+    * every doc on the OTHER side REASSIGNS. `prev_split` is the split
+    * under the standing labels, `reassigned` flags the moved docs — for
+    * an eval-integrity pipeline, exactly the eval docs that must move
+    * out of eval before the next run (a doc whose family now reaches
+    * into train can no longer measure generalization). The ORACLE is
+    * q138's one-shot CTE on the UNION of both pair batches for the final
+    * columns, plus the batch-0-only CC for prev_split — fold ≡ one-shot
+    * on every column (the q112 stance), with the reassignment face
+    * independently re-derived.
+    *
+    * Scale: the standing-label join to recover prev_split is the only
+    * addition over q138 — one equi-join on doc_id between the two label
+    * frames (both already materialized by the CC passes); the fold
+    * itself is Δ-sized ([[incrementalCC]]'s contract). */
+  def leakageSafeSplitIncremental(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashNearDup(s, d).select(col("a_id"), col("b_id"))
+      .withColumn("ph", pmod(Text.portableHash(
+          concat(col("a_id").cast("string"), lit(","),
+            col("b_id").cast("string"))), lit(2L)))
+      .localCheckpoint(true)
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    val base = connectedComponents(nodes,
+      pairs.filter(col("ph") === 0).select("a_id", "b_id"))
+    val folded = incrementalCC(base, nodes.limit(0),
+      pairs.filter(col("ph") === 1).select("a_id", "b_id"))
+    splitWithReassignment(base, folded).orderBy(col("doc_id"))
+  }
+
+  /** The q146 projection tail over (standing, folded) label frames —
+    * factored so DedupClusterSpec can prove the bridge-reassignment
+    * property on constructed merges without near-dup discovery. */
+  private[graft] def splitWithReassignment(base: DataFrame,
+                                           folded: DataFrame): DataFrame = {
+    val prev = splitByCluster(base)
+      .select(col("doc_id"), col("split").as("prev_split"))
+    splitByCluster(folded)
+      .join(prev, Seq("doc_id"))
+      .withColumn("reassigned", col("split") =!= col("prev_split"))
+  }
+
+  /** q146's oracle: q138's recursive-CTE one-shot on ALL pairs (final
+    * labels + splits) joined with the batch-0-only CC (prev split) —
+    * both engines carve the pair batches with the same md5 portable
+    * hash of "a_id,b_id" (the engine guarantees a_id < b_id). */
+  val leakageSafeSplitIncrementalSql: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, $shinglesSql AS s
+       |  FROM (SELECT doc_id, $wordsSql AS w FROM documents)),
+       |ok AS (SELECT * FROM sh WHERE len(s) > 0),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(concat('0x', substr(md5(
+       |      CAST(a.doc_id AS VARCHAR) || ',' || CAST(b.doc_id AS VARCHAR)
+       |    ), 1, 15)) AS BIGINT) % 2 AS ph
+       |  FROM ok a JOIN ok b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 10000
+       |      // CAST(len(list_distinct(a.s || b.s)) AS BIGINT) >= 8000),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+       |cc(doc_id, lbl) AS (
+       |  SELECT doc_id, doc_id AS lbl FROM documents
+       |  UNION
+       |  SELECT e.dst AS doc_id, cc.lbl
+       |  FROM cc JOIN edges e ON cc.doc_id = e.src),
+       |edges0 AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs WHERE ph = 0
+       |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs WHERE ph = 0),
+       |cc0(doc_id, lbl) AS (
+       |  SELECT doc_id, doc_id AS lbl FROM documents
+       |  UNION
+       |  SELECT e.dst AS doc_id, cc0.lbl
+       |  FROM cc0 JOIN edges0 e ON cc0.doc_id = e.src),
+       |lbl AS (
+       |  SELECT doc_id, CAST(min(lbl) AS BIGINT) AS cluster_rep
+       |  FROM cc GROUP BY doc_id),
+       |lbl0 AS (
+       |  SELECT doc_id, CAST(min(lbl) AS BIGINT) AS rep0
+       |  FROM cc0 GROUP BY doc_id),
+       |b AS (
+       |  SELECT l.doc_id, l.cluster_rep,
+       |    CAST(concat('0x', substr(md5(CAST(l.cluster_rep AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 100 AS bc,
+       |    CAST(concat('0x', substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 100 AS bd,
+       |    CAST(concat('0x', substr(md5(CAST(l0.rep0 AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 100 AS bp
+       |  FROM lbl l JOIN lbl0 l0 ON l.doc_id = l0.doc_id),
+       |f AS (
+       |  SELECT doc_id, cluster_rep,
+       |    CASE WHEN bc < 80 THEN 'train' WHEN bc < 90 THEN 'valid'
+       |         ELSE 'test' END AS split,
+       |    CASE WHEN bd < 80 THEN 'train' WHEN bd < 90 THEN 'valid'
+       |         ELSE 'test' END AS naive_split,
+       |    CASE WHEN bp < 80 THEN 'train' WHEN bp < 90 THEN 'valid'
+       |         ELSE 'test' END AS prev_split
+       |  FROM b)
+       |SELECT doc_id, cluster_rep, split, naive_split,
+       |  (split != naive_split) AS leaky, prev_split,
+       |  (split != prev_split) AS reassigned
+       |FROM f ORDER BY doc_id""".stripMargin
+
   // ── q80: quality-ranked canonical election over near-dup clusters ───────
   /** Dedup with QUALITY-RANKED canonical selection. q63 answers "which
     * docs are the same" (min-label CC over the near-dup pair graph) and
@@ -1349,6 +1459,16 @@ object Documents {
                                 dfPath: String, docs: DataFrame,
                                 batchId: String): Unit = {
     val s = docs.sparkSession
+    // Adopt crashed compactions of the APPEND-maintained members before
+    // appending (r19 review find): both idxPath and dfPath are rewritten
+    // by writeAndSwap-based compactions, and an append that lands while
+    // the target is missing would create a FRESH directory — recoverSwap
+    // then never fires (path exists) and the orphaned history is silently
+    // lost. statsPath already recovers below.
+    val fs0 = new org.apache.hadoop.fs.Path(idxPath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs0, idxPath)
+    graft.etl.Merge.recoverSwap(fs0, dfPath)
     bm25Postings(docs).write.mode("append").parquet(idxPath)
     bm25DfLedger(docs, batchId).write.mode("append").parquet(dfPath)
     val incoming = bm25StatsLedger(docs, batchId)
@@ -1374,6 +1494,105 @@ object Documents {
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
     graft.etl.Merge.compact(s, idxPath, "term", targetBytes)
 
+  // ── q144: TAKEDOWN propagation through the BM25 index triple ────────────
+  /** The missing lifecycle verb (VERDICT r18 item 1): a
+    * right-to-be-forgotten/takedown event must propagate through every
+    * STANDING artifact, or the index silently serves deleted content
+    * forever. Every BM25 statistic is a mergeable sum, so a delete is a
+    * NEGATIVE PARTIAL through the exact ledger machinery the appends
+    * already use — never a corpus re-scan:
+    *
+    *   - df ledger: the deleted docs' per-term document frequencies land
+    *     as a negated (batch_id, term, -df) slice; [[bm25DfTotal]]'s
+    *     sum nets them out. O(deleted docs), replay-absorbed by the same
+    *     full-row dedup as positive slices.
+    *   - stats ledger: one negated (-n_docs, -total_tokens) row through
+    *     the same first-wins-on-batch_id swap as [[appendBm25]] — a
+    *     replayed retraction id is a no-op.
+    *   - postings: per-(term, doc) rows are NOT sums, so deletion is a
+    *     TOMBSTONE: the doc_id set appends to a `del` member (batch-keyed,
+    *     replay-absorbed by distinct) and every probe anti-joins it —
+    *     written FIRST, so a crash mid-retraction can only leave a state
+    *     where serving has already stopped but statistics still count the
+    *     doc (scores shift, deleted content never surfaces; the healing
+    *     replay completes the statistics). [[compactBm25Retract]] later
+    *     drops the tombstoned rows PHYSICALLY on the normal compaction
+    *     cadence.
+    *
+    * Contract: retracted docs must be a subset of appended docs (the
+    * mirror of the append contract's new-ids-only), and the retraction
+    * recomputes the docs' postings from the SAME text — both engines'
+    * tokenizer is deterministic, so the negatives cancel exactly. */
+  private[graft] def retractBm25(idxPath: String, statsPath: String,
+      dfPath: String, delPath: String, docs: DataFrame,
+      batchId: String): Unit = {
+    val s = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(delPath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, delPath)
+    graft.etl.Merge.recoverSwap(fs, dfPath)
+    // tombstones FIRST — once a takedown lands, serving stops even if
+    // the statistic retraction below dies mid-way (fail-safe order)
+    docs.select(col("doc_id"), lit(batchId).as("batch_id"))
+      .write.mode("append").parquet(delPath)
+    bm25DfLedger(docs, batchId)
+      .select(col("batch_id"), col("term"), (-col("df")).as("df"))
+      .write.mode("append").parquet(dfPath)
+    val incoming = bm25StatsLedger(docs, batchId)
+      .select(col("batch_id"), (-col("n_docs")).as("n_docs"),
+        (-col("total_tokens")).as("total_tokens"))
+    graft.etl.Merge.recoverSwap(fs, statsPath)
+    val target = new org.apache.hadoop.fs.Path(statsPath)
+    val existing =
+      if (fs.exists(target))
+        s.read.schema(incoming.schema).parquet(statsPath)
+      else incoming.limit(0)
+    graft.etl.Merge.writeAndSwap(
+      graft.etl.Merge.firstWinsMerge(existing, incoming, "batch_id"),
+      statsPath, batchId)
+  }
+
+  /** The tombstone set in probe shape (distinct absorbs replayed
+    * retraction appends). Tombstones are retention-bounded — compaction
+    * physically drops the rows they mask, after which the set could be
+    * cleared (kept here: doc_id-only rows are cheap and keep every probe
+    * unconditionally safe). */
+  private[graft] def readBm25Tombstones(s: SparkSession,
+                                        delPath: String): DataFrame =
+    s.read.parquet(delPath).select(col("doc_id")).distinct()
+
+  /** Term-clustered compaction that also PHYSICALLY drops tombstoned
+    * docs' posting rows — the takedown completing on the normal
+    * compaction cadence (until it runs, the probe's anti-join masks
+    * them). Same writeAndSwap lifecycle as [[graft.etl.Merge.compact]];
+    * replay duplicates GC'd by the same full-row dedup. */
+  private[graft] def compactBm25Retract(s: SparkSession, idxPath: String,
+      delPath: String, targetBytes: Long = 128L * 1024 * 1024)
+      : (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(idxPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, idxPath)
+    def dataFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val b = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        val nm = st.getPath.getName
+        if (st.isFile && !nm.startsWith("_") && !nm.startsWith(".")) b += st
+      }
+      b.result()
+    }
+    val before = dataFiles()
+    val bytes = before.map(_.getLen).sum
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val compacted = s.read.parquet(idxPath)
+      .join(readBm25Tombstones(s, delPath), Seq("doc_id"), "left_anti")
+      .dropDuplicates()
+      .repartition(nFiles, col("term"))
+    graft.etl.Merge.writeAndSwap(compacted, idxPath, "rcompact")
+    (before.size, dataFiles().size)
+  }
+
   /** The BM25 probe over a denormalized index and its 1-row stats. */
   private[graft] def bm25Probe(idx: DataFrame, stats: DataFrame,
                                terms: Seq[String], k: Int): DataFrame = {
@@ -1395,6 +1614,63 @@ object Documents {
       .limit(k)
   }
 
+  /** The q144 probe: like [[bm25Probe]] but over a RETRACTION-maintained
+    * triple — postings masked by the tombstone anti-join, df read from
+    * the NET ledger (positives + negatives summed, the retraction
+    * actually exercised at probe time rather than recomputed from the
+    * masked rows), stats the net 1-row broadcast. Everything past the
+    * pushed term filter is probe-term-bounded; the tombstone side
+    * broadcasts (retention-bounded — compaction physically retires it). */
+  private[graft] def bm25ProbeNet(idx: DataFrame, del: DataFrame,
+      dfLedger: DataFrame, stats: DataFrame, terms: Seq[String],
+      k: Int): DataFrame = {
+    val probe = idx.filter(col("term").isin(terms: _*)).dropDuplicates()
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+    val dfq = bm25DfTotal(dfLedger.filter(col("term").isin(terms: _*)))
+    probe.join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("sc", floor(
+        lit(10000) *
+          log((col("n_docs") + 1).cast("double") / (col("df") + 1)) *
+          ((lit(22L) * col("tf") * col("total_tokens")) /
+           (lit(10L) * col("tf") * col("total_tokens") +
+             lit(3L) * col("total_tokens") +
+             lit(9L) * col("dl") * col("n_docs")))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("sc")).as("score_bp"))
+      .select(col("doc_id"), col("n_terms"), col("score_bp"))
+      .orderBy(col("score_bp").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** q144: BM25 search under TAKEDOWN — the full lifecycle in one gate:
+    * the corpus folds in as two appended batches, a takedown batch (the
+    * bucket-[20,30) slice of the hash carve — deterministic in both
+    * engines) retracts through all three artifacts, and the probe runs
+    * the net index. The ORACLE is q122's one-shot SQL on the REDUCED
+    * corpus — the gate itself proves fold(appends + deletes) ≡ rebuild
+    * on what remains (the q137/q141 stance, extended to deletion).
+    * Markers anchor on the postings path and vouch for the whole triple
+    * (a batch's marker lands only after all three members committed). */
+  def bm25SearchRetract(s: SparkSession, d: String): DataFrame = {
+    val docs = bucketedDocs(s, d)
+    val tag = Tables.datasetTag(s, d, "documents")
+    val root = s"${s.conf.get("spark.sql.warehouse.dir")}/graft_bm25r_$tag"
+    val (idxP, statsP, dfP, delP) =
+      (s"$root/post", s"$root/stats", s"$root/df", s"$root/del")
+    def slice(lo: Int, hi: Int): DataFrame =
+      docs.filter(col("bucket") >= lo && col("bucket") < hi)
+        .select(col("doc_id"), col("text"))
+    graft.etl.Merge.foldMissingBatches(s, idxP, Seq(
+      "b0"  -> (() => appendBm25(idxP, statsP, dfP, slice(0, 50), "b0")),
+      "b1"  -> (() => appendBm25(idxP, statsP, dfP, slice(50, 100), "b1")),
+      "rm0" -> (() => retractBm25(idxP, statsP, dfP, delP,
+        slice(20, 30), "rm0"))))
+    bm25ProbeNet(s.read.parquet(idxP), readBm25Tombstones(s, delP),
+      s.read.parquet(dfP), bm25StatsTotal(s.read.parquet(statsP)),
+      Seq("hash", "join", "scan"), 20)
+  }
+
   def bm25Search(s: SparkSession, d: String): DataFrame = {
     val tag = Tables.datasetTag(s, d, "documents")
     val wh = s.conf.get("spark.sql.warehouse.dir")
@@ -1409,8 +1685,11 @@ object Documents {
       bm25StatsTotal(s.read.parquet(snap("bm25stats"))),
       Seq("hash", "join", "scan"), 20)
   }
-  val bm25SearchSql: String =
-    s"""WITH toks AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+  /** q122's oracle parameterized on the corpus predicate — q144 reuses
+    * the identical scoring over the REDUCED corpus. */
+  private def bm25SearchSqlWhere(where: String): String =
+    s"""WITH toks AS (SELECT doc_id, unnest($wordsSql) AS term
+       |              FROM documents WHERE $where),
        |tf AS (
        |  SELECT doc_id, term, count(*) AS tf FROM toks
        |  WHERE length(term) > 0 GROUP BY 1, 2),
@@ -1437,6 +1716,14 @@ object Documents {
        |  CAST(score_bp AS BIGINT) AS score_bp
        |FROM hits ORDER BY score_bp DESC, doc_id ASC
        |LIMIT 20""".stripMargin
+
+  val bm25SearchSql: String = bm25SearchSqlWhere("TRUE")
+
+  /** The q144 oracle: identical scoring, corpus reduced by the takedown
+    * slice (the md5 portable-hash bucket both engines share). */
+  val bm25SearchRetractSql: String = bm25SearchSqlWhere(
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) " +
+    "AS BIGINT) % 100 NOT BETWEEN 20 AND 29")
 
   // ── q70: TF-IDF top-k keywords per document ─────────────────────────────
   /** Per-document top-5 keywords by smoothed TF-IDF — the feature-
@@ -2088,13 +2375,34 @@ object Documents {
     * ShardExportSpec can drive hand-computed offsets (straddling docs,
     * h ties) with h under the test's control. */
   private[graft] def shardManifest(t: DataFrame,
-                                   numParts: Option[Int] = None): DataFrame =
-    globalCumsum(t, numParts)
-      .withColumn("shard", expr(s"(cum - n_tokens) div $ShardBudgetTokens"))
+                                   numParts: Option[Int] = None): DataFrame = {
+    // CONSERVATION columns (VERDICT r18 item 8): totals on both SIDES of
+    // the assignment ride every manifest row — corpus_* aggregated from
+    // the raw projection BEFORE the range shuffle, *_accounted from the
+    // cumsum output AFTER it. In a correct run the pairs are equal (the
+    // oracle's are by construction); a doc lost or duplicated anywhere in
+    // the two-pass prefix sum — the operator's only nontrivial machinery —
+    // diverges the engine's accounted side and fails the GATE, not just
+    // ShardExportSpec. The input pins once (24-byte rows, the same
+    // footprint globalCumsum already pins) so the corpus aggregate
+    // re-scans pinned blocks instead of re-tokenizing the corpus; both
+    // totals are 1-row broadcasts.
+    val tp = t.localCheckpoint(true)
+    val cs = globalCumsum(tp, numParts)
+    val corpus = tp.agg(count(lit(1)).as("corpus_docs"),
+      coalesce(sum(col("n_tokens")), lit(0L)).cast("long")
+        .as("corpus_tokens"))
+    val acc = cs.agg(count(lit(1)).as("docs_accounted"),
+      coalesce(max(col("cum")), lit(0L)).cast("long")
+        .as("tokens_accounted"))
+    cs.withColumn("shard", expr(s"(cum - n_tokens) div $ShardBudgetTokens"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
         min(col("h")).as("first_h"), max(col("h")).as("last_h"))
+      .crossJoin(broadcast(corpus))
+      .crossJoin(broadcast(acc))
       .orderBy(col("shard"))
+  }
 
   /** Oracle: the single-window global cumsum — DuckDB runs the exact
     * declarative form whose Spark plan would be the 1-partition
@@ -2112,7 +2420,13 @@ object Documents {
        |  FROM t)
        |SELECT CAST((cum - n_tokens) // $ShardBudgetTokens AS BIGINT) AS shard,
        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-       |  CAST(min(h) AS BIGINT) AS first_h, CAST(max(h) AS BIGINT) AS last_h
+       |  CAST(min(h) AS BIGINT) AS first_h, CAST(max(h) AS BIGINT) AS last_h,
+       |  (SELECT count(*) FROM t) AS corpus_docs,
+       |  (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM t)
+       |    AS corpus_tokens,
+       |  (SELECT count(*) FROM c) AS docs_accounted,
+       |  (SELECT CAST(coalesce(max(cum), 0) AS BIGINT) FROM c)
+       |    AS tokens_accounted
        |FROM c GROUP BY shard ORDER BY shard""".stripMargin
 
   // ── q140: the ingest-grain shard manifest, cross-engine gated ───────────
@@ -3404,6 +3718,224 @@ object Documents {
     shardManifest(instances)
   }
 
+  // ── q148: the END-TO-END curation pipeline as ONE gated query ───────────
+  /** The composition production pipelines actually run — and where they
+    * hide the bugs per-operator gates can't see (VERDICT r18 item 7:
+    * "dedup before mix, gate before dedup" is load-bearing ordering):
+    *
+    *   1. QUALITY GATE (q134): every document scores under the SHARED
+    *      frozen NB artifact (the same warehouse materialization q134/
+    *      q135 serve — never retrained in-query, PlanSpec-pinned);
+    *      pred_en = 1 survives. Gating FIRST means dedup never elects a
+    *      canonical that the gate would then discard — the subtle
+    *      inversion bug this composition gate exists to catch.
+    *   2. DEDUP (q63/q80): near-dup clusters over the SURVIVORS with
+    *      quality-ranked canonical election (longest member). Pair
+    *      discovery is per-pair-local, so full-corpus pairs restricted
+    *      to surviving endpoints ≡ pairs discovered on the survivor
+    *      corpus — the engine reuses the shared LSH pass, the oracle
+    *      clusters the gated set directly, and the gate proves the
+    *      equivalence.
+    *   3. DECONTAMINATE (q69): survivors sharing any 8-gram with the
+    *      external benchmark set (q69's doc_id % 17 = 3 convention,
+    *      membership decided on the FULL corpus — an eval set does not
+    *      shrink because training docs were gated) drop, as do the
+    *      bench docs themselves (self-hit).
+    *   4. MIX + SHARD (q129 ∘ q139 = q143): temperature weights are
+    *      recomputed over the CURATED corpus (post-curation source sums
+    *      — mixing on pre-dedup token counts is the classic
+    *      double-count), copies fan out, and the epoch cuts into
+    *      fixed-budget shards with the conservation columns riding
+    *      every row.
+    *
+    * Output: the curated epoch's shard manifest — one wrong gate, dedup,
+    * or decontamination decision anywhere upstream shifts the doc set
+    * and hash-fails the manifest. The ORACLE chains the four components'
+    * CTEs (q134's model, q63's recursive CC + q80's election, q69's
+    * gram join, q129's weights into q139's window cumsum) — each stage's
+    * declarative twin, composed in the same order.
+    *
+    * Scale: nothing new — the gate is q134's broadcast-model scoring,
+    * dedup q63's audited loop on the (smaller) survivor graph, decontam
+    * q69's bench-broadcast gram join, the export q143's one epoch-sized
+    * range shuffle. The stages meet at doc_id semi-joins (key-only). */
+  def curationPipeline(s: SparkSession, d: String): DataFrame =
+    shardManifest(curationBase(s, d))
+
+  /** The curated, mixed instance stream q148 shards. */
+  private[graft] def curationBase(s: SparkSession, d: String): DataFrame =
+    temperatureCopies(curatedDocs(s, d))
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+      .select(
+        (col("doc_id") * 16L + col("copy")).as("doc_id"),
+        Text.portableHash(concat(col("doc_id").cast("string"), lit(":"),
+          col("copy").cast("string"))).as("h"),
+        col("n_tok").as("n_tokens"))
+
+  /** Stages 1–3 (gate → dedup → decontaminate) as the curated corpus
+    * projection (source, doc_id, n_tok) — factored so PlanSpec can pin
+    * the UNstaged composition (temperatureCopies and shardManifest stage
+    * through localCheckpoint, truncating the served plan to a scan). */
+  private[graft] def curatedDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = bucketedDocs(s, d)
+    // 1. quality gate under the SHARED frozen artifact. The cut is
+    //    ABOVE-PRIOR, not the absolute 5000 bp of q134's pred flag: the
+    //    mean-posterior of a long document compresses toward the prior
+    //    (measured: sf0.001 scores span 3531–3730 around prior 3609, so
+    //    an absolute cut keeps everything or nothing), while "scored
+    //    above the frozen prior" is the calibration-free evidence test —
+    //    and both sides are exact integers, so the boundary is
+    //    deterministic cross-engine.
+    val model = frozenNb(s, d, docs)
+    val gateIds = nbScoreAgainst(docs, model)
+      .crossJoin(broadcast(nbPrior(model)))
+      .filter(col("nb_en_bp") > col("prior_bp")).select(col("doc_id"))
+    val gated = docs.join(gateIds, Seq("doc_id"), "left_semi")
+    // 2. near-dup clusters over survivors, quality-ranked election
+    val gid = gated.select(col("doc_id"))
+    val pairs = minhashNearDup(s, d).select(col("a_id"), col("b_id"))
+      .join(gid.select(col("doc_id").as("a_id")), Seq("a_id"), "left_semi")
+      .join(gid.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
+    val kept = electCanonical(
+        connectedComponents(gid, pairs).join(
+          gated.select(col("doc_id"),
+            size(Text.toWords(col("text"))).as("n_words")), Seq("doc_id"))
+        .select(col("doc_id"), col("lbl").as("cluster_rep"),
+          col("n_words")))
+      .filter(col("keep")).select(col("doc_id"))
+    // 3. decontaminate against the external benchmark slice (full-corpus
+    //    membership; bench docs self-hit and drop too)
+    val dirty = decontamScan(docs.select(col("doc_id"), col("text")),
+      col("doc_id") % 17 === 3).select(col("doc_id"))
+    val clean = kept.join(dirty, Seq("doc_id"), "left_anti")
+    // 4. the curated corpus the mix re-weights (post-curation sums)
+    docs.join(clean, Seq("doc_id"), "left_semi")
+      .select(col("source"), col("doc_id"),
+        size(Text.toWords(col("text"))).cast("long").as("n_tok"))
+  }
+
+  /** The q148 oracle: the four components' declarative twins composed in
+    * pipeline order — q134's capped NB model scoring EVERY doc, q63's
+    * recursive CC + q80's window election over the gated survivors,
+    * q69's 8-gram containment join against the full-corpus bench slice,
+    * q129's weights over the curated set into q139's single-window
+    * cumsum + manifest (conservation columns included). */
+  // lazy: references NbModelTopK, declared further down the object —
+  // an eager val here would interpolate the still-uninitialized 0
+  lazy val curationPipelineSql: String = {
+    val k = DecontamGramN
+    val concat8 = (0 until k).map(o => s"w[i+$o]").mkString(" || ' ' || ")
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, text, lang, source,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+       |  FROM documents),
+       |cw AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    unnest($wordsSql) AS w
+       |  FROM d WHERE bucket < 90),
+       |m AS (
+       |  SELECT w, c1, c0 FROM (
+       |    SELECT w, sum(y) AS c1, count(*) - sum(y) AS c0,
+       |      row_number() OVER (ORDER BY count(*) DESC, w ASC) AS rk
+       |    FROM cw GROUP BY w) WHERE rk <= $NbModelTopK),
+       |p AS (
+       |  SELECT (10000 * (sum(c1) + 1)) // (sum(c1) + sum(c0) + 2) AS prior_bp
+       |  FROM m),
+       |aw AS (SELECT doc_id, unnest($wordsSql) AS w FROM d),
+       |sc AS (
+       |  SELECT aw.doc_id,
+       |    CASE WHEN m.c1 IS NULL THEN p.prior_bp
+       |         ELSE (10000 * (m.c1 + 1)) // (m.c1 + m.c0 + 2) END AS sbp
+       |  FROM aw LEFT JOIN m USING (w) CROSS JOIN p),
+       |gate AS (
+       |  SELECT doc_id FROM sc GROUP BY doc_id
+       |  HAVING sum(sbp) // count(*) > (SELECT prior_bp FROM p)),
+       |shg AS (
+       |  SELECT doc_id, $shinglesSql AS s
+       |  FROM (SELECT doc_id, $wordsSql AS w
+       |        FROM documents JOIN gate USING (doc_id))),
+       |ok AS (SELECT * FROM shg WHERE len(s) > 0),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM ok a JOIN ok b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 10000
+       |      // CAST(len(list_distinct(a.s || b.s)) AS BIGINT) >= 8000),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+       |cc(doc_id, lbl) AS (
+       |  SELECT doc_id, doc_id AS lbl FROM gate
+       |  UNION
+       |  SELECT e.dst AS doc_id, cc.lbl
+       |  FROM cc JOIN edges e ON cc.doc_id = e.src),
+       |lbl AS (SELECT doc_id, min(lbl) AS rep FROM cc GROUP BY doc_id),
+       |nw AS (
+       |  SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS n_words
+       |  FROM documents JOIN gate USING (doc_id)),
+       |el AS (
+       |  SELECT l.doc_id, row_number() OVER (PARTITION BY l.rep
+       |      ORDER BY nw.n_words DESC, l.doc_id ASC) AS rk
+       |  FROM lbl l JOIN nw ON nw.doc_id = l.doc_id),
+       |kept AS (SELECT doc_id FROM el WHERE rk = 1),
+       |gg AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(w) - ${k - 1}, 0) + 1),
+       |    i -> $concat8))) AS gram
+       |  FROM (SELECT doc_id, $wordsSql AS w FROM documents)),
+       |dirty AS (
+       |  SELECT DISTINCT g.doc_id FROM gg g
+       |  JOIN (SELECT DISTINCT gram FROM gg WHERE doc_id % 17 = 3) b
+       |    USING (gram)),
+       |clean AS (
+       |  SELECT doc_id FROM kept
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+       |dt AS (
+       |  SELECT d.source, d.doc_id, CAST(len($wordsSql) AS BIGINT) AS n_tok
+       |  FROM d JOIN clean USING (doc_id)),
+       |src AS (
+       |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS t
+       |  FROM dt GROUP BY 1),
+       |w2 AS (
+       |  SELECT source,
+       |    least(CAST(floor(10000.0 *
+       |        sqrt(CAST((SELECT max(t) FROM src) AS DOUBLE)
+       |             / greatest(t, 1))) AS BIGINT), $TempMixCapBp) AS e_bp
+       |  FROM src),
+       |pd AS (
+       |  SELECT dt.doc_id, dt.n_tok,
+       |    (w2.e_bp // 10000) + CASE WHEN
+       |      CAST(concat('0x', substr(md5(CAST(dt.doc_id AS VARCHAR)
+       |        || 'tmix'), 1, 15)) AS BIGINT) % 10000 < w2.e_bp % 10000
+       |      THEN 1 ELSE 0 END AS n_copies
+       |  FROM dt JOIN w2 USING (source)),
+       |x AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy
+       |  FROM pd WHERE n_copies >= 1),
+       |inst AS (
+       |  SELECT doc_id * 16 + copy AS uid,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':'
+       |      || CAST(copy AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+       |    n_tok AS n_tokens
+       |  FROM x),
+       |c AS (
+       |  SELECT h, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY h ASC, uid ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM inst)
+       |SELECT CAST((cum - n_tokens) // $ShardBudgetTokens AS BIGINT) AS shard,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(min(h) AS BIGINT) AS first_h, CAST(max(h) AS BIGINT) AS last_h,
+       |  (SELECT count(*) FROM inst) AS corpus_docs,
+       |  (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM inst)
+       |    AS corpus_tokens,
+       |  (SELECT count(*) FROM c) AS docs_accounted,
+       |  (SELECT CAST(coalesce(max(cum), 0) AS BIGINT) FROM c)
+       |    AS tokens_accounted
+       |FROM c GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   /** Oracle: q129's weight CTEs chained into q139's single-window cumsum
     * over the exploded copy stream. */
   val epochShardsSql: String =
@@ -3444,7 +3976,13 @@ object Documents {
        |  FROM inst)
        |SELECT CAST((cum - n_tokens) // $ShardBudgetTokens AS BIGINT) AS shard,
        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-       |  CAST(min(h) AS BIGINT) AS first_h, CAST(max(h) AS BIGINT) AS last_h
+       |  CAST(min(h) AS BIGINT) AS first_h, CAST(max(h) AS BIGINT) AS last_h,
+       |  (SELECT count(*) FROM inst) AS corpus_docs,
+       |  (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM inst)
+       |    AS corpus_tokens,
+       |  (SELECT count(*) FROM c) AS docs_accounted,
+       |  (SELECT CAST(coalesce(max(cum), 0) AS BIGINT) FROM c)
+       |    AS tokens_accounted
        |FROM c GROUP BY shard ORDER BY shard""".stripMargin
 
   val temperatureMixSql: String =
@@ -4006,7 +4544,9 @@ object Documents {
       frozenNb(s, d, docs))
   }
 
-  private val nbModelSql: String =
+  /** The q134 oracle's model CTEs, parameterized on the TRAINING
+    * predicate — q145's reduced-corpus oracle reuses them verbatim. */
+  private def nbModelSqlWhere(trainWhere: String): String =
     s"""d AS (
        |  SELECT doc_id, text, lang,
        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
@@ -4014,7 +4554,7 @@ object Documents {
        |cw AS (
        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
        |    unnest($wordsSql) AS w
-       |  FROM d WHERE bucket < 90),
+       |  FROM d WHERE $trainWhere),
        |bw AS (SELECT doc_id, unnest($wordsSql) AS w FROM d WHERE bucket >= 90),
        |m AS (
        |  SELECT w, c1, c0 FROM (
@@ -4031,13 +4571,26 @@ object Documents {
        |    CASE WHEN m.c1 IS NULL THEN 1 ELSE 0 END AS oov
        |  FROM bw LEFT JOIN m USING (w) CROSS JOIN p)""".stripMargin
 
-  val nbClassifierSql: String =
-    s"""WITH $nbModelSql
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+  private val nbModelSql: String = nbModelSqlWhere("bucket < 90")
+
+  private val nbScoreTailSql: String =
+    s"""SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(sbp) // count(*) AS BIGINT) AS nb_en_bp,
        |  CAST(CASE WHEN sum(sbp) // count(*) >= 5000 THEN 1 ELSE 0 END
        |    AS BIGINT) AS pred_en
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val nbClassifierSql: String =
+    s"""WITH $nbModelSql
+       |$nbScoreTailSql""".stripMargin
+
+  /** The q145 oracle: q134's one-shot training on the REDUCED corpus —
+    * the takedown slice never trains, so a term that occurred only there
+    * is OOV and backs off to the (reduced) prior. */
+  val nbClassifierRetractSql: String =
+    s"""WITH ${nbModelSqlWhere(
+           "bucket < 90 AND bucket NOT BETWEEN 20 AND 29")}
+       |$nbScoreTailSql""".stripMargin
 
   /** q135: classifier drift — the q88 statistic for the frozen NB model.
     * Out-of-vocabulary fraction of batch occurrences (rising oov_bp IS
@@ -4131,16 +4684,44 @@ object Documents {
     * anywhere before a batch's marker write — including mid-job-commit
     * with a partial file set visible — replays that batch in full, and
     * the reader's first-wins absorbs the duplicates. */
+  /** A doc batch's NB sufficient statistics — the (w, c1, c0) partials
+    * both the append and the retraction ledger slices are built from
+    * (one shared core so the two directions cannot drift). */
+  private def nbPartials(docs: DataFrame): DataFrame =
+    docs.select(explode(Text.toWords(col("text"))).as("w"), col("y"))
+      .groupBy(col("w"))
+      .agg(sum(col("y")).as("c1"),
+        (count(lit(1)) - sum(col("y"))).as("c0"))
+
   private[graft] def appendNbLedger(ledgerPath: String, docs: DataFrame,
                                     batchId: String): Unit = {
     val s = docs.sparkSession
     val fs = new org.apache.hadoop.fs.Path(ledgerPath).getFileSystem(
       s.sparkContext.hadoopConfiguration)
     graft.etl.Merge.recoverSwap(fs, ledgerPath) // adopt a crashed compaction
-    docs.select(explode(Text.toWords(col("text"))).as("w"), col("y"))
-      .groupBy(col("w"))
-      .agg(sum(col("y")).as("c1"),
-        (count(lit(1)) - sum(col("y"))).as("c0"))
+    nbPartials(docs)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(ledgerPath)
+  }
+
+  /** TAKEDOWN through the NB count ledger (VERDICT r18 item 1) — the
+    * [[retractBm25]] move for the classifier: NB's statistics are
+    * per-term occurrence SUMS, so deleting training docs is a NEGATED
+    * partial slice through the identical ledger machinery. The served
+    * model ([[nbLedgerModel]]) nets the counts per term and drops terms
+    * whose net count reaches zero — a term that occurred ONLY in
+    * retracted docs must score as OOV (prior backoff), exactly as if the
+    * one-shot model had trained on the reduced corpus. O(deleted docs),
+    * replay-absorbed by the same (w, batch_id) first-wins as appends.
+    * Contract: retracted docs ⊆ previously appended docs. */
+  private[graft] def retractNbBatch(ledgerPath: String, docs: DataFrame,
+                                    batchId: String): Unit = {
+    val s = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(ledgerPath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, ledgerPath)
+    nbPartials(docs)
+      .select(col("w"), (-col("c1")).as("c1"), (-col("c0")).as("c0"))
       .withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(ledgerPath)
   }
@@ -4156,6 +4737,10 @@ object Documents {
       .agg(min(struct(col("c1"), col("c0"))).as("r"))
       .groupBy(col("w"))
       .agg(sum(col("r.c1")).as("c1"), sum(col("r.c0")).as("c0"))
+      // zero-net terms (all occurrences retracted) must leave the model
+      // entirely — an OOV term backs off to the prior, but a (0,0) row
+      // would score a spurious 5000 bp; a no-op without retractions
+      .filter(col("c1") + col("c0") > 0)
       .orderBy((col("c1") + col("c0")).desc, col("w").asc)
       .limit(topK)
 
@@ -4163,6 +4748,87 @@ object Documents {
   def compactNbLedger(s: SparkSession, ledgerPath: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
     graft.etl.Merge.compact(s, ledgerPath, "w", targetBytes)
+
+  /** Reserved batch id for net-compacted ledger rows. Never in any
+    * fold's batch list, so its presence marker can't vouch for a real
+    * batch; marked so the NEXT net compaction folds it again. */
+  private[graft] val NbNetBatchId = "_net"
+
+  /** RETRACTION-AWARE compaction: physically drops retracted counts.
+    * Rows of MARKED batches (commit marker present — they can never
+    * replay) collapse to one net row per term under [[NbNetBatchId]],
+    * and terms whose net count is zero VANISH from the parquet — the
+    * takedown completing on disk, not just in the served view. Rows of
+    * UNMARKED batch ids pass through verbatim: an in-flight crashed
+    * append will replay in full and must still first-wins-absorb against
+    * its own partial rows, which folding them into the net would
+    * double-count. Same writeAndSwap lifecycle as [[graft.etl.Merge
+    * .compact]]; the net generation gets its own marker so successive
+    * compactions keep folding it. */
+  def compactNbLedgerNet(s: SparkSession, ledgerPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, ledgerPath)
+    val mdir = new org.apache.hadoop.fs.Path(s"$ledgerPath.batches")
+    val marked: Set[String] =
+      (if (fs.exists(mdir)) fs.listStatus(mdir).map(_.getPath.getName).toSet
+       else Set.empty[String]) + NbNetBatchId
+    def dataFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val b = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        val nm = st.getPath.getName
+        if (st.isFile && !nm.startsWith("_") && !nm.startsWith(".")) b += st
+      }
+      b.result()
+    }
+    val before = dataFiles()
+    val bytes = before.map(_.getLen).sum
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val led = s.read.parquet(ledgerPath)
+    val isMarked = col("batch_id").isin(marked.toSeq: _*)
+    val net = led.filter(isMarked)
+      .groupBy(col("w"), col("batch_id"))
+      .agg(min(struct(col("c1"), col("c0"))).as("r"))
+      .groupBy(col("w"))
+      .agg(sum(col("r.c1")).as("c1"), sum(col("r.c0")).as("c0"))
+      .filter(col("c1") + col("c0") > 0)
+      .select(col("w"), col("c1"), col("c0"),
+        lit(NbNetBatchId).as("batch_id"))
+    graft.etl.Merge.writeAndSwap(
+      net.unionByName(led.filter(!isMarked)).repartition(nFiles, col("w")),
+      ledgerPath, "netcompact")
+    fs.mkdirs(mdir)
+    fs.create(new org.apache.hadoop.fs.Path(mdir, NbNetBatchId), true)
+      .close()
+    (before.size, dataFiles().size)
+  }
+
+  /** q145: the q137 incremental classifier under TAKEDOWN — two training
+    * batches fold in, the bucket-[20,30) slice retracts as negative
+    * partials, and the batch scores against the netted model. The ORACLE
+    * is q134's one-shot SQL trained on the REDUCED corpus: the gate
+    * itself proves fold(appends + deletes) ≡ one-shot training on what
+    * remains. Steady-state cost: O(batch) per direction, one
+    * vocabulary-bounded model collapse at serve time — the corpus is
+    * never re-scanned to forget. */
+  def nbClassifierRetract(s: SparkSession, d: String): DataFrame = {
+    val docs = bucketedDocs(s, d)
+    val path = s"${s.conf.get("spark.sql.warehouse.dir")}/graft_nb_rledger_" +
+      Tables.datasetTag(s, d, "documents")
+    def train(pred: Column): DataFrame =
+      docs.filter(pred).select(col("doc_id"), col("text"), nbLabel.as("y"))
+    graft.etl.Merge.foldMissingBatches(s, path, Seq(
+      "b0"  -> (() => appendNbLedger(path,
+        train(col("bucket") < 45), "b0")),
+      "b1"  -> (() => appendNbLedger(path,
+        train(col("bucket") >= 45 && col("bucket") < 90), "b1")),
+      "rm0" -> (() => retractNbBatch(path,
+        train(col("bucket") >= 20 && col("bucket") < 30), "rm0"))))
+    nbScoreAgainst(docs.filter(col("bucket") >= 90), nbLedgerModel(s, path))
+  }
 
   def nbClassifierIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = bucketedDocs(s, d)
@@ -4225,6 +4891,10 @@ object Documents {
     "q134_nb_classifier"  -> (nbClassifier _),
     "q135_nb_drift"       -> (nbDrift _),
     "q137_nb_incremental" -> (nbClassifierIncremental _),
+    "q144_bm25_retract"   -> (bm25SearchRetract _),
+    "q145_nb_retract"     -> (nbClassifierRetract _),
+    "q146_leakage_incremental" -> (leakageSafeSplitIncremental _),
+    "q148_curation_pipeline" -> (curationPipeline _),
     "q139_shard_export"   -> (shardExport _),
     "q140_shard_incremental" -> (shardIncremental _),
     "q143_epoch_shards"   -> (epochShards _),
@@ -4278,6 +4948,12 @@ object Documents {
     // q137's oracle IS q134's one-shot SQL — the gate itself proves
     // ledger-decomposition ≡ one-shot training (the q112 stance)
     "q137_nb_incremental" -> nbClassifierSql,
+    // q144/q145: fold(appends + deletes) ≡ one-shot rebuild on the
+    // REDUCED corpus — the takedown gates
+    "q144_bm25_retract"   -> bm25SearchRetractSql,
+    "q145_nb_retract"     -> nbClassifierRetractSql,
+    "q146_leakage_incremental" -> leakageSafeSplitIncrementalSql,
+    "q148_curation_pipeline" -> curationPipelineSql,
     "q139_shard_export"   -> shardExportSql,
     "q140_shard_incremental" -> shardIncrementalSql,
     "q143_epoch_shards"   -> epochShardsSql,

@@ -385,4 +385,30 @@ class MediaSpec extends SparkSpec {
     assert(after < before, s"no file reduction: $before -> $after")
     assert(got() === want, "compaction changed the clusters")
   }
+
+  test("q147 audio ledger: fold over two appended batches == one-shot " +
+       "clusters; replay absorbs; compaction GCs and preserves the feed") {
+    import spark.implicits._
+    val ids = (0L to 79L).toDF("doc_id").localCheckpoint(true)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-audiofp-ledger").toString + "/ledger"
+    val (b0, b1) = (ids.filter($"doc_id" % 2 === 0),
+                    ids.filter($"doc_id" % 2 === 1))
+    Media.appendAudioFpLedger(path, b0, "b0")
+    Media.appendAudioFpLedger(path, b1, "b1")
+    val want = Media.electAudioClusters(Media.audioFpPerDoc(ids))
+      .collect().toSeq
+    def got() = Media.electAudioClusters(
+        Media.readAudioFpLedger(spark, path))
+      .collect().toSeq
+    assert(want.nonEmpty)
+    assert(got() === want, "fold != one-shot")
+    // a crashed-and-replayed append re-derives byte-identical rows
+    // (the fingerprint is a pure function of the payload)
+    Media.appendAudioFpLedger(path, b1, "b1")
+    assert(got() === want, "replay changed the clusters")
+    val (before, after) = Media.compactAudioFpLedger(spark, path)
+    assert(after < before, s"no file reduction: $before -> $after")
+    assert(got() === want, "compaction changed the clusters")
+  }
 }

@@ -158,4 +158,41 @@ class DedupClusterSpec extends SparkSpec {
       .as[(Long, Long, String, String, Boolean)].collect()
     assert(out.forall(r => r._3 == r._4 && !r._5))
   }
+
+  // ── q146: bridge reassignment over the incremental fold ─────────────────
+
+  test("bridge reassignment (q146): a bridge edge merging two standing " +
+       "clusters keeps the min-label side's split, reassigns every doc " +
+       "on the other side, and flags EXACTLY those docs") {
+    import org.apache.spark.sql.functions.col
+    val splits = naiveSplitOf(0L until 200L)
+    // two future reps whose inherited splits DIFFER — the merge must
+    // move the max side's docs across the boundary
+    val rmin = (0L until 200L).find(i => splits(i) == "train").get
+    val rmax = (rmin + 1 until 200L)
+      .find(i => splits(i) != splits(rmin)).get
+    val (xa, xb) = (rmax + 10, rmax + 20) // extra members, ids > both reps
+    val nodes = Seq(rmin, rmax, xa, xb).toDF("doc_id")
+    val base = Documents.connectedComponents(nodes,
+      Seq((rmin, xa), (rmax, xb)).toDF("a_id", "b_id"))
+    // the arriving bridge doc pairs the two families
+    val folded = Documents.incrementalCC(base,
+      Seq.empty[Long].toDF("doc_id"), Seq((xa, xb)).toDF("a_id", "b_id"))
+    val out = Documents.splitWithReassignment(base, folded)
+      .select(col("doc_id"), col("cluster_rep"), col("split"),
+        col("prev_split"), col("reassigned"))
+      .as[(Long, Long, String, String, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // everyone lands in the min rep's cluster and inherits ITS split
+    assert(out.values.forall(_._2 == rmin), "merged rep is not the min")
+    assert(out.values.forall(_._3 == splits(rmin)),
+      "merged split is not the min rep's split")
+    // min side kept, max side moved — and the flag is exactly that set
+    val moved = out.filter(_._2._5).keySet
+    assert(moved === Set(rmax, xb),
+      s"reassignment set wrong: $moved (expected the max-rep side)")
+    assert(out(rmax)._4 == splits(rmax) && out(xb)._4 == splits(rmax),
+      "prev_split must be the standing (max-side) split")
+    assert(!out(rmin)._5 && !out(xa)._5, "min side must not reassign")
+  }
 }

@@ -141,4 +141,61 @@ class InvertedIndexSpec extends SparkSpec {
     assert(probe(spark.read.parquet(idx), spark.read.parquet(stats))
       === expect, "compaction changed BM25 probe results")
   }
+
+  test("TAKEDOWN retraction (q144): fold(appends + retract) probes " +
+       "identically to a one-shot build on the REDUCED corpus; a " +
+       "replayed retraction absorbs on all three artifacts; retraction " +
+       "compaction physically drops the tombstoned rows") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val removed = docs.filter(col("doc_id") % 7 === 0)
+    val reduced = docs.filter(col("doc_id") % 7 =!= 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25r").toString
+    val (idx, stats, dfLed, del) =
+      (s"$dir/post", s"$dir/stats", s"$dir/df", s"$dir/del")
+    Documents.appendBm25(idx, stats, dfLed,
+      docs.filter(col("doc_id") % 2 === 0), "b0")
+    Documents.appendBm25(idx, stats, dfLed,
+      docs.filter(col("doc_id") % 2 === 1), "b1")
+    Documents.retractBm25(idx, stats, dfLed, del, removed, "rm0")
+    Documents.retractBm25(idx, stats, dfLed, del, removed, "rm0") // replay
+
+    def netProbe(): Seq[(Long, Long, Long)] =
+      Documents.bm25ProbeNet(spark.read.parquet(idx),
+          Documents.readBm25Tombstones(spark, del),
+          spark.read.parquet(dfLed),
+          Documents.bm25StatsTotal(spark.read.parquet(stats)), terms, 1000)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    val expect = Documents.bm25Probe(Documents.bm25Postings(reduced),
+        Documents.bm25StatsTotal(
+          Documents.bm25StatsLedger(reduced, "oneshot")), terms, 1000)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(expect.nonEmpty, "probe terms missing from the reduced corpus")
+    assert(netProbe() === expect,
+      "retracted probe != one-shot probe on the reduced corpus")
+    // stats netted exactly despite the replayed retraction id
+    val total = Documents.bm25StatsTotal(spark.read.parquet(stats))
+      .as[(Long, Long)].head()
+    val oneshot = Documents.bm25StatsTotal(
+      Documents.bm25StatsLedger(reduced, "x")).as[(Long, Long)].head()
+    assert(total === oneshot,
+      s"stats did not net to the reduced corpus: $total != $oneshot")
+    // df netted exactly, for EVERY term (zero-net terms drop to 0)
+    val dfNet = Documents.bm25DfTotal(spark.read.parquet(dfLed))
+      .filter(col("df") > 0).as[(String, Long)].collect().toSeq.sorted
+    val dfExpect = Documents.bm25DfTotal(
+        Documents.bm25DfLedger(reduced, "oneshot"))
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(dfNet === dfExpect, "df ledger did not net to the reduced df")
+    // compaction PHYSICALLY drops the tombstoned docs' posting rows
+    val (b, a) = Documents.compactBm25Retract(spark, idx, del)
+    assert(a <= b, s"retraction compaction grew the file count ($b -> $a)")
+    val ghost = spark.read.parquet(idx)
+      .join(Documents.readBm25Tombstones(spark, del), Seq("doc_id"))
+      .count()
+    assert(ghost === 0L,
+      s"$ghost tombstoned posting rows survived retraction compaction")
+    assert(netProbe() === expect, "retraction compaction changed the probe")
+  }
 }

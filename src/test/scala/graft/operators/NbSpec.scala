@@ -108,6 +108,75 @@ class NbSpec extends SparkSpec {
            scores(batch, Documents.nbTrainModel(b0.unionByName(b1))))
   }
 
+  test("TAKEDOWN retraction (q145): append∘append∘retract == one-shot " +
+       "train on the REDUCED corpus, in any interleaving, with replay; " +
+       "a term occurring only in retracted docs leaves the model and " +
+       "scores as OOV prior backoff") {
+    val b0 = labeled((1L, "good day", 1L), (2L, "bad day secret", 0L))
+    val b1 = labeled((3L, "good good zoo", 1L), (4L, "zoo bad", 0L))
+    val rm = labeled((2L, "bad day secret", 0L)) // doc 2 taken down
+    val reduced = b0.filter($"doc_id" =!= 2L).unionByName(b1)
+    val want = Documents.nbTrainModel(reduced)
+      .as[(String, Long, Long)].collect().toSet
+    assert(!want.exists(_._1 == "secret"),
+      "precondition: 'secret' must occur only in the retracted doc")
+    // any interleaving of the retraction between/after the appends
+    for (order <- Seq(Seq("b0", "b1", "rm"), Seq("b0", "rm", "b1"))) {
+      val p = tmpPath()
+      order.foreach {
+        case "b0" => Documents.appendNbLedger(p, b0, "b0")
+        case "b1" => Documents.appendNbLedger(p, b1, "b1")
+        case "rm" => Documents.retractNbBatch(p, rm, "rm0")
+      }
+      Documents.retractNbBatch(p, rm, "rm0") // checkpoint-replayed retract
+      val got = Documents.nbLedgerModel(spark, p)
+        .as[(String, Long, Long)].collect().toSet
+      assert(got === want, s"order $order: netted model != reduced one-shot")
+      // the retracted-only term backs off to the prior like any OOV term
+      val batch = docs((9L, "secret"))
+      assert(scores(batch, Documents.nbLedgerModel(spark, p)) ===
+             scores(batch, Documents.nbTrainModel(reduced)),
+        s"order $order: retracted term did not score as OOV")
+    }
+  }
+
+  test("compactNbLedgerNet: marked batches collapse to net rows, " +
+       "zero-net terms vanish from the parquet, unmarked (in-flight) " +
+       "batch rows pass through, and the model is invariant") {
+    val b0 = labeled((1L, "good day", 1L), (2L, "bad day secret", 0L))
+    val b1 = labeled((3L, "good good zoo", 1L), (4L, "zoo bad", 0L))
+    val rm = labeled((2L, "bad day secret", 0L))
+    val p = tmpPath()
+    // fold with markers, like the registered query does
+    graft.etl.Merge.foldMissingBatches(spark, p, Seq(
+      "b0"  -> (() => Documents.appendNbLedger(p, b0, "b0")),
+      "b1"  -> (() => Documents.appendNbLedger(p, b1, "b1")),
+      "rm0" -> (() => Documents.retractNbBatch(p, rm, "rm0"))))
+    // plus one UNMARKED in-flight batch (crashed before its marker)
+    Documents.appendNbLedger(p, labeled((5L, "flight", 1L)), "b2")
+    def model(): Set[(String, Long, Long)] =
+      Documents.nbLedgerModel(spark, p)
+        .as[(String, Long, Long)].collect().toSet
+    val before = model()
+    val (fb, fa) = Documents.compactNbLedgerNet(spark, p)
+    assert(fa <= fb, s"net compaction grew the file count ($fb -> $fa)")
+    assert(model() === before, "net compaction changed the model")
+    val raw = spark.read.parquet(p)
+    assert(raw.filter($"w" === "secret").count() === 0L,
+      "zero-net term physically survived net compaction")
+    assert(raw.filter($"batch_id" === "b2").count() > 0L,
+      "unmarked in-flight batch rows were folded away")
+    // the in-flight batch replays (marker absent) and first-wins absorbs
+    // its surviving raw rows — the reason they must NOT fold into _net
+    graft.etl.Merge.foldMissingBatches(spark, p, Seq(
+      "b2" -> (() => Documents.appendNbLedger(
+        p, labeled((5L, "flight", 1L)), "b2"))))
+    assert(model() === before, "replayed in-flight batch double-counted")
+    // a second net compaction folds the _net generation again
+    val (_, _) = Documents.compactNbLedgerNet(spark, p)
+    assert(model() === before, "second net compaction changed the model")
+  }
+
   test("nbRefreshIfDrifted: an in-distribution batch refreshes nothing; " +
        "an OOV-heavy batch triggers and the refreshed artifact equals a " +
        "from-scratch train on the union") {

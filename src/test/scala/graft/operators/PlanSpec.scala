@@ -950,6 +950,24 @@ class PlanSpec extends SparkSpec {
       s"epoch export must use the two-pass scan, not a Window:\n$p")
   }
 
+  test("q148: the composed curation pipeline SERVES the standing NB " +
+       "artifact (FileScan of the materialized model, never an in-query " +
+       "retrain) and plans exactly one Window — the canonical election, " +
+       "never a global cumsum") {
+    // pin the UNstaged composition: temperatureCopies/shardManifest
+    // stage through eager localCheckpoints, truncating the served plan
+    // to a scan — the curated-corpus stage is where the gate, election,
+    // and decontam joins are visible
+    val p = plan(Documents.curatedDocs(spark, sfDir))
+    assert(p.contains("graft_nb_"),
+      s"the NB gate must read the materialized artifact:\n$p")
+    val wins = "Window".r.findAllIn(p).length
+    assert(wins == 1,
+      s"expected exactly one Window (the q80 election), got $wins:\n$p")
+    assert(p.contains("windowspecdefinition(cluster_rep"),
+      s"the one Window must be the cluster-partitioned election:\n$p")
+  }
+
   test("q127: the keeper election partial-aggs its struct-min over the " +
        "span-text domain; the finder's semi-join shape is preserved") {
     atScaleShape {

@@ -60,6 +60,15 @@ class ShardExportSpec extends SparkSpec {
       .select("shard", "n_docs", "sum_tokens")
       .as[(Long, Long, Long)].collect().toSeq
     assert(out === Seq((0L, 2L, 5000L), (1L, 1L, 4096L), (2L, 1L, 100L)))
+    // conservation law (r19): every row carries corpus totals from BOTH
+    // sides of the assignment, and they must agree — Σ shard docs =
+    // corpus docs, last cum = corpus tokens
+    val cons = Documents.shardManifest(rows, Some(2))
+      .select("corpus_docs", "corpus_tokens", "docs_accounted",
+        "tokens_accounted")
+      .as[(Long, Long, Long, Long)].collect().toSeq.distinct
+    assert(cons === Seq((4L, 9196L, 4L, 9196L)),
+      s"conservation columns wrong: $cons")
   }
 
   test("manifest is invariant to the partition count (the q139 gate's " +
