@@ -388,8 +388,12 @@ object Media {
         col("canonical_id"))
       .orderBy(col("doc_id"))
   }
-  val perceptualNearDupSql: String =
-    """WITH fam AS (SELECT doc_id, doc_id % 50 AS f FROM documents),
+  /** The q91 oracle parameterized on the corpus predicate — q150's
+    * takedown oracle reuses the identical hash/election chain over the
+    * REDUCED corpus. */
+  private def perceptualSqlFor(where: String): String =
+    s"""WITH fam AS (SELECT doc_id, doc_id % 50 AS f FROM documents
+      |             WHERE $where),
       |grid AS (SELECT rr.r, cc.c FROM range(0,8) rr(r), range(0,8) cc(c)),
       |bits AS (
       |  SELECT doc_id, r, c,
@@ -409,6 +413,15 @@ object Media {
       |  1::BIGINT AS n_doc_hashes, n_same, canonical_id
       |FROM h JOIN cl USING (hash_hi, hash_lo)
       |ORDER BY doc_id""".stripMargin
+
+  val perceptualNearDupSql: String = perceptualSqlFor("TRUE")
+
+  /** q150's oracle: q91's one-shot election on the REDUCED corpus —
+    * the takedown slice (hash bucket [20,30)) contributes no hash row,
+    * so its clusters re-elect among the survivors. */
+  val perceptualRetractSql: String = perceptualSqlFor(
+    "NOT (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) " +
+      "AS BIGINT) % 100 BETWEEN 20 AND 29)")
 
   // ── q142: INCREMENTAL perceptual dedup — the multimodal ledger face ─────
   /** The q82/q128/q137 ledger move applied to the media ring (previously
@@ -462,6 +475,93 @@ object Media {
             id))
         })
     electPhashClusters(readPhashLedger(s, path))
+  }
+
+  // ── q150: TAKEDOWN propagation through the phash ledger ────────────────
+  /** The retraction verb reaching the multimodal ring: a takedown of
+    * ingested images must drop them from the dedup election WITHOUT
+    * re-decoding anything. Ledger rows are per-doc (not mergeable sums),
+    * so deletion is the tombstone half of the q144/q149 pattern: the
+    * deleted doc_id set appends to a `del` member (batch-keyed,
+    * replay-absorbed by distinct), the serving election anti-joins it —
+    * and because [[electPhashClusters]] is a pure function of the net
+    * ledger, cluster sizes and canonical ids RE-ELECT among survivors
+    * automatically (a takedown of a cluster's canonical doc promotes the
+    * next-lowest id, exactly what the reduced one-shot oracle computes).
+    * [[compactPhashRetract]] physically drops masked rows on the normal
+    * compaction cadence. Zero decodes anywhere in the retraction path. */
+  private[multimodal] def retractPhashBatch(ledgerPath: String,
+      delPath: String, ids: DataFrame, batchId: String): Unit = {
+    val s = ids.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(delPath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, ledgerPath)
+    ids.select(col("doc_id"), lit(batchId).as("batch_id"))
+      .write.mode("append").parquet(delPath)
+  }
+
+  private[multimodal] def readPhashTombstones(s: SparkSession,
+                                              delPath: String): DataFrame =
+    s.read.parquet(delPath).select(col("doc_id")).distinct()
+
+  /** The ledger net of tombstones — what every q150 consumer reads. */
+  private[multimodal] def readPhashLedgerNet(s: SparkSession,
+      ledgerPath: String, delPath: String): DataFrame =
+    readPhashLedger(s, ledgerPath)
+      .join(broadcast(readPhashTombstones(s, delPath)),
+        Seq("doc_id"), "left_anti")
+
+  /** Hash-clustered compaction + physical takedown: tombstoned docs'
+    * rows vanish from the parquet. Same writeAndSwap lifecycle as
+    * [[compactPhashLedger]]. */
+  def compactPhashRetract(s: SparkSession, ledgerPath: String,
+      delPath: String, targetBytes: Long = 128L * 1024 * 1024)
+      : (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, ledgerPath)
+    def dataFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val b = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        val nm = st.getPath.getName
+        if (st.isFile && !nm.startsWith("_") && !nm.startsWith(".")) b += st
+      }
+      b.result()
+    }
+    val before = dataFiles()
+    val bytes = before.map(_.getLen).sum
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val compacted = s.read.parquet(ledgerPath)
+      .join(broadcast(readPhashTombstones(s, delPath)),
+        Seq("doc_id"), "left_anti")
+      .dropDuplicates()
+      .repartition(nFiles, col("hash_hi"))
+    graft.etl.Merge.writeAndSwap(compacted, ledgerPath, "rcompact")
+    (before.size, dataFiles().size)
+  }
+
+  /** q150: perceptual dedup under takedown — two ingest batches fold in
+    * (q142's decode-once lifecycle), the bucket-[20,30) slice retracts
+    * as tombstones, and the election runs the net ledger. Gated against
+    * q91's one-shot oracle on the REDUCED corpus. */
+  def perceptualRetract(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.documents(s, d).select(col("doc_id"),
+      pmod(graft.functions.Text.portableHash(col("doc_id").cast("string")),
+        lit(100L)).as("bucket"))
+    val root = s"${s.conf.get("spark.sql.warehouse.dir")}/graft_phashr_" +
+      Tables.datasetTag(s, d, "documents")
+    val (path, delPath) = (s"$root/led", s"$root/del")
+    graft.etl.Merge.foldMissingBatches(s, path, Seq(
+      "b0"  -> (() => appendPhashLedger(path,
+        ids.filter(col("bucket") < 50).select(col("doc_id")), "b0")),
+      "b1"  -> (() => appendPhashLedger(path,
+        ids.filter(col("bucket") >= 50).select(col("doc_id")), "b1")),
+      "rm0" -> (() => retractPhashBatch(path, delPath,
+        ids.filter(col("bucket") >= 20 && col("bucket") < 30)
+          .select(col("doc_id")), "rm0"))))
+    electPhashClusters(readPhashLedgerNet(s, path, delPath))
   }
 
   // ── q113: perceptual AUDIO near-dup (envelope fingerprint) ──────────────
@@ -729,6 +829,7 @@ object Media {
     "q67_gif_frames"     -> (gifFrameStats _),
     "q91_phash_neardup"  -> (perceptualNearDup _),
     "q142_phash_incremental" -> (perceptualNearDupIncremental _),
+    "q150_phash_retract" -> (perceptualRetract _),
     "q113_audio_neardup" -> (audioNearDup _),
     "q147_audio_incremental" -> (audioNearDupIncremental _))
 
@@ -742,6 +843,8 @@ object Media {
     // q142's oracle IS q91's one-shot SQL — the gate itself proves
     // ledger-decomposition ≡ one-shot perceptual clustering
     "q142_phash_incremental" -> perceptualNearDupSql,
+    // q150's oracle is the one-shot election on the REDUCED corpus
+    "q150_phash_retract" -> perceptualRetractSql,
     "q113_audio_neardup" -> audioNearDupSql,
     // q147's oracle IS q113's one-shot SQL — fold ≡ one-shot, gated
     "q147_audio_incremental" -> audioNearDupSql)

@@ -3290,6 +3290,107 @@ object Documents {
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
     graft.etl.Merge.compact(s, ledgerPath, "gram", targetBytes)
 
+  // ── q151: TAKEDOWN propagation through the gram-count ledger ───────────
+  /** The retraction verb reaching the substring-dedup family: gram
+    * occurrence counts are mergeable SUMS (the property that made the
+    * ledger exact), so a takedown is a NEGATIVE PARTIAL — the deleted
+    * docs' grams land as a negated (gram, batch, -n) slice through the
+    * identical append machinery, and [[gramLedgerCounts]]'s
+    * first-wins-then-sum collapse nets them out. O(deleted docs), never
+    * a corpus re-tokenize. A fully-retracted gram nets to 0 < 2 and
+    * stops flagging positions — exactly the reduced one-shot rule.
+    * Contract (the q144/q145 mirror): retracted docs ⊆ appended docs,
+    * and the retraction re-derives grams from the SAME text, so the
+    * negatives cancel exactly. */
+  private[graft] def retractGramBatch(ledgerPath: String, docs: DataFrame,
+                                      K: Int, batchId: String): Unit = {
+    val s = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(ledgerPath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, ledgerPath)
+    gramCounts(docs, K)
+      .select(col("gram"), (-col("n_idx")).as("n_idx"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(ledgerPath)
+  }
+
+  /** Reserved batch id for net-compacted gram rows — [[NbNetBatchId]]'s
+    * role for this ledger. */
+  private[graft] val GramNetBatchId = "_net"
+
+  /** RETRACTION-AWARE gram compaction ([[compactNbLedgerNet]]'s
+    * lifecycle): MARKED batches (commit marker present — can never
+    * replay) collapse to one net row per gram under [[GramNetBatchId]],
+    * zero-net grams VANISH from the parquet (the takedown completing on
+    * disk), and unmarked in-flight rows pass through verbatim so a
+    * crashed append's replay still first-wins-absorbs. */
+  def compactGramLedgerNet(s: SparkSession, ledgerPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, ledgerPath)
+    val mdir = new org.apache.hadoop.fs.Path(s"$ledgerPath.batches")
+    val marked: Set[String] =
+      (if (fs.exists(mdir)) fs.listStatus(mdir).map(_.getPath.getName).toSet
+       else Set.empty[String]) + GramNetBatchId
+    def dataFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val b = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        val nm = st.getPath.getName
+        if (st.isFile && !nm.startsWith("_") && !nm.startsWith(".")) b += st
+      }
+      b.result()
+    }
+    val before = dataFiles()
+    val bytes = before.map(_.getLen).sum
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val led = s.read.parquet(ledgerPath)
+    val isMarked = col("batch_id").isin(marked.toSeq: _*)
+    val net = led.filter(isMarked)
+      .groupBy(col("gram"), col("batch_id"))
+      .agg(min(col("n_idx")).as("n_part"))
+      .groupBy(col("gram")).agg(sum(col("n_part")).as("n_idx"))
+      .filter(col("n_idx") =!= 0L)
+      .select(col("gram"), col("n_idx"), lit(GramNetBatchId).as("batch_id"))
+    graft.etl.Merge.writeAndSwap(
+      net.unionByName(led.filter(!isMarked))
+        .repartition(nFiles, col("gram")),
+      ledgerPath, "netcompact")
+    fs.mkdirs(mdir)
+    fs.create(new org.apache.hadoop.fs.Path(mdir, GramNetBatchId), true)
+      .close()
+    (before.size, dataFiles().size)
+  }
+
+  /** q151: the substring-dedup probe under TAKEDOWN — the corpus folds
+    * in as two gram-ledger batches, the bucket-[20,30) slice retracts as
+    * negative count partials, and the incoming carve probes the NET
+    * index. Gated against the q128 oracle with the global ≥2 rule
+    * counting only what remains: fold(appends + deletes) ≡ the reduced
+    * one-shot, the q144/q145/q149/q150 stance closing the last text
+    * family. */
+  def dupSpansRetract(s: SparkSession, d: String): DataFrame = {
+    val K = DupSpanK
+    val base = Tables.documents(s, d)
+      .withColumn("bucket",
+        pmod(graft.functions.Text.portableHash(col("doc_id")
+          .cast("string")), lit(100L)))
+    val incoming = base.filter(col("bucket") >= 90)
+    val tag = Tables.datasetTag(s, d, "documents")
+    val path = s"${s.conf.get("spark.sql.warehouse.dir")}" +
+      s"/graft_gramr_${K}_$tag"
+    def slice(lo: Int, hi: Int): DataFrame =
+      base.filter(col("bucket") >= lo && col("bucket") < hi)
+        .select(col("doc_id"), col("text"))
+    graft.etl.Merge.foldMissingBatches(s, path, Seq(
+      "b0"  -> (() => appendGramLedger(path, slice(0, 45), K, "b0")),
+      "b1"  -> (() => appendGramLedger(path, slice(45, 90), K, "b1")),
+      "rm0" -> (() => retractGramBatch(path, slice(20, 30), K, "rm0"))))
+    dupSpanProbe(incoming, gramLedgerCounts(s, path), K)
+  }
+
   /** The batch probe against a (gram, n_idx) count index — factored so
     * DupSpansSpec can prove the decomposition (probe ≡ batch finder
     * restricted to the batch) on constructed corpus/batch splits.
@@ -3370,7 +3471,13 @@ object Documents {
   /** Oracle: the GLOBAL duplication rule restricted to incoming docs —
     * brute-force over the whole corpus, no index anywhere, so the gate
     * proves the count decomposition exact. */
-  val dupSpansIncrementalSql: String = {
+  val dupSpansIncrementalSql: String = dupSpansIncrSqlFor("TRUE")
+
+  /** The q128 oracle parameterized on the DUPLICATION-COUNT predicate:
+    * `corpusWhere` restricts which docs' grams COUNT toward the global
+    * ≥2 rule (q151's takedown oracle: retracted docs count nothing),
+    * while the probed incoming side stays the full ≥90 carve. */
+  private def dupSpansIncrSqlFor(corpusWhere: String): String = {
     val K = DupSpanK
     s"""WITH d AS (
        |  SELECT doc_id, $wordsSql AS w,
@@ -3384,7 +3491,8 @@ object Documents {
        |    unnest(list_transform(range(1, len(w) - $K + 2),
        |      i -> array_to_string(w[i:i+$K-1], ' '))) AS gram
        |  FROM d2),
-       |dup AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+       |dup AS (SELECT gram FROM g WHERE $corpusWhere
+       |        GROUP BY 1 HAVING count(*) >= 2),
        |dpos AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)
        |         WHERE b >= 90),
        |isl AS (SELECT doc_id, pos,
@@ -4894,6 +5002,7 @@ object Documents {
     "q144_bm25_retract"   -> (bm25SearchRetract _),
     "q145_nb_retract"     -> (nbClassifierRetract _),
     "q146_leakage_incremental" -> (leakageSafeSplitIncremental _),
+    "q151_gram_retract"   -> (dupSpansRetract _),
     "q148_curation_pipeline" -> (curationPipeline _),
     "q139_shard_export"   -> (shardExport _),
     "q140_shard_incremental" -> (shardIncremental _),
@@ -4953,6 +5062,8 @@ object Documents {
     "q144_bm25_retract"   -> bm25SearchRetractSql,
     "q145_nb_retract"     -> nbClassifierRetractSql,
     "q146_leakage_incremental" -> leakageSafeSplitIncrementalSql,
+    // q151's oracle: the global >=2 rule counting only what remains
+    "q151_gram_retract"   -> dupSpansIncrSqlFor("NOT (b BETWEEN 20 AND 29)"),
     "q148_curation_pipeline" -> curationPipelineSql,
     "q139_shard_export"   -> shardExportSql,
     "q140_shard_incremental" -> shardIncrementalSql,

@@ -563,6 +563,112 @@ object Similarity {
     ivfProbeWith(post, cents, nprobe = 1, k = 5, dedupPairs = true)
   }
 
+  // ── q149: TAKEDOWN propagation through the IVF postings ────────────────
+  /** The q144/q145 retraction verb reaching the ANN ring: a takedown of
+    * indexed vectors must stop them surfacing as neighbors WITHOUT a
+    * corpus re-embed or full index rebuild. Postings rows are per-vector
+    * (not mergeable sums), so deletion is the TOMBSTONE half of the
+    * retraction pattern: the deleted vec_id set appends to a `del`
+    * member (batch-keyed, replay-absorbed by distinct), every probe
+    * anti-joins it — O(deleted) rows broadcast, never a corpus shuffle —
+    * and [[compactIvfRetract]] physically drops the masked rows on the
+    * normal partition-preserving compaction cadence.
+    *
+    * The coarse quantizer is NOT patched in place: centroids are means
+    * over the corpus, and a deletion shifts them. The registered query
+    * retrains the (nlist-row) quantizer from the NET postings into its
+    * own artifact — the honest post-takedown model — which is exactly
+    * what the gate needs: the ORACLE is q86's one-shot SQL on the
+    * REDUCED corpus, so fold(appends + deletes) ≡ rebuild-on-what-
+    * remains covers training AND serving. In production the retrain is
+    * the q89 drift loop's department; serving correctness (deleted
+    * vectors never returned) holds from the tombstone write onward
+    * regardless of quantizer staleness. Query vectors are never
+    * retracted (a probe needs its probe set), mirroring the harness
+    * carve everywhere else. */
+  private[graft] def retractIvfBatch(postPath: String, delPath: String,
+                                     vecIds: DataFrame,
+                                     batchId: String): Unit = {
+    val s = vecIds.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(delPath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, postPath)
+    vecIds.select(col("vec_id"), lit(batchId).as("batch_id"))
+      .write.mode("append").parquet(delPath)
+  }
+
+  /** The tombstone set in probe shape — distinct absorbs replays. */
+  private[graft] def readIvfTombstones(s: SparkSession,
+                                       delPath: String): DataFrame =
+    s.read.parquet(delPath).select(col("vec_id")).distinct()
+
+  /** [[readPostings]] minus the tombstoned vectors — the NET index every
+    * q149 consumer (probe AND retrain) reads. The anti-join broadcasts
+    * the retention-bounded tombstone set above the partitioned scan, so
+    * cell-pruned reads stay cell-pruned. */
+  private[graft] def readPostingsNet(s: SparkSession, postPath: String,
+                                     delPath: String): DataFrame =
+    readPostings(s, postPath)
+      .join(broadcast(readIvfTombstones(s, delPath)),
+        Seq("vec_id"), "left_anti")
+
+  /** [[compactIvfPostings]] + physical takedown: tombstoned rows vanish
+    * from the parquet while the `label=` partition layout the probe's
+    * dynamic pruning needs survives. */
+  def compactIvfRetract(s: SparkSession, postPath: String,
+                        delPath: String): (Int, Int) = {
+    val target = new org.apache.hadoop.fs.Path(postPath)
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, postPath)
+    def parquetFiles(): Int = {
+      val it = fs.listFiles(target, true)
+      var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    val before = parquetFiles()
+    val rewritten = s.read.parquet(postPath)
+      .join(broadcast(readIvfTombstones(s, delPath)),
+        Seq("vec_id"), "left_anti")
+      .dropDuplicates(Seq("vec_id"))
+      .repartition(col("label"))
+    val tmp = new org.apache.hadoop.fs.Path(s"$postPath.tmp-compact")
+    rewritten.write.mode("overwrite").partitionBy("label")
+      .parquet(tmp.toString)
+    if (fs.exists(target) && !fs.delete(target, true))
+      throw new java.io.IOException(s"could not delete old sink $target")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"rename $tmp -> $target failed")
+    (before, parquetFiles())
+  }
+
+  /** q149: ANN serving under takedown — the corpus folds in as two
+    * ingest batches (q141's lifecycle), the bucket-[20,30) slice
+    * retracts as tombstones, the quantizer trains on the net postings,
+    * and the probe answers from the net index. Gated against q86's
+    * one-shot oracle on the REDUCED corpus. */
+  def ivfRetract(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+      .withColumn("bucket", pmod(graft.functions.Text.portableHash(
+        col("vec_id").cast("string")), lit(100L)))
+    val tag = Tables.datasetTag(s, d, "embeddings")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val postPath = s"$wh/graft_ivfr_post_$tag"
+    val delPath = s"$wh/graft_ivfr_del_$tag"
+    graft.etl.Merge.foldMissingBatches(s, postPath, Seq(
+      "b0"  -> (() => appendIvfBatch(postPath,
+        e.filter(col("bucket") < 50), "b0")),
+      "b1"  -> (() => appendIvfBatch(postPath,
+        e.filter(col("bucket") >= 50), "b1")),
+      "rm0" -> (() => retractIvfBatch(postPath, delPath,
+        e.filter(col("bucket") >= 20 && col("bucket") < 30 && !isQuery)
+          .select(col("vec_id")), "rm0"))))
+    val post = readPostingsNet(s, postPath, delPath)
+    val cents = graft.etl.Merge.materialize(s, s"$wh/graft_ivfr_cents_$tag",
+      trainCentroids(post.dropDuplicates(Seq("vec_id"))))
+    ivfProbeWith(post, cents, nprobe = 1, k = 5, dedupPairs = true)
+  }
+
   // ── q89: centroid drift statistic — the q86 refresh decision ────────────
   /** Mean distance-to-assigned-centroid of an incoming vector batch vs
     * the standing corpus, under a model FROZEN on the corpus — the
@@ -1241,11 +1347,16 @@ object Similarity {
     * re-rank must match the oracle exactly. */
   def ivfMultiProbeTopK(s: SparkSession, d: String): DataFrame =
     ivfCentroidProbe(withNorm(Tables.embeddings(s, d)), nprobe = 3, k = 5)
-  private def ivfCentroidSqlFor(nprobe: Int, k: Int): String =
+  /** `corpusWhere` reduces the CORPUS side (centroid training + probe
+    * candidates) without touching the query vectors — q149's takedown
+    * oracle; "TRUE" yields the classic q38/q86/q141 one-shot. */
+  private def ivfCentroidSqlFor(nprobe: Int, k: Int,
+                                corpusWhere: String = "TRUE"): String =
     s"""WITH $normedSql,
+       |nc AS (SELECT * FROM n WHERE $corpusWhere),
        |perdim AS (
        |  SELECT label, i AS pos, CAST(floor(v[i + 1] * 1000.0 + 0.5) AS BIGINT) AS qx
-       |  FROM n, range(0, 64) t(i)),
+       |  FROM nc, range(0, 64) t(i)),
        |cents AS (
        |  SELECT label, list(c ORDER BY pos) AS cv FROM (
        |    SELECT label, pos,
@@ -1267,7 +1378,7 @@ object Similarity {
        |    ${dotSql("q.v", "e.v")} / (q.nrm * e.nrm) AS sim
        |  FROM assigned a
        |  JOIN n q ON q.vec_id = a.q_id
-       |  JOIN n e ON e.label = a.probe_label AND e.vec_id <> a.q_id)
+       |  JOIN nc e ON e.label = a.probe_label AND e.vec_id <> a.q_id)
        |SELECT q_id, rank, n_id, CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
        |FROM (SELECT *, row_number() OVER (
        |        PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
@@ -1276,6 +1387,14 @@ object Similarity {
 
   val ivfCentroidTopKSql: String = ivfCentroidSqlFor(nprobe = 1, k = 5)
   val ivfMultiProbeTopKSql: String = ivfCentroidSqlFor(nprobe = 3, k = 5)
+
+  /** q149's oracle: q86's one-shot on the REDUCED corpus — the takedown
+    * slice (hash bucket [20,30), query vectors exempt) neither trains the
+    * quantizer nor appears as a candidate. */
+  val ivfRetractSql: String = ivfCentroidSqlFor(nprobe = 1, k = 5,
+    corpusWhere = "NOT (CAST(concat('0x', substr(md5(CAST(vec_id AS " +
+      s"VARCHAR)), 1, 15)) AS BIGINT) % 100 BETWEEN 20 AND 29) " +
+      s"OR vec_id IN $queryIdsSql")
 
   // ── q62: LSH-bucketed ANN top-k (sign-sketch buckets + exact rerank) ────
   /** The LSH-bucketed similarity-search path, complementing IVF: corpus
@@ -1408,6 +1527,7 @@ object Similarity {
     "q38_ivf_centroids" -> (ivfCentroidTopK _),
     "q86_ivf_indexed"   -> (ivfIndexedTopK _),
     "q141_ivf_incremental" -> (ivfIncremental _),
+    "q149_ivf_retract"  -> (ivfRetract _),
     "q89_centroid_drift"-> (centroidDrift _),
     "q90_semantic_dedup"-> (semanticDedup _),
     "q39_quantize_int8" -> (quantizeInt8 _),
@@ -1425,6 +1545,9 @@ object Similarity {
     // q141's oracle IS q86's one-shot SQL — the gate itself proves
     // ingest-decomposition ≡ one-shot index (the q112/q137 stance)
     "q141_ivf_incremental" -> ivfCentroidTopKSql,
+    // q149's oracle is the one-shot on the REDUCED corpus — the gate
+    // proves fold(appends + deletes) ≡ rebuild on what remains
+    "q149_ivf_retract"  -> ivfRetractSql,
     "q89_centroid_drift"-> centroidDriftSql,
     "q90_semantic_dedup"-> semanticDedupSql,
     "q39_quantize_int8" -> quantizeInt8Sql,

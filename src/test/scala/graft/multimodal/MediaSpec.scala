@@ -411,4 +411,46 @@ class MediaSpec extends SparkSpec {
     assert(after < before, s"no file reduction: $before -> $after")
     assert(got() === want, "compaction changed the clusters")
   }
+
+  test("TAKEDOWN retraction (q150): tombstoned docs vanish from the " +
+       "election and a cluster's canonical RE-ELECTS among survivors; " +
+       "replay absorbs; retraction compaction physically drops the rows " +
+       "— all with zero decodes") {
+    import spark.implicits._
+    val ids = (0L to 79L).toDF("doc_id").localCheckpoint(true)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-phash-retract").toString
+    val (path, del) = (s"$base/led", s"$base/del")
+    Media.appendPhashLedger(path, ids.filter($"doc_id" % 2 === 0), "b0")
+    Media.appendPhashLedger(path, ids.filter($"doc_id" % 2 === 1), "b1")
+    // doc 3 is family-3's canonical (pair {3, 53}); taking it down must
+    // promote 53 to a singleton canonical of its own hash cluster
+    val removed = Seq(3L, 10L, 27L).toDF("doc_id").localCheckpoint(true)
+    Media.retractPhashBatch(path, del, removed, "rm0")
+    Media.retractPhashBatch(path, del, removed, "rm0") // replay
+    val reduced = ids.join(removed, Seq("doc_id"), "left_anti")
+    val want = Media.electPhashClusters(Media.phashPerDoc(reduced))
+      .collect().toSeq
+    def got() = Media.electPhashClusters(
+        Media.readPhashLedgerNet(spark, path, del))
+      .collect().toSeq
+    assert(got() === want, "retracted election != reduced one-shot")
+    // doc 3 was its hash cluster's canonical pre-takedown (min id in the
+    // 0..79 corpus shares its hash); doc 53 shares doc 3's image family,
+    // so its cluster must have RE-ELECTED: same hash, new canonical,
+    // one fewer member — and never a tombstoned id
+    val preBy53 = Media.electPhashClusters(Media.phashPerDoc(ids))
+      .collect().toSeq.find(_.getLong(0) == 53L).get
+    assert(preBy53.getLong(6) === 3L, "fixture lost its point")
+    val d53 = got().find(_.getLong(0) == 53L).get
+    assert(!Set(3L, 10L, 27L).contains(d53.getLong(6)),
+      "a tombstoned doc survived as a cluster canonical")
+    assert(d53.getLong(5) === preBy53.getLong(5) - 1L,
+      "cluster size did not shrink by the retracted member")
+    val (fb, fa) = Media.compactPhashRetract(spark, path, del)
+    assert(fa <= fb, s"retraction compaction grew files ($fb -> $fa)")
+    assert(spark.read.parquet(path).count() === 77L,
+      "tombstoned ledger rows survived retraction compaction")
+    assert(got() === want, "retraction compaction changed the election")
+  }
 }

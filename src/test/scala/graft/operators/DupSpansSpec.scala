@@ -316,4 +316,62 @@ class DupSpansSpec extends SparkSpec {
       (1L, 1L, 5L, 5L, 1L), (2L, 2L, 6L, 5L, 0L),
       (3L, 1L, 4L, 4L, 1L), (4L, 3L, 6L, 4L, 0L)))
   }
+
+  test("TAKEDOWN retraction (q151): negative gram partials net out — a " +
+       "fully-retracted gram stops flagging, a surviving dup still " +
+       "flags, probe == one-shot on the reduced corpus; a replayed " +
+       "retraction absorbs; net compaction physically drops zero-net " +
+       "grams and passes in-flight rows through") {
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft_gram_retract").toString + "/idx"
+    // docs 1/2 own 'a b c d' (both retracted below); docs 3/4 own
+    // 'e f g h' (both survive)
+    val b0 = Seq((1L, "a b c d p1 p2"), (2L, "a b c d p3 p4"))
+    val b1 = Seq((3L, "e f g h z1"), (4L, "e f g h z2"))
+    val rm = b0 // the takedown re-derives grams from the SAME text
+    graft.etl.Merge.foldMissingBatches(spark, ledger, Seq(
+      "b0"  -> (() => Documents.appendGramLedger(
+        ledger, b0.toDF("doc_id", "text"), 4, "b0")),
+      "b1"  -> (() => Documents.appendGramLedger(
+        ledger, b1.toDF("doc_id", "text"), 4, "b1")),
+      "rm0" -> (() => Documents.retractGramBatch(
+        ledger, rm.toDF("doc_id", "text"), 4, "rm0"))))
+    val incoming = Seq((10L, "q1 a b c d"), (11L, "q2 e f g h"))
+    def got() = Documents.dupSpanProbe(incoming.toDF("doc_id", "text"),
+        Documents.gramLedgerCounts(spark, ledger), 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // 'a b c d' netted to 0 -> doc 10 is silent (1 own occurrence < 2);
+    // 'e f g h' survives at 2 -> doc 11 still flags — and the whole
+    // probe equals the one-shot index on the reduced corpus
+    val want = Documents.dupSpanProbe(incoming.toDF("doc_id", "text"),
+        Documents.gramCounts(b1.toDF("doc_id", "text"), 4), 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(want === Seq((11L, 2L, 5L, 4L)), "fixture lost its point")
+    assert(got() === want, "retracted probe != reduced one-shot probe")
+    // a crashed-and-replayed retraction appends byte-identical negative
+    // rows under the same id — first-wins absorbs them
+    Documents.retractGramBatch(ledger, rm.toDF("doc_id", "text"), 4, "rm0")
+    assert(got() === want, "replayed retraction changed a verdict")
+    // one UNMARKED in-flight append (crashed before its marker)
+    Documents.appendGramLedger(
+      ledger, Seq((5L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text"), 4, "b2")
+    val withB2 = got()
+    val (fb, fa) = Documents.compactGramLedgerNet(spark, ledger)
+    assert(fa <= fb, s"net compaction grew the file count ($fb -> $fa)")
+    val raw = spark.read.parquet(ledger)
+    assert(raw.filter($"gram" === "a b c d").count() === 0L,
+      "zero-net gram physically survived net compaction")
+    assert(raw.filter($"batch_id" === "b2").count() > 0L,
+      "unmarked in-flight batch rows were folded away")
+    assert(got() === withB2, "net compaction changed a probe verdict")
+    // the in-flight batch replays (marker absent) and first-wins absorbs
+    graft.etl.Merge.foldMissingBatches(spark, ledger, Seq(
+      "b2" -> (() => Documents.appendGramLedger(
+        ledger, Seq((5L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text"),
+        4, "b2"))))
+    assert(got() === withB2, "replayed in-flight batch double-counted")
+    // a second net compaction folds the _net generation again
+    Documents.compactGramLedgerNet(spark, ledger)
+    assert(got() === withB2, "second net compaction changed a verdict")
+  }
 }

@@ -142,4 +142,50 @@ class IvfIngestSpec extends SparkSpec {
     }
     assert(probePostings(path) === probeOf(e))
   }
+
+  test("TAKEDOWN retraction (q149): tombstoned vectors vanish from the " +
+       "probe — fold + retract == one-shot on the reduced corpus; a " +
+       "replayed retraction absorbs; retraction compaction physically " +
+       "drops the rows and keeps the cell layout") {
+    val e = corpus().localCheckpoint(true)
+    val base = Files.createTempDirectory("graft-ivf-retract").toString
+    val (path, del) = (s"$base/post", s"$base/del")
+    Similarity.appendIvfBatch(path, e.filter($"vec_id" < 50), "b0")
+    Similarity.appendIvfBatch(path, e.filter($"vec_id" >= 50), "b1")
+    // takedown slice: 14 ids spread over all 4 cells, no query ids
+    // (QueryIds are multiples of 50; 50 % 7 == 1)
+    val removed = e.filter($"vec_id" % 7 === 3).select($"vec_id")
+      .localCheckpoint(true)
+    Similarity.retractIvfBatch(path, del, removed, "rm0")
+    Similarity.retractIvfBatch(path, del, removed, "rm0") // replay
+    val reduced = e.join(removed, Seq("vec_id"), "left_anti")
+    val want = probeOf(reduced)
+    assert(want.nonEmpty)
+    assert(want !== probeOf(e),
+      "takedown slice hit no served neighbor — the fixture is vacuous")
+    def netProbe(): Seq[(Long, Long, Long, Long)] = {
+      val post = Similarity.readPostingsNet(spark, path, del)
+      val cents = Similarity.trainCentroids(
+        post.dropDuplicates(Seq("vec_id")))
+      Similarity.ivfProbeWith(post, cents, nprobe = 1, k = 5,
+          dedupPairs = true)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    }
+    assert(netProbe() === want,
+      "retracted probe != one-shot probe on the reduced corpus")
+    // the no-serve guarantee, stated directly: no tombstoned id is ever
+    // returned as a neighbor
+    val gone = removed.as[Long].collect().toSet
+    assert(netProbe().forall { case (_, _, nId, _) => !gone(nId) })
+    // physical drop on the compaction cadence, layout preserved
+    val (before, after) = Similarity.compactIvfRetract(spark, path, del)
+    assert(after <= before, s"retraction compaction grew files ($before -> $after)")
+    assert(spark.read.parquet(path).count() === (100L - gone.size),
+      "tombstoned posting rows survived retraction compaction")
+    val dirs = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("label=")).toSet
+    assert(dirs === Set("label=0", "label=1", "label=2", "label=3"),
+      s"partition layout lost: $dirs")
+    assert(netProbe() === want, "retraction compaction changed the probe")
+  }
 }
