@@ -516,31 +516,9 @@ object Media {
     * [[compactPhashLedger]]. */
   def compactPhashRetract(s: SparkSession, ledgerPath: String,
       delPath: String, targetBytes: Long = 128L * 1024 * 1024)
-      : (Int, Int) = {
-    val p = new org.apache.hadoop.fs.Path(ledgerPath)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    graft.etl.Merge.recoverSwap(fs, ledgerPath)
-    def dataFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val it = fs.listFiles(p, true)
-      val b = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
-      while (it.hasNext) {
-        val st = it.next()
-        val nm = st.getPath.getName
-        if (st.isFile && !nm.startsWith("_") && !nm.startsWith(".")) b += st
-      }
-      b.result()
-    }
-    val before = dataFiles()
-    val bytes = before.map(_.getLen).sum
-    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val compacted = s.read.parquet(ledgerPath)
-      .join(broadcast(readPhashTombstones(s, delPath)),
-        Seq("doc_id"), "left_anti")
-      .dropDuplicates()
-      .repartition(nFiles, col("hash_hi"))
-    graft.etl.Merge.writeAndSwap(compacted, ledgerPath, "rcompact")
-    (before.size, dataFiles().size)
-  }
+      : (Int, Int) =
+    graft.etl.Merge.compactRetract(s, ledgerPath, delPath, "doc_id",
+      "hash_hi", targetBytes)
 
   /** q150: perceptual dedup under takedown — two ingest batches fold in
     * (q142's decode-once lifecycle), the bucket-[20,30) slice retracts
@@ -730,17 +708,72 @@ object Media {
         })
     electAudioClusters(readAudioFpLedger(s, path))
   }
+
+  // ── q153: TAKEDOWN propagation through the audio-fp ledger ─────────────
+  /** q150's tombstone pattern on modality two, closing takedown across
+    * BOTH decode ledgers: deleted doc_ids mask the fingerprint election
+    * with zero decodes, cluster reps re-elect among survivors (the
+    * election is a pure function of the net ledger), and the rows drop
+    * physically on the compaction cadence. Oracle = q113's one-shot on
+    * the reduced corpus. */
+  private[multimodal] def retractAudioFpBatch(ledgerPath: String,
+      delPath: String, ids: DataFrame, batchId: String): Unit = {
+    val s = ids.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(delPath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, ledgerPath)
+    ids.select(col("doc_id"), lit(batchId).as("batch_id"))
+      .write.mode("append").parquet(delPath)
+  }
+
+  private[multimodal] def readAudioFpLedgerNet(s: SparkSession,
+      ledgerPath: String, delPath: String): DataFrame =
+    readAudioFpLedger(s, ledgerPath)
+      .join(broadcast(s.read.parquet(delPath)
+        .select(col("doc_id")).distinct()), Seq("doc_id"), "left_anti")
+
+  /** Fp-clustered compaction + physical takedown. */
+  def compactAudioFpRetract(s: SparkSession, ledgerPath: String,
+      delPath: String, targetBytes: Long = 128L * 1024 * 1024)
+      : (Int, Int) =
+    graft.etl.Merge.compactRetract(s, ledgerPath, delPath, "doc_id", "fp",
+      targetBytes)
+
+  def audioNearDupRetract(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.documents(s, d).select(col("doc_id"),
+      pmod(graft.functions.Text.portableHash(col("doc_id").cast("string")),
+        lit(100L)).as("bucket"))
+    val root = s"${s.conf.get("spark.sql.warehouse.dir")}/graft_audiofpr_" +
+      Tables.datasetTag(s, d, "documents")
+    val (path, delPath) = (s"$root/led", s"$root/del")
+    graft.etl.Merge.foldMissingBatches(s, path, Seq(
+      "b0"  -> (() => appendAudioFpLedger(path,
+        ids.filter(col("bucket") < 50).select(col("doc_id")), "b0")),
+      "b1"  -> (() => appendAudioFpLedger(path,
+        ids.filter(col("bucket") >= 50).select(col("doc_id")), "b1")),
+      "rm0" -> (() => retractAudioFpBatch(path, delPath,
+        ids.filter(col("bucket") >= 20 && col("bucket") < 30)
+          .select(col("doc_id")), "rm0"))))
+    electAudioClusters(readAudioFpLedgerNet(s, path, delPath))
+  }
   /** Oracle: the envelope formula → exact ratio quantization → base-65
     * packing, predicted without ever touching a WAV byte; n_doc_fps is
     * the PREDICTION 1 (a decode divergence on any variant breaks it). */
-  val audioNearDupSql: String = {
+  val audioNearDupSql: String = audioSqlFor("TRUE")
+
+  /** q153's oracle: q113's one-shot election on the REDUCED corpus. */
+  val audioRetractSql: String = audioSqlFor(
+    "NOT (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) " +
+      "AS BIGINT) % 100 BETWEEN 20 AND 29)")
+
+  private def audioSqlFor(where: String): String = {
     val mults = (0 until 8).map(b =>
       s"($b, CAST(${Seq.fill(b)("65").foldLeft(BigInt(1))((a, _) => a * 65)} AS BIGINT))")
       .mkString(", ")
     s"""WITH lv AS (
        |  SELECT doc_id, t.b,
        |    ((doc_id % 40) * 37 + t.b * 13) % 97 + 3 AS a
-       |  FROM documents, range(0, 8) t(b)),
+       |  FROM documents, range(0, 8) t(b) WHERE $where),
        |mx AS (SELECT doc_id, max(a) AS amax FROM lv GROUP BY doc_id),
        |m(b, mult) AS (VALUES $mults),
        |fp AS (
@@ -831,7 +864,8 @@ object Media {
     "q142_phash_incremental" -> (perceptualNearDupIncremental _),
     "q150_phash_retract" -> (perceptualRetract _),
     "q113_audio_neardup" -> (audioNearDup _),
-    "q147_audio_incremental" -> (audioNearDupIncremental _))
+    "q147_audio_incremental" -> (audioNearDupIncremental _),
+    "q153_audio_retract" -> (audioNearDupRetract _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q118_scene_cuts"    -> sceneCutsSql,
@@ -847,7 +881,9 @@ object Media {
     "q150_phash_retract" -> perceptualRetractSql,
     "q113_audio_neardup" -> audioNearDupSql,
     // q147's oracle IS q113's one-shot SQL — fold ≡ one-shot, gated
-    "q147_audio_incremental" -> audioNearDupSql)
+    "q147_audio_incremental" -> audioNearDupSql,
+    // q153's oracle is the one-shot election on the REDUCED corpus
+    "q153_audio_retract" -> audioRetractSql)
 }
 
 /** The per-partition codec. `image/`-prefixed payloads decode for REAL through

@@ -919,6 +919,136 @@ object Documents {
        |  (split != prev_split) AS reassigned
        |FROM f ORDER BY doc_id""".stripMargin
 
+  // ── q152: cluster REPAIR under takedown — deletion reaching CC ─────────
+  /** The takedown verb reaching the cluster/leakage ring, and the DUAL of
+    * q146's bridge-merge: deleting a BRIDGE doc SPLITS a standing cluster,
+    * and every resulting fragment must re-elect its representative (and
+    * therefore its train/eval split) — the exact event an eval-integrity
+    * pipeline must surface when honoring a takedown, because a fragment
+    * whose rep hash now lands in train frees its docs from eval (and
+    * vice versa).
+    *
+    * The repair is AFFECTED-CLUSTERS-ONLY, never a corpus re-cluster:
+    * deletion only CUTS edges, so a standing component with no deleted
+    * member is bit-identical in the reduced graph (same members, same
+    * min) — those labels project through untouched. Only components that
+    * contained a deleted doc re-run the CC kernel, on the subgraph
+    * induced by their surviving members: nodes = members of affected
+    * labels minus the takedown set, edges = standing pairs with both
+    * endpoints surviving. At 100 TB a takedown batch touches O(batch)
+    * clusters; the kernel's iteration cost is bounded by the affected
+    * families' size, with the untouched corpus reduced to one broadcast
+    * anti-join on the (batch-bounded) affected-label set.
+    *
+    * Gated against the one-shot q138 chain on the REDUCED corpus (fold ≡
+    * rebuild-on-what-remains, the q144–q151 stance), with q146's alert
+    * face re-derived: prev_split from the standing labels, `reassigned`
+    * marking every doc whose split moved. DedupClusterSpec proves the
+    * bridge-split property on constructed graphs. */
+  private[graft] def repairClusters(standing: DataFrame, pairs: DataFrame,
+                                    deleted: DataFrame): DataFrame = {
+    val affected = standing.join(deleted, Seq("doc_id"), "left_semi")
+      .select(col("lbl")).distinct()
+    val untouched = standing
+      .join(broadcast(affected), Seq("lbl"), "left_anti")
+    val subNodes = standing
+      .join(broadcast(affected), Seq("lbl"), "left_semi")
+      .join(deleted, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    val subPairs = pairs
+      .join(subNodes.select(col("doc_id").as("a_id")), Seq("a_id"),
+        "left_semi")
+      .join(subNodes.select(col("doc_id").as("b_id")), Seq("b_id"),
+        "left_semi")
+    connectedComponents(subNodes, subPairs).unionByName(untouched)
+  }
+
+  def clusterRepairRetract(s: SparkSession, d: String): DataFrame = {
+    val tag = Tables.datasetTag(s, d, "documents")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    // both standing artifacts a deployment would hold: the near-dup pair
+    // set (maintained incrementally by the q79/q82 family) and the
+    // standing labels (the q63/q112 loop's output)
+    val pairs = graft.etl.Merge.materialize(s, s"$wh/graft_ccr_pairs_$tag",
+      minhashNearDup(s, d).select(col("a_id"), col("b_id")))
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val standing = graft.etl.Merge.materialize(s,
+      s"$wh/graft_ccr_base_$tag", connectedComponents(docs, pairs))
+    val deleted = docs.filter(
+      pmod(Text.portableHash(col("doc_id").cast("string")),
+        lit(100L)).between(20, 29))
+    val repaired = repairClusters(standing, pairs, deleted)
+    val prev = splitByCluster(standing)
+      .select(col("doc_id"), col("split").as("prev_split"))
+    splitByCluster(repaired).join(prev, Seq("doc_id"))
+      .withColumn("reassigned", col("split") =!= col("prev_split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q152's oracle: the full-corpus CC (prev faces) and the REDUCED-
+    * corpus CC (post-takedown truth) chained like q146's two-sided CTE —
+    * both engines carve the takedown set with the portable md5 bucket. */
+  val clusterRepairRetractSql: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, $shinglesSql AS s
+       |  FROM (SELECT doc_id, $wordsSql AS w FROM documents)),
+       |ok AS (SELECT * FROM sh WHERE len(s) > 0),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM ok a JOIN ok b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 10000
+       |      // CAST(len(list_distinct(a.s || b.s)) AS BIGINT) >= 8000),
+       |del AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+       |    1, 15)) AS BIGINT) % 100 BETWEEN 20 AND 29),
+       |edges0 AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+       |cc0(doc_id, lbl) AS (
+       |  SELECT doc_id, doc_id AS lbl FROM documents
+       |  UNION
+       |  SELECT e.dst AS doc_id, cc0.lbl
+       |  FROM cc0 JOIN edges0 e ON cc0.doc_id = e.src),
+       |redges AS (
+       |  SELECT src, dst FROM edges0
+       |  WHERE src NOT IN (SELECT doc_id FROM del)
+       |    AND dst NOT IN (SELECT doc_id FROM del)),
+       |cc(doc_id, lbl) AS (
+       |  SELECT doc_id, doc_id AS lbl FROM documents
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM del)
+       |  UNION
+       |  SELECT e.dst AS doc_id, cc.lbl
+       |  FROM cc JOIN redges e ON cc.doc_id = e.src),
+       |lbl AS (
+       |  SELECT doc_id, CAST(min(lbl) AS BIGINT) AS cluster_rep
+       |  FROM cc GROUP BY doc_id),
+       |lbl0 AS (
+       |  SELECT doc_id, CAST(min(lbl) AS BIGINT) AS rep0
+       |  FROM cc0 GROUP BY doc_id),
+       |b AS (
+       |  SELECT l.doc_id, l.cluster_rep,
+       |    CAST(concat('0x', substr(md5(CAST(l.cluster_rep AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 100 AS bc,
+       |    CAST(concat('0x', substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 100 AS bd,
+       |    CAST(concat('0x', substr(md5(CAST(l0.rep0 AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 100 AS bp
+       |  FROM lbl l JOIN lbl0 l0 ON l.doc_id = l0.doc_id),
+       |f AS (
+       |  SELECT doc_id, cluster_rep,
+       |    CASE WHEN bc < 80 THEN 'train' WHEN bc < 90 THEN 'valid'
+       |         ELSE 'test' END AS split,
+       |    CASE WHEN bd < 80 THEN 'train' WHEN bd < 90 THEN 'valid'
+       |         ELSE 'test' END AS naive_split,
+       |    CASE WHEN bp < 80 THEN 'train' WHEN bp < 90 THEN 'valid'
+       |         ELSE 'test' END AS prev_split
+       |  FROM b)
+       |SELECT doc_id, cluster_rep, split, naive_split,
+       |  (split != naive_split) AS leaky, prev_split,
+       |  (split != prev_split) AS reassigned
+       |FROM f ORDER BY doc_id""".stripMargin
+
   // ── q80: quality-ranked canonical election over near-dup clusters ───────
   /** Dedup with QUALITY-RANKED canonical selection. q63 answers "which
     * docs are the same" (min-label CC over the near-dup pair graph) and
@@ -1568,30 +1698,9 @@ object Documents {
     * replay duplicates GC'd by the same full-row dedup. */
   private[graft] def compactBm25Retract(s: SparkSession, idxPath: String,
       delPath: String, targetBytes: Long = 128L * 1024 * 1024)
-      : (Int, Int) = {
-    val p = new org.apache.hadoop.fs.Path(idxPath)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    graft.etl.Merge.recoverSwap(fs, idxPath)
-    def dataFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val it = fs.listFiles(p, true)
-      val b = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
-      while (it.hasNext) {
-        val st = it.next()
-        val nm = st.getPath.getName
-        if (st.isFile && !nm.startsWith("_") && !nm.startsWith(".")) b += st
-      }
-      b.result()
-    }
-    val before = dataFiles()
-    val bytes = before.map(_.getLen).sum
-    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val compacted = s.read.parquet(idxPath)
-      .join(readBm25Tombstones(s, delPath), Seq("doc_id"), "left_anti")
-      .dropDuplicates()
-      .repartition(nFiles, col("term"))
-    graft.etl.Merge.writeAndSwap(compacted, idxPath, "rcompact")
-    (before.size, dataFiles().size)
-  }
+      : (Int, Int) =
+    graft.etl.Merge.compactRetract(s, idxPath, delPath, "doc_id", "term",
+      targetBytes)
 
   /** The BM25 probe over a denormalized index and its 1-row stats. */
   private[graft] def bm25Probe(idx: DataFrame, stats: DataFrame,
@@ -2918,8 +3027,19 @@ object Documents {
     * on corpus ∪ batch and REPLACE both artifact halves: the types half
     * is RETIRED first ([[graft.etl.Merge.retireArtifact]]) so no crash
     * point can leave both halves present across generations — the pair
-    * is served matched or rebuilt together, never split. Returns
-    * whether a refresh happened;
+    * is served matched or rebuilt together, never split. A READER
+    * in-flight during the refresh (VERDICT r18 item 6): generations are
+    * pinned at FILE grain (each swap deletes the old files), so a scan
+    * that listed one half's old generation and reaches it after its
+    * swap dies on FileNotFound and retries onto the rebuilt pair —
+    * almost every interleaving is an availability blip, not a split
+    * answer. The one exception: a reader that finished consuming the
+    * old merges BEFORE the merges swap and lists types only AFTER the
+    * second swap assembles old-merges + new-types in its own memory.
+    * On-disk state can never say that (the crash-safety claim above),
+    * so a consumer that must be split-proof end-to-end pins both halves
+    * through one [[graft.etl.Manifest]] snapshot instead of reading the
+    * live paths mid-refresh. Returns whether a refresh happened;
     * BpeSpec drives both branches and proves the refreshed artifact
     * equals a from-scratch train on the union. */
   def bpeRefreshIfDrifted(s: SparkSession, mergesPath: String,
@@ -5003,6 +5123,7 @@ object Documents {
     "q145_nb_retract"     -> (nbClassifierRetract _),
     "q146_leakage_incremental" -> (leakageSafeSplitIncremental _),
     "q151_gram_retract"   -> (dupSpansRetract _),
+    "q152_cluster_repair" -> (clusterRepairRetract _),
     "q148_curation_pipeline" -> (curationPipeline _),
     "q139_shard_export"   -> (shardExport _),
     "q140_shard_incremental" -> (shardIncremental _),
@@ -5064,6 +5185,7 @@ object Documents {
     "q146_leakage_incremental" -> leakageSafeSplitIncrementalSql,
     // q151's oracle: the global >=2 rule counting only what remains
     "q151_gram_retract"   -> dupSpansIncrSqlFor("NOT (b BETWEEN 20 AND 29)"),
+    "q152_cluster_repair" -> clusterRepairRetractSql,
     "q148_curation_pipeline" -> curationPipelineSql,
     "q139_shard_export"   -> shardExportSql,
     "q140_shard_incremental" -> shardIncrementalSql,

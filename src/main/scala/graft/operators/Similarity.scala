@@ -511,7 +511,12 @@ object Similarity {
     * files into size-targeted ones and permanently drops replay
     * duplicates, keeping the `label=` directory layout the probe's
     * dynamic pruning needs (Merge.compact would flatten it). Returns
-    * (files before, files after). */
+    * (files before, files after). A probe CONCURRENT with the
+    * delete→rename window (VERDICT r18 item 6) fails on FileNotFound
+    * and retries onto the compacted generation — file-grain listing
+    * means it can never mix generations or see a half-compacted cell;
+    * availability-only, like every swap in the warehouse (see
+    * [[graft.etl.Merge.writeAndSwap]]'s concurrency note). */
   def compactIvfPostings(s: SparkSession, postPath: String): (Int, Int) = {
     val target = new org.apache.hadoop.fs.Path(postPath)
     val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -453,4 +453,31 @@ class MediaSpec extends SparkSpec {
       "tombstoned ledger rows survived retraction compaction")
     assert(got() === want, "retraction compaction changed the election")
   }
+
+  test("TAKEDOWN retraction (q153): the audio-fp ledger masks tombstoned " +
+       "docs, the election re-runs among survivors, replay absorbs, and " +
+       "retraction compaction physically drops the rows") {
+    import spark.implicits._
+    val ids = (0L to 79L).toDF("doc_id").localCheckpoint(true)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-audiofp-retract").toString
+    val (path, del) = (s"$base/led", s"$base/del")
+    Media.appendAudioFpLedger(path, ids.filter($"doc_id" % 2 === 0), "b0")
+    Media.appendAudioFpLedger(path, ids.filter($"doc_id" % 2 === 1), "b1")
+    val removed = Seq(5L, 12L, 40L).toDF("doc_id").localCheckpoint(true)
+    Media.retractAudioFpBatch(path, del, removed, "rm0")
+    Media.retractAudioFpBatch(path, del, removed, "rm0") // replay
+    val want = Media.electAudioClusters(Media.audioFpPerDoc(
+        ids.join(removed, Seq("doc_id"), "left_anti")))
+      .collect().toSeq
+    def got() = Media.electAudioClusters(
+        Media.readAudioFpLedgerNet(spark, path, del))
+      .collect().toSeq
+    assert(got() === want, "retracted election != reduced one-shot")
+    val (fb, fa) = Media.compactAudioFpRetract(spark, path, del)
+    assert(fa <= fb, s"retraction compaction grew files ($fb -> $fa)")
+    assert(spark.read.parquet(path).count() === 77L,
+      "tombstoned ledger rows survived retraction compaction")
+    assert(got() === want, "retraction compaction changed the election")
+  }
 }

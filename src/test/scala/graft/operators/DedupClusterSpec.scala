@@ -195,4 +195,36 @@ class DedupClusterSpec extends SparkSpec {
       "prev_split must be the standing (max-side) split")
     assert(!out(rmin)._5 && !out(xa)._5, "min side must not reassign")
   }
+
+  test("cluster repair under takedown (q152): deleting a BRIDGE doc " +
+       "splits its cluster into re-elected fragments, untouched clusters " +
+       "keep their labels, and the repair == one-shot CC on the reduced " +
+       "graph — for bridge, leaf, and rep deletions") {
+    // cluster {1,2,3} chained through bridge 2; cluster {10,11} untouched
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val standing = Documents.connectedComponents(nodes, pairs)
+      .localCheckpoint(true)
+    def repair(del: Seq[Long]): Map[Long, Long] =
+      Documents.repairClusters(standing, pairs, del.toDF("doc_id"))
+        .as[(Long, Long)].collect().toMap
+    // bridge deletion: {1,3} split into singleton fragments
+    assert(repair(Seq(2L)) === cc(Seq(1L, 3L, 10L, 11L), Seq((10L, 11L))),
+      "bridge takedown != one-shot CC on the reduced graph")
+    assert(repair(Seq(2L)) ===
+      Map(1L -> 1L, 3L -> 3L, 10L -> 10L, 11L -> 10L))
+    // leaf deletion: cluster only shrinks, rep unchanged
+    assert(repair(Seq(3L)) ===
+      cc(Seq(1L, 2L, 10L, 11L), Seq((1L, 2L), (10L, 11L))))
+    // rep deletion: the surviving fragment re-elects its min id
+    val repRemoved = repair(Seq(1L))
+    assert(repRemoved(2L) === 2L && repRemoved(3L) === 2L,
+      "fragment did not re-elect after its rep's takedown")
+    // no deleted id ever appears — as a member OR as a label
+    Seq(Seq(2L), Seq(3L), Seq(1L)).foreach { del =>
+      val r = repair(del)
+      assert(del.forall(id => !r.contains(id) && !r.values.toSet(id)),
+        s"a tombstoned doc survived the repair for del=$del")
+    }
+  }
 }
