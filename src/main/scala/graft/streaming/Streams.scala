@@ -948,6 +948,34 @@ object Streams {
       }
       .start()
 
+  // ── takedown sink: the q144 retraction verb's streaming face ────────────
+  /** Takedown/right-to-be-forgotten events arriving as a STREAM of
+    * (doc_id, text) rows, each micro-batch retracted through the BM25
+    * index triple ([[graft.operators.Documents.retractBm25]]): tombstones
+    * first (serving stops at the batch boundary even if the statistics
+    * retraction crashes mid-way), then the negative df/stats partials.
+    * Idempotence is the retraction contract itself: a checkpoint-replayed
+    * batch re-derives byte-identical tombstones (distinct-absorbed) and
+    * negative partials (first-wins on the batch token), so replay can
+    * never double-forget. Empty micro-batches (idle ticks) retract
+    * nothing — the r18 empty-batch lesson applied at the sink boundary.
+    * Physical deletion stays on the compaction cadence
+    * ([[graft.operators.Documents.compactBm25Retract]]), exactly like
+    * the batch verb. */
+  def bm25RetractSink(docs: DataFrame, idxPath: String, statsPath: String,
+      dfPath: String, delPath: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Documents.retractBm25(idxPath, statsPath, dfPath,
+            delPath, batch.toDF(), s"rm$batchId")
+      }
+      .start()
+
   /** One click-matched view awaiting its click's purchase horizon. */
   case class FunnelAwait(viewUs: Long, clickUs: Long)
   /** Per-user funnel state: views awaiting a click; click-matched views

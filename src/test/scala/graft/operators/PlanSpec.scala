@@ -984,4 +984,21 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"cartesian in q127:\n$p")
     }
   }
+
+  test("q152: the untouched side of a cluster repair is ONE broadcast " +
+       "anti-join on the affected-label set — the standing corpus is " +
+       "never re-clustered or shuffled for a takedown") {
+    import spark.implicits._
+    val standing = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+      (11L, 10L)).toDF("doc_id", "lbl")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val p = plan(Documents.repairClusters(standing, pairs,
+      Seq(2L).toDF("doc_id")))
+    assert(p.contains("LeftAnti"),
+      s"untouched-label projection must be an anti-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"the affected-label set must BROADCAST (it is batch-bounded):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a takedown must never shuffle the standing corpus:\n$p")
+  }
 }

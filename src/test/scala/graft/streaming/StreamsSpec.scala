@@ -721,6 +721,42 @@ class StreamsSpec extends SparkSpec {
            oneShot.exceptAll(streamed).count() === 0)
   }
 
+  test("bm25RetractSink: takedown events streamed in two micro-batches " +
+       "retract through the index triple — the net probe equals the " +
+       "one-shot on the reduced corpus (q144's streaming twin)") {
+    import graft.operators.Documents
+    val docs = Tables.documents(spark, sfDir)
+    val removed = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"))
+    val reduced = docs.filter(col("doc_id") % 7 =!= 0)
+    val dir = tmp("graft-bm25r-sink")
+    val (idx, stats, dfLed, del) =
+      (s"$dir/post", s"$dir/stats", s"$dir/df", s"$dir/del")
+    Documents.appendBm25(idx, stats, dfLed, docs, "b0")
+    // the takedown events arrive as a stream, drained one file per
+    // micro-batch so the retraction really decomposes across batches
+    val delDir = tmp("graft-bm25r-dels")
+    removed.repartition(2).write.mode("overwrite").parquet(delDir)
+    val q = Streams.bm25RetractSink(
+      spark.readStream.schema(removed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(delDir),
+      idx, stats, dfLed, del, tmp("graft-bm25r-ckpt"))
+    q.awaitTermination(120000)
+    val terms = Seq("hash", "join", "scan")
+    import spark.implicits._
+    val got = Documents.bm25ProbeNet(spark.read.parquet(idx),
+        Documents.readBm25Tombstones(spark, del),
+        spark.read.parquet(dfLed),
+        Documents.bm25StatsTotal(spark.read.parquet(stats)), terms, 1000)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val expect = Documents.bm25Probe(Documents.bm25Postings(reduced),
+        Documents.bm25StatsTotal(
+          Documents.bm25StatsLedger(reduced, "x")), terms, 1000)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(expect.nonEmpty && got === expect,
+      "streamed takedown != one-shot probe on the reduced corpus")
+  }
+
   test("grid maintenance == batch q119 bit-for-bit after day-split " +
        "batches, an OUT-OF-ORDER late batch, and a replay (the resample " +
        "ring's streaming face, r15)") {
