@@ -482,11 +482,17 @@ object Merge {
     val before = dataFiles()
     val bytes = before.map(_.getLen).sum
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    // repartition BEFORE the full-row dedup, [[compact]]'s order: the
+    // clusterKey hash partitioning is a subset of the distinct's
+    // all-column clustering, so the dedup aggregates in-partition — ONE
+    // exchange of the surviving ledger, and the written files keep both
+    // the nFiles budget and the probe-key clustering (dedup-first paid a
+    // second full exchange and let the all-column shuffle dictate layout)
     val compacted = s.read.parquet(path)
       .join(broadcast(s.read.parquet(delPath)
         .select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
-      .dropDuplicates()
       .repartition(nFiles, col(clusterKey))
+      .dropDuplicates()
     writeAndSwap(compacted, path, "rcompact")
     (before.size, dataFiles().size)
   }
