@@ -490,7 +490,7 @@ object Media {
     * next-lowest id, exactly what the reduced one-shot oracle computes).
     * [[compactPhashRetract]] physically drops masked rows on the normal
     * compaction cadence. Zero decodes anywhere in the retraction path. */
-  private[multimodal] def retractPhashBatch(ledgerPath: String,
+  private[graft] def retractPhashBatch(ledgerPath: String,
       delPath: String, ids: DataFrame, batchId: String): Unit = {
     val s = ids.sparkSession
     val fs = new org.apache.hadoop.fs.Path(delPath).getFileSystem(
@@ -716,7 +716,7 @@ object Media {
     * election is a pure function of the net ledger), and the rows drop
     * physically on the compaction cadence. Oracle = q113's one-shot on
     * the reduced corpus. */
-  private[multimodal] def retractAudioFpBatch(ledgerPath: String,
+  private[graft] def retractAudioFpBatch(ledgerPath: String,
       delPath: String, ids: DataFrame, batchId: String): Unit = {
     val s = ids.sparkSession
     val fs = new org.apache.hadoop.fs.Path(delPath).getFileSystem(

@@ -965,16 +965,67 @@ object Streams {
   def bm25RetractSink(docs: DataFrame, idxPath: String, statsPath: String,
       dfPath: String, delPath: String,
       checkpoint: String): StreamingQuery =
-    docs.writeStream
+    retractSink(docs, checkpoint)((b, id) =>
+      graft.operators.Documents.retractBm25(idxPath, statsPath, dfPath,
+        delPath, b, id))
+
+  /** [[bm25RetractSink]]'s shape for every TOMBSTONE-keyed family — the
+    * five remaining takedown verbs differ only in which retract function
+    * a micro-batch calls, so the streaming face lives once: empty idle
+    * ticks retract nothing, a checkpoint-replayed batch re-derives
+    * byte-identical rows under the same `rm$batchId` token and the
+    * family's own absorption (tombstone distinct / first-wins negative
+    * partials) makes replay a no-op. */
+  private def retractSink(rows: DataFrame, checkpoint: String)(
+      apply: (DataFrame, String) => Unit): StreamingQuery =
+    rows.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty)
-          graft.operators.Documents.retractBm25(idxPath, statsPath, dfPath,
-            delPath, batch.toDF(), s"rm$batchId")
+        if (!batch.isEmpty) apply(batch.toDF(), s"rm$batchId")
       }
       .start()
+
+  /** q149's takedown verb as a stream: (vec_id) rows tombstone the
+    * cell-partitioned IVF postings — probes stop serving the vectors at
+    * the micro-batch boundary; physical deletion stays on
+    * [[graft.operators.Similarity.compactIvfRetract]]'s cadence. */
+  def ivfRetractSink(vecIds: DataFrame, postPath: String, delPath: String,
+                     checkpoint: String): StreamingQuery =
+    retractSink(vecIds, checkpoint)((b, id) =>
+      graft.operators.Similarity.retractIvfBatch(postPath, delPath, b, id))
+
+  /** q150's takedown verb as a stream: (doc_id) rows tombstone the
+    * perceptual-hash ledger; the election re-runs among survivors with
+    * zero decodes. */
+  def phashRetractSink(ids: DataFrame, ledgerPath: String, delPath: String,
+                       checkpoint: String): StreamingQuery =
+    retractSink(ids, checkpoint)((b, id) =>
+      graft.multimodal.Media.retractPhashBatch(ledgerPath, delPath, b, id))
+
+  /** q153's takedown verb as a stream — the audio-fp ledger's tombstone
+    * face, decode-free like the batch verb. */
+  def audioRetractSink(ids: DataFrame, ledgerPath: String, delPath: String,
+                       checkpoint: String): StreamingQuery =
+    retractSink(ids, checkpoint)((b, id) =>
+      graft.multimodal.Media.retractAudioFpBatch(ledgerPath, delPath, b, id))
+
+  /** q151's takedown verb as a stream: (doc_id, text) rows land as
+    * negative gram-count partials — the ledger nets them out, so a
+    * fully-retracted gram stops flagging spans at the batch boundary. */
+  def gramRetractSink(docs: DataFrame, ledgerPath: String, k: Int,
+                      checkpoint: String): StreamingQuery =
+    retractSink(docs, checkpoint)((b, id) =>
+      graft.operators.Documents.retractGramBatch(ledgerPath, b, k, id))
+
+  /** q145's takedown verb as a stream: labeled (doc_id, text, y) rows
+    * land as negative NB count partials; the served model nets per term
+    * and drops zero-net terms to OOV-prior backoff. */
+  def nbRetractSink(docs: DataFrame, ledgerPath: String,
+                    checkpoint: String): StreamingQuery =
+    retractSink(docs, checkpoint)((b, id) =>
+      graft.operators.Documents.retractNbBatch(ledgerPath, b, id))
 
   /** One click-matched view awaiting its click's purchase horizon. */
   case class FunnelAwait(viewUs: Long, clickUs: Long)

@@ -757,6 +757,92 @@ class StreamsSpec extends SparkSpec {
       "streamed takedown != one-shot probe on the reduced corpus")
   }
 
+  test("gramRetractSink: streamed takedowns net the gram ledger to the " +
+       "reduced corpus's counts exactly (q151's streaming twin)") {
+    import graft.operators.Documents
+    val K = 20
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val removed = docs.filter(col("doc_id") % 7 === 0)
+    val led = tmp("graft-gramr-sink")
+    Documents.appendGramLedger(led, docs, K, "b0")
+    val delDir = tmp("graft-gramr-dels")
+    removed.repartition(2).write.mode("overwrite").parquet(delDir)
+    val q = Streams.gramRetractSink(
+      spark.readStream.schema(removed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(delDir),
+      led, K, tmp("graft-gramr-ckpt"))
+    q.awaitTermination(120000)
+    val got = Documents.gramLedgerCounts(spark, led)
+      .filter(col("n_idx") =!= 0L)
+    val want = Documents.gramCounts(
+      docs.filter(col("doc_id") % 7 =!= 0), K)
+    assert(want.count() > 0 &&
+           got.exceptAll(want).count() === 0 &&
+           want.exceptAll(got).count() === 0,
+      "streamed gram retraction != reduced corpus counts")
+  }
+
+  test("nbRetractSink: streamed takedowns net the NB count ledger to a " +
+       "model trained on the reduced corpus (q145's streaming twin)") {
+    import graft.operators.Documents
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        (col("lang") === "en").cast("long").as("y"))
+    val removed = docs.filter(col("doc_id") % 7 === 0)
+    val led = tmp("graft-nbr-sink")
+    Documents.appendNbLedger(led, docs, "b0")
+    val delDir = tmp("graft-nbr-dels")
+    removed.repartition(2).write.mode("overwrite").parquet(delDir)
+    val q = Streams.nbRetractSink(
+      spark.readStream.schema(removed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(delDir),
+      led, tmp("graft-nbr-ckpt"))
+    q.awaitTermination(120000)
+    val got = Documents.nbLedgerModel(spark, led)
+    val want = Documents.nbTrainModel(
+      docs.filter(col("doc_id") % 7 =!= 0))
+    assert(want.count() > 0 &&
+           got.exceptAll(want).count() === 0 &&
+           want.exceptAll(got).count() === 0,
+      "streamed NB retraction != model trained on the reduced corpus")
+  }
+
+  test("ivfRetractSink: streamed takedowns tombstone the postings — the " +
+       "net read serves exactly the surviving vectors (q149's streaming " +
+       "twin), and a replayed delete file absorbs") {
+    import graft.operators.Similarity
+    val e = Similarity.withNorm(Tables.embeddings(spark, sfDir))
+    val post = tmp("graft-ivfr-sink") + "/post"
+    val del = tmp("graft-ivfr-sink") + "/del"
+    Similarity.appendIvfBatch(post, e, "b0")
+    val removed = e.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val delDir = tmp("graft-ivfr-dels")
+    removed.repartition(2).write.mode("overwrite").parquet(delDir)
+    val q = Streams.ivfRetractSink(
+      spark.readStream.schema(removed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(delDir),
+      post, del, tmp("graft-ivfr-ckpt"))
+    q.awaitTermination(120000)
+    import spark.implicits._
+    val served = Similarity.readPostingsNet(spark, post, del)
+      .select(col("vec_id")).as[Long].collect().toSet
+    val all = e.select(col("vec_id")).as[Long].collect().toSet
+    val gone = removed.as[Long].collect().toSet
+    assert(served === (all -- gone),
+      "net postings read != surviving vectors after the streamed takedown")
+    // replay: drain a fresh stream over the SAME delete files into the
+    // same del path — tombstones are distinct-absorbed, nothing changes
+    val q2 = Streams.ivfRetractSink(
+      spark.readStream.schema(removed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(delDir),
+      post, del, tmp("graft-ivfr-ckpt2"))
+    q2.awaitTermination(120000)
+    val served2 = Similarity.readPostingsNet(spark, post, del)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(served2 === served, "replayed takedown stream changed the net")
+  }
+
   test("grid maintenance == batch q119 bit-for-bit after day-split " +
        "batches, an OUT-OF-ORDER late batch, and a replay (the resample " +
        "ring's streaming face, r15)") {
