@@ -185,24 +185,31 @@ object Bench {
     (detail ++ flat).toMap // toMap keeps the last duplicate → flat wins
   }
 
-  /** [[parseQueryTimes]] over the newest `BENCH_r{N}.json` in cwd, if any.
-    * A malformed/missing file degrades to "no prev", never a bench
-    * failure. */
+  /** [[parseQueryTimes]] over EVERY `BENCH_r{N}.json` / `BENCH_r{N}_local
+    * .json` in cwd, newest round first, per-query first-hit-wins. The old
+    * newest-file-only lookup lost two rounds' baselines to the driver
+    * wrapper's front-truncation (r19: the whole tail read `prev n/a`, so
+    * the outlier re-run rule had no baseline to rescue anything) — a
+    * query missing from the newest artifact now falls back to the most
+    * recent round that still carries it. A malformed/missing file
+    * degrades to "no prev", never a bench failure. */
   def prevQueryTimes(): Map[String, Double] =
     try {
-      val rx = """BENCH_r(\d+)\.json""".r
+      val rx = """BENCH_r(\d+)(_local)?\.json""".r
       val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
         .flatMap(f => f.getName match {
-          case rx(n) => Some((n.toInt, f))
+          // driver artifact sorts before the same round's local record,
+          // but both feed the per-query fallback
+          case rx(n, loc) => Some(((n.toInt, if (loc == null) 1 else 0), f))
           case _ => None
         })
-      if (files.isEmpty) Map.empty
-      else {
-        val txt = {
-          val src = scala.io.Source.fromFile(files.maxBy(_._1)._2, "UTF-8")
-          try src.mkString finally src.close()
-        }
-        parseQueryTimes(txt)
+      files.sortBy(_._1).reverse.foldLeft(Map.empty[String, Double]) {
+        case (acc, (_, f)) =>
+          val txt = try {
+            val src = scala.io.Source.fromFile(f, "UTF-8")
+            try src.mkString finally src.close()
+          } catch { case _: Throwable => "" }
+          parseQueryTimes(txt) ++ acc // acc (newer files) wins
       }
     } catch { case _: Throwable => Map.empty }
 
@@ -241,6 +248,26 @@ object Bench {
     val benchT0 = System.nanoTime()
     val loadStart = loadavg()
     val prev = prevQueryTimes()
+    // DAMAGE TOLERANCE (r19 VERDICT item 1b): the r19 driver bench was
+    // killed at rc 124 and left NO totals — the one output line never
+    // printed. Per-query results now also stream to BENCH_stream.jsonl as
+    // they land (one JSON object per line, written+flushed after each
+    // query), so a timeout kill preserves everything measured up to the
+    // kill, in a file the driver's stdout-wrapper cannot truncate.
+    val streamPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM",
+      "BENCH_stream.jsonl")
+    val streamOut = try {
+      Some(new java.io.PrintWriter(
+        new java.io.FileWriter(streamPath, /* append = */ false)))
+    } catch { case _: Throwable => None }
+    // ... and one pathological query cannot eat the whole driver window:
+    // once a query's ACCUMULATED timed seconds cross the cap, no further
+    // passes (or reruns) are granted — the min-so-far ships, stamped
+    // "capped" so the reader knows it saw fewer passes. 150 s is ~15× the
+    // most expensive query's healthy sf0.1 time; a query that hits it is
+    // already the artifact's loudest finding.
+    val capSec = sys.env.get("SPARK_GRAFT_QUERY_CAP_SEC")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(150.0)
     var errors = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       // each pass = (seconds, loadavg-at-start); seconds -1 on failure
@@ -257,17 +284,25 @@ object Bench {
           (-1.0, ld)
         }
       }
-      var passes = (1 to Passes).iterator.map(_ => pass())
-        .takeWhile(_._1 >= 0).toVector // a failing query fails fast, once
-      val ok = passes.length == Passes
+      def spent(ps: Vector[(Double, Double)]): Double =
+        ps.map(_._1).filter(_ >= 0).sum
+      var passes = Vector.empty[(Double, Double)]
+      var failed = false
+      while (!failed && passes.length < Passes &&
+             (passes.isEmpty || spent(passes) < capSec)) {
+        val p = pass()
+        if (p._1 < 0) failed = true else passes :+= p
+      }
+      val ok = !failed && passes.nonEmpty
+      val capped = ok && passes.length < Passes
       // load self-defense: a min that regressed >RerunFactor× vs prev is
       // more likely co-tenant contamination than a real regression (both
       // have happened; the artifact must distinguish them) — grant extra
       // passes until the min recovers or the budget is spent
       var reruns = 0
-      if (ok) {
+      if (ok && !capped) {
         val base = prev.get(name)
-        while (reruns < RerunPasses &&
+        while (reruns < RerunPasses && spent(passes) < capSec &&
                base.exists(p => passes.map(_._1).min > RerunFactor * p)) {
           val extra = pass()
           reruns += 1
@@ -284,8 +319,15 @@ object Bench {
       val prevStr = prev.get(name).map(p => f"prev $p%7.2f s").getOrElse("prev     n/a")
       System.err.println(
         if (ok) f"[bench] $name%-24s min $mn%7.2f s  mean $mean%7.2f s  $prevStr  load $minLoad%5.1f" +
-                (if (reruns > 0) s"  reruns $reruns" else "")
+                (if (reruns > 0) s"  reruns $reruns" else "") +
+                (if (capped) "  CAPPED" else "")
         else    f"[bench] $name%-24s FAILED")
+      streamOut.foreach { w =>
+        def j(d: Double) = if (d < 0) "-1" else f"$d%.4f"
+        val p = prev.get(name).map(v => f"$v%.4f").getOrElse("null")
+        w.println(s"""{"q":"$name","min":${j(mn)},"mean":${j(mean)},"prev":$p,"load":${j(minLoad)},"reruns":$reruns,"capped":$capped}""")
+        w.flush()
+      }
       name -> (mn, mean, minLoad, reruns)
     }
     def jnum(d: Double) = if (d < 0) "-1" else f"$d%.4f"
@@ -302,7 +344,9 @@ object Bench {
     val core9 = results.collect {
       case (k, (mn, _, _, _)) if mn >= 0 && k.matches("q0[1-9].*") => mn }.sum
     val wall = (System.nanoTime() - benchT0) / 1e9
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_detail":$detail,"passes":$Passes,"n_queries":${results.size},"core9_total":$core9,"errors":$errJson,"loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadavg())},"gated":$allGated,"gate_wait_sec":${gateSpentMs / 1000},"probe_cpu_sec":${jnum(probeCpu)},"probe_codec_sec":${jnum(probeCodec)},"wall_sec":${jnum(wall)},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_detail":$detail,"passes":$Passes,"n_queries":${results.size},"core9_total":$core9,"errors":$errJson,"loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadavg())},"gated":$allGated,"gate_wait_sec":${gateSpentMs / 1000},"probe_cpu_sec":${jnum(probeCpu)},"probe_codec_sec":${jnum(probeCodec)},"wall_sec":${jnum(wall)},"sf":"$sfDir"}"""
+    println(line)
+    streamOut.foreach { w => w.println(line); w.close() }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

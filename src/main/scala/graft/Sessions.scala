@@ -23,6 +23,33 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
 
+  /** Warehouse isolation (VERDICT r19 item 1a): the old fixed
+    * `$tmpdir/graft-warehouse` was SHARED by every graft process on the
+    * box, and the r19 bench-of-record died with q152 68× its fresh-session
+    * number — the ladder protocol *clears the warehouse between tiers*,
+    * so a concurrent ladder run could retire a bench process's
+    * materialized artifacts mid-pass and force per-pass rebuilds under a
+    * saturated disk. Now each JVM gets its OWN warehouse by default
+    * (pid-keyed — stable within the process, never shared across
+    * processes), deleted on clean JVM exit so repeated runs can't fill
+    * /tmp. `SPARK_GRAFT_WAREHOUSE` pins an explicit path for workflows
+    * that WANT artifact reuse across processes (ladder warm tiers); a
+    * pinned warehouse is the caller's to clean. */
+  lazy val warehouseDir: String =
+    sys.env.get("SPARK_GRAFT_WAREHOUSE").getOrElse {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-warehouse-" +
+        ProcessHandle.current().pid()
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(): Unit
+          }
+          rm(new java.io.File(dir))
+        } catch { case _: Throwable => () }))
+      dir
+    }
+
   /** Local session for Verify/Bench/tests. `cpus` is also the shuffle
     * parallelism — at local scale one partition per core is right.
     *
@@ -40,8 +67,7 @@ object Sessions {
       .config("spark.io.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4"))
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.warehouse.dir",
-        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.sql.session.timeZone", "UTC")
       // Spark 4 default, pinned explicitly: the whole oracle surface is
       // verified under ANSI (parsers guard their casts; try_* for

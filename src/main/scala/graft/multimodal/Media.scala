@@ -350,7 +350,7 @@ object Media {
     * mapPartitions; only 32 bytes/doc survive. Factored so the q142
     * ledger appends exactly this per batch (decode work runs once per
     * document EVER, the amortization that matters at 100 TB of images). */
-  private[multimodal] def phashPerDoc(ids: DataFrame): DataFrame = {
+  private[graft] def phashPerDoc(ids: DataFrame): DataFrame = {
     val s = ids.sparkSession
     import s.implicits._
     val hashes = ids.select(col("doc_id"))
@@ -379,7 +379,7 @@ object Media {
 
   /** Cluster election over per-doc hashes — two aggregates + one
     * co-partitioned join on the hash pair, all 4-long rows. */
-  private[multimodal] def electPhashClusters(perDoc: DataFrame): DataFrame = {
+  private[graft] def electPhashClusters(perDoc: DataFrame): DataFrame = {
     val clusters = perDoc.groupBy(col("hash_hi"), col("hash_lo"))
       .agg(count(lit(1)).as("n_same"), min(col("doc_id")).as("canonical_id"))
     perDoc.join(clusters, Seq("hash_hi", "hash_lo"))
@@ -439,7 +439,7 @@ object Media {
     * Replayed appends re-derive byte-identical rows (the hash is a pure
     * function of the payload) and the reader's full-row dedup absorbs
     * them; compaction is the shared hash-clustered rewrite. */
-  private[multimodal] def appendPhashLedger(ledgerPath: String,
+  private[graft] def appendPhashLedger(ledgerPath: String,
       ids: DataFrame, batchId: String): Unit = {
     val s = ids.sparkSession
     val fs = new org.apache.hadoop.fs.Path(ledgerPath).getFileSystem(
@@ -451,7 +451,7 @@ object Media {
 
   /** The ledger in [[electPhashClusters]]'s shape: full-row dedup absorbs
     * replayed appends (rows are a pure function of the payload). */
-  private[multimodal] def readPhashLedger(s: SparkSession,
+  private[graft] def readPhashLedger(s: SparkSession,
                                           ledgerPath: String): DataFrame =
     s.read.parquet(ledgerPath).dropDuplicates()
       .select(col("doc_id"), col("n_variants"), col("n_doc_hashes"),
@@ -500,12 +500,12 @@ object Media {
       .write.mode("append").parquet(delPath)
   }
 
-  private[multimodal] def readPhashTombstones(s: SparkSession,
+  private[graft] def readPhashTombstones(s: SparkSession,
                                               delPath: String): DataFrame =
     s.read.parquet(delPath).select(col("doc_id")).distinct()
 
   /** The ledger net of tombstones — what every q150 consumer reads. */
-  private[multimodal] def readPhashLedgerNet(s: SparkSession,
+  private[graft] def readPhashLedgerNet(s: SparkSession,
       ledgerPath: String, delPath: String): DataFrame =
     readPhashLedger(s, ledgerPath)
       .join(broadcast(readPhashTombstones(s, delPath)),
@@ -605,7 +605,7 @@ object Media {
     * mapPartitions; only 24 bytes/doc survive. Factored (r19, the q142
     * move on the second modality) so the q147 ledger appends exactly
     * this per batch: audio decode runs once per document EVER. */
-  private[multimodal] def audioFpPerDoc(ids: DataFrame): DataFrame = {
+  private[graft] def audioFpPerDoc(ids: DataFrame): DataFrame = {
     val s = ids.sparkSession
     import s.implicits._
     val fps = ids.select(col("doc_id"))
@@ -653,7 +653,7 @@ object Media {
 
   /** Cluster election over per-doc fingerprints — two hash-partitioned
     * aggregates + one co-partitioned join on the fp, all long rows. */
-  private[multimodal] def electAudioClusters(perDoc: DataFrame): DataFrame = {
+  private[graft] def electAudioClusters(perDoc: DataFrame): DataFrame = {
     val rep = perDoc.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("cluster_rep"))
     perDoc.join(rep, Seq("fp"))
@@ -674,7 +674,7 @@ object Media {
     * a pure function of the payload) and the reader's full-row dedup
     * absorbs them; compaction clusters on the fingerprint. Gated against
     * q113's ORACLE VERBATIM: fold ≡ one-shot. */
-  private[multimodal] def appendAudioFpLedger(ledgerPath: String,
+  private[graft] def appendAudioFpLedger(ledgerPath: String,
       ids: DataFrame, batchId: String): Unit = {
     val s = ids.sparkSession
     val fs = new org.apache.hadoop.fs.Path(ledgerPath).getFileSystem(
@@ -684,7 +684,7 @@ object Media {
       .write.mode("append").parquet(ledgerPath)
   }
 
-  private[multimodal] def readAudioFpLedger(s: SparkSession,
+  private[graft] def readAudioFpLedger(s: SparkSession,
                                             ledgerPath: String): DataFrame =
     s.read.parquet(ledgerPath).dropDuplicates()
       .select(col("doc_id"), col("n_doc_fps"), col("fp"))
@@ -726,7 +726,7 @@ object Media {
       .write.mode("append").parquet(delPath)
   }
 
-  private[multimodal] def readAudioFpLedgerNet(s: SparkSession,
+  private[graft] def readAudioFpLedgerNet(s: SparkSession,
       ledgerPath: String, delPath: String): DataFrame =
     readAudioFpLedger(s, ledgerPath)
       .join(broadcast(s.read.parquet(delPath)

@@ -973,19 +973,57 @@ object Streams {
     * five remaining takedown verbs differ only in which retract function
     * a micro-batch calls, so the streaming face lives once: empty idle
     * ticks retract nothing, a checkpoint-replayed batch re-derives
-    * byte-identical rows under the same `rm$batchId` token and the
-    * family's own absorption (tombstone distinct / first-wins negative
-    * partials) makes replay a no-op. */
-  private def retractSink(rows: DataFrame, checkpoint: String)(
-      apply: (DataFrame, String) => Unit): StreamingQuery =
+    * byte-identical rows under the same token and the family's own
+    * absorption (tombstone distinct / first-wins negative partials)
+    * makes replay a no-op.
+    *
+    * The batch token is SALTED with a hash of the checkpoint path
+    * (ADVICE r19): Structured Streaming's batchId restarts at 0 for
+    * every fresh checkpoint, so a bare `rm$batchId` reused tokens when a
+    * SECOND takedown stream (new checkpoint, same ledger) started — and
+    * the count-ledger families' (key, batch_id) first-wins absorption
+    * would then silently drop one wave's negative partials
+    * (under-retraction: content that should be forgotten keeps scoring).
+    * Replay safety is preserved: a restart of the SAME checkpoint
+    * re-derives the same salt and the same batchId, so the replayed
+    * rows still absorb. Tombstone families were immune (distinct), but
+    * carry the salt too — unique tokens are never wrong.
+    *
+    * `markers`: ledger paths to stamp with a `.batches/<token>` commit
+    * marker AFTER the retract apply returns (ADVICE r19): without it the
+    * net compactions ([[graft.operators.Documents.compactGramLedgerNet]]
+    * / `compactNbLedgerNet`) treated every stream-fed batch as in-flight
+    * forever and net-zero keys never physically vanished from
+    * stream-fed ledgers. Writing the marker after the apply is the
+    * [[graft.etl.Merge.foldMissingBatches]] crash argument verbatim: a
+    * death before the marker replays the batch in full from the
+    * checkpoint and the ledger's first-wins absorption collapses the
+    * crashed attempt's rows. */
+  private def retractSink(rows: DataFrame, checkpoint: String,
+      markers: Seq[String] = Nil)(
+      apply: (DataFrame, String) => Unit): StreamingQuery = {
+    // String.hashCode is specified (stable across JVMs/restarts)
+    val salt = f"${checkpoint.hashCode & 0xffffff}%06x"
     rows.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) apply(batch.toDF(), s"rm$batchId")
+        if (!batch.isEmpty) {
+          val token = s"rm-$salt-$batchId"
+          apply(batch.toDF(), token)
+          val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+          markers.foreach { ledger =>
+            val mdir = new org.apache.hadoop.fs.Path(s"$ledger.batches")
+            val fs = mdir.getFileSystem(conf)
+            fs.mkdirs(mdir)
+            fs.create(new org.apache.hadoop.fs.Path(mdir, token), true)
+              .close()
+          }
+        }
       }
       .start()
+  }
 
   /** q149's takedown verb as a stream: (vec_id) rows tombstone the
     * cell-partitioned IVF postings — probes stop serving the vectors at
@@ -1016,7 +1054,7 @@ object Streams {
     * fully-retracted gram stops flagging spans at the batch boundary. */
   def gramRetractSink(docs: DataFrame, ledgerPath: String, k: Int,
                       checkpoint: String): StreamingQuery =
-    retractSink(docs, checkpoint)((b, id) =>
+    retractSink(docs, checkpoint, markers = Seq(ledgerPath))((b, id) =>
       graft.operators.Documents.retractGramBatch(ledgerPath, b, k, id))
 
   /** q145's takedown verb as a stream: labeled (doc_id, text, y) rows
@@ -1024,7 +1062,7 @@ object Streams {
     * and drops zero-net terms to OOV-prior backoff. */
   def nbRetractSink(docs: DataFrame, ledgerPath: String,
                     checkpoint: String): StreamingQuery =
-    retractSink(docs, checkpoint)((b, id) =>
+    retractSink(docs, checkpoint, markers = Seq(ledgerPath))((b, id) =>
       graft.operators.Documents.retractNbBatch(ledgerPath, b, id))
 
   /** One click-matched view awaiting its click's purchase horizon. */

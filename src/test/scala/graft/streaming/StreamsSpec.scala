@@ -37,7 +37,7 @@ class StreamsSpec extends SparkSpec {
       .option("checkpointLocation", tmp("graft-stream-ckpt"))
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain")
 
     // Append mode only emits windows the watermark has passed; compare on
     // the emitted set — every emitted row must match batch exactly.
@@ -60,7 +60,7 @@ class StreamsSpec extends SparkSpec {
       val q = Streams.mergeSink(
         Streams.readEvents(spark, eventsDir).select("event_id", "event_type"),
         "event_id", sink, ckpt)
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "stream did not drain")
     }
     runOnce(tmp("graft-merge-ckpt1"))
     val after1 = spark.read.parquet(sink).count()
@@ -89,7 +89,7 @@ class StreamsSpec extends SparkSpec {
         spark.readStream.schema(corrections.schema)
           .parquet(corrDir.resolve("batch").toString),
         "event_id", sink, ckpt)
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "stream did not drain")
     }
     runOnce(tmp("graft-upsert-ckpt1"))
     def counts() = spark.read.parquet(sink).groupBy("src").count()
@@ -123,7 +123,7 @@ class StreamsSpec extends SparkSpec {
         spark.readStream.schema(rows.schema)
           .parquet(dir.resolve("batch").toString),
         "event_id", checks, sink, quarantine, tmp(s"graft-dq-ck-$ck"))
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "stream did not drain")
     }
     runOnce("1")
     runOnce("2") // full replay on a fresh checkpoint: absorbing
@@ -156,7 +156,7 @@ class StreamsSpec extends SparkSpec {
         spark.readStream.schema(log.schema)
           .parquet(dir.resolve("batch").toString),
         "k", "seq", sink, tmp(s"graft-cdc-ckpt-$name"))
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "stream did not drain")
     }
     runOnce("newer", col("seq") >= mid) // NEWER half lands first
     runOnce("older", col("seq") < mid)
@@ -190,7 +190,7 @@ class StreamsSpec extends SparkSpec {
         spark.readStream.schema(df.schema)
           .parquet(dir.resolve("batch").toString),
         "k", "seq", checks, net, quar, tmp(s"graft-gated-ck-$name"))
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "stream did not drain")
     }
     val mid = log.agg(org.apache.spark.sql.functions.avg("seq"))
       .head.getDouble(0).toLong
@@ -235,7 +235,7 @@ class StreamsSpec extends SparkSpec {
         spark.readStream.schema(df.schema)
           .parquet(dir.resolve("batch").toString),
         root, tmp(s"graft-searchpub-ck-$name"))
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "stream did not drain")
     }
     runOnce("b1", docs.filter(col("doc_id") < mid))
     // consistency invariant a torn pair would break: the resolved
@@ -283,7 +283,7 @@ class StreamsSpec extends SparkSpec {
         spark.readStream.schema(df.schema)
           .parquet(dir.resolve("batch").toString),
         root, tmp(s"graft-spb-ck-$name"))
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "stream did not drain")
     }
     val terms = Seq("hash", "join", "scan")
     def checkBm25(): Unit = {
@@ -338,7 +338,7 @@ class StreamsSpec extends SparkSpec {
       val q = Streams.mergeSink(
         spark.readStream.schema(schema).parquet(streamDir.toString),
         "event_id", sink, ckpt)
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "stream did not drain")
     }
     val nA = stage("a", col("event_id") % 2 === 0)
     runOnce()
@@ -374,7 +374,7 @@ class StreamsSpec extends SparkSpec {
       .option("checkpointLocation", tmp("graft-ssjoin-ckpt"))
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain")
 
     val streamed = spark.read.parquet(out)
       .select("user_id", "click_id", "view_id")
@@ -414,7 +414,7 @@ class StreamsSpec extends SparkSpec {
       .option("checkpointLocation", tmp("graft-ssouter-ckpt"))
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain")
 
     val streamed = spark.read.parquet(out)
     val b = Tables.events(spark, sfDir)
@@ -471,7 +471,7 @@ class StreamsSpec extends SparkSpec {
       .option("checkpointLocation", tmp("graft-dedup-ckpt"))
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain")
     val emitted = spark.read.parquet(out)
     val expected = Tables.events(spark, sfDir).count()
     assert(emitted.count() === expected,
@@ -511,7 +511,7 @@ class StreamsSpec extends SparkSpec {
       .option("checkpointLocation", tmp("graft-cdedup-ckpt"))
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain")
     val emitted = spark.read.parquet(out)
     val batchChunks = graft.SparkEntry.queries("q76_doc_chunks")(spark, sfDir)
     val batchFps = batchChunks.select("fp").distinct()
@@ -544,7 +544,7 @@ class StreamsSpec extends SparkSpec {
         .parquet(inDir),
       docs.filter(bucket < 90),
       sink, tmp("graft-ndup-ckpt"))
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain")
     val got = spark.read.parquet(sink)
       .select("in_id", "corpus_id", "jaccard_bp")
     val want = graft.SparkEntry.queries("q79_incremental_neardup")(spark, sfDir)
@@ -569,7 +569,7 @@ class StreamsSpec extends SparkSpec {
       .option("checkpointLocation", tmp("graft-enrich-ckpt"))
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain")
     val got = spark.read.parquet(out)
     val expected = Tables.events(spark, sfDir)
       .filter(col("user_id") < 100).count()
@@ -710,7 +710,7 @@ class StreamsSpec extends SparkSpec {
     val state = tmp("graft-ret-sink-state")
     val q = Streams.retentionSketchSink(
       Streams.readEvents(spark, eventsDir), state, tmp("graft-ret-ckpt"))
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain")
     val cols = Seq("cohort_day", "day_offset", "n_kept", "kth_min", "est")
     val streamed = Streams.retentionSketchState(spark, state)
       .select(cols.map(col): _*)
@@ -741,7 +741,7 @@ class StreamsSpec extends SparkSpec {
       spark.readStream.schema(removed.schema)
         .option("maxFilesPerTrigger", "1").parquet(delDir),
       idx, stats, dfLed, del, tmp("graft-bm25r-ckpt"))
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain")
     val terms = Seq("hash", "join", "scan")
     import spark.implicits._
     val got = Documents.bm25ProbeNet(spark.read.parquet(idx),
@@ -772,7 +772,7 @@ class StreamsSpec extends SparkSpec {
       spark.readStream.schema(removed.schema)
         .option("maxFilesPerTrigger", "1").parquet(delDir),
       led, K, tmp("graft-gramr-ckpt"))
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain")
     val got = Documents.gramLedgerCounts(spark, led)
       .filter(col("n_idx") =!= 0L)
     val want = Documents.gramCounts(
@@ -798,7 +798,7 @@ class StreamsSpec extends SparkSpec {
       spark.readStream.schema(removed.schema)
         .option("maxFilesPerTrigger", "1").parquet(delDir),
       led, tmp("graft-nbr-ckpt"))
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain")
     val got = Documents.nbLedgerModel(spark, led)
     val want = Documents.nbTrainModel(
       docs.filter(col("doc_id") % 7 =!= 0))
@@ -823,7 +823,7 @@ class StreamsSpec extends SparkSpec {
       spark.readStream.schema(removed.schema)
         .option("maxFilesPerTrigger", "1").parquet(delDir),
       post, del, tmp("graft-ivfr-ckpt"))
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain")
     import spark.implicits._
     val served = Similarity.readPostingsNet(spark, post, del)
       .select(col("vec_id")).as[Long].collect().toSet
@@ -837,10 +837,111 @@ class StreamsSpec extends SparkSpec {
       spark.readStream.schema(removed.schema)
         .option("maxFilesPerTrigger", "1").parquet(delDir),
       post, del, tmp("graft-ivfr-ckpt2"))
-    q2.awaitTermination(120000)
+    assert(q2.awaitTermination(120000), "stream did not drain")
     val served2 = Similarity.readPostingsNet(spark, post, del)
       .select(col("vec_id")).as[Long].collect().toSet
     assert(served2 === served, "replayed takedown stream changed the net")
+  }
+
+  test("phashRetractSink: streamed takedowns tombstone the phash ledger — " +
+       "the election over the net ledger equals the one-shot on the " +
+       "reduced corpus (q150's streaming twin)") {
+    import graft.multimodal.Media
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val led = tmp("graft-phr-sink") + "/led"
+    val del = tmp("graft-phr-sink") + "/del"
+    Media.appendPhashLedger(led, docs, "b0")
+    val removed = docs.filter(col("doc_id") % 7 === 0)
+    val delDir = tmp("graft-phr-dels")
+    removed.repartition(2).write.mode("overwrite").parquet(delDir)
+    val q = Streams.phashRetractSink(
+      spark.readStream.schema(removed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(delDir),
+      led, del, tmp("graft-phr-ckpt"))
+    assert(q.awaitTermination(120000), "stream did not drain")
+    val got = Media.electPhashClusters(
+      Media.readPhashLedgerNet(spark, led, del))
+    val want = Media.electPhashClusters(
+      Media.phashPerDoc(docs.filter(col("doc_id") % 7 =!= 0)))
+    assert(want.count() > 0 &&
+           got.exceptAll(want).count() === 0 &&
+           want.exceptAll(got).count() === 0,
+      "streamed phash takedown != one-shot election on the reduced corpus")
+  }
+
+  test("audioRetractSink: streamed takedowns tombstone the audio-fp " +
+       "ledger — the net election equals the one-shot on the reduced " +
+       "corpus, with zero decodes in the retraction path (q153's " +
+       "streaming twin)") {
+    import graft.multimodal.Media
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val led = tmp("graft-audr-sink") + "/led"
+    val del = tmp("graft-audr-sink") + "/del"
+    Media.appendAudioFpLedger(led, docs, "b0")
+    val removed = docs.filter(col("doc_id") % 7 === 0)
+    val delDir = tmp("graft-audr-dels")
+    removed.repartition(2).write.mode("overwrite").parquet(delDir)
+    val q = Streams.audioRetractSink(
+      spark.readStream.schema(removed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(delDir),
+      led, del, tmp("graft-audr-ckpt"))
+    assert(q.awaitTermination(120000), "stream did not drain")
+    val got = Media.electAudioClusters(
+      Media.readAudioFpLedgerNet(spark, led, del))
+    val want = Media.electAudioClusters(
+      Media.audioFpPerDoc(docs.filter(col("doc_id") % 7 =!= 0)))
+    assert(want.count() > 0 &&
+           got.exceptAll(want).count() === 0 &&
+           want.exceptAll(got).count() === 0,
+      "streamed audio takedown != one-shot election on the reduced corpus")
+  }
+
+  test("two takedown streams with FRESH checkpoints against one gram " +
+       "ledger keep distinct batch tokens (checkpoint-salted — ADVICE " +
+       "r19), and stream-fed batches carry commit markers so the net " +
+       "compaction physically folds them") {
+    import graft.operators.Documents
+    val K = 20
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val led = tmp("graft-gramr2-sink")
+    Documents.appendGramLedger(led, docs, K, "b0")
+    // wave 1 and wave 2: DIFFERENT doc sets, each drained by its own
+    // stream with its own fresh checkpoint — before the salt both waves'
+    // first batches shared token "rm0" and the (gram, batch_id)
+    // first-wins absorption silently dropped one wave's negatives
+    val w1 = docs.filter(col("doc_id") % 7 === 0)
+    val w2 = docs.filter(col("doc_id") % 7 === 1)
+    Seq(w1 -> "graft-gramr2-a", w2 -> "graft-gramr2-b").foreach {
+      case (wave, ck) =>
+        val dels = tmp(ck + "-dels")
+        wave.write.mode("overwrite").parquet(dels)
+        val q = Streams.gramRetractSink(
+          spark.readStream.schema(wave.schema).parquet(dels),
+          led, K, tmp(ck + "-ckpt"))
+        assert(q.awaitTermination(120000), "stream did not drain")
+    }
+    val want = Documents.gramCounts(
+      docs.filter(col("doc_id") % 7 > 1), K)
+    def served() = Documents.gramLedgerCounts(spark, led)
+      .filter(col("n_idx") =!= 0L)
+    assert(want.count() > 0 &&
+           served().exceptAll(want).count() === 0 &&
+           want.exceptAll(served()).count() === 0,
+      "two-wave streamed retraction != reduced corpus counts " +
+      "(token collision?)")
+    // the sinks wrote .batches markers, so the net compaction folds the
+    // streamed batches: net-zero grams physically vanish and the served
+    // counts are unchanged
+    Documents.compactGramLedgerNet(spark, led)
+    import spark.implicits._
+    val batchIds = spark.read.parquet(led).select(col("batch_id"))
+      .distinct().as[String].collect().toSet
+    assert(!batchIds.exists(_.startsWith("rm-")),
+      s"streamed retract batches not folded by net compaction: $batchIds")
+    assert(served().exceptAll(want).count() === 0 &&
+           want.exceptAll(served()).count() === 0,
+      "net compaction changed the served gram counts")
   }
 
   test("grid maintenance == batch q119 bit-for-bit after day-split " +
@@ -888,7 +989,7 @@ class StreamsSpec extends SparkSpec {
     val q = Streams.gridMaintSink(
       Streams.readEvents(spark, eventsDir), state,
       tmp("graft-grid-ckpt"))
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain")
     val got = Streams.gridState(spark, state)
     val want = Events.resampleGrid(Events.gridEventProjection(
       Tables.events(spark, sfDir)))
@@ -1113,7 +1214,7 @@ class StreamsSpec extends SparkSpec {
     val q = Streams.nbDriftSink(
       spark.readStream.schema(docs.schema).parquet(docsDir),
       mp, ledger, tmp("graft-nbdrift-ckpt"))
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain")
     val got = Streams.nbDriftFeed(spark, ledger)
       .select("n_occ", "n_oov", "oov_bp", "prior_bp", "batch_mean_bp",
         "shift_bp")
@@ -1135,7 +1236,7 @@ class StreamsSpec extends SparkSpec {
     val q = Streams.bpeDriftSink(
       spark.readStream.schema(docs.schema).parquet(docsDir),
       tp, ledger, tmp("graft-bpedrift-ckpt"))
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain")
     val got = Streams.bpeDriftFeed(spark, ledger)
       .select("n_words", "n_tokens", "n_unseen", "chars_per_token_bp",
         "unseen_bp")
@@ -1189,7 +1290,7 @@ class StreamsSpec extends SparkSpec {
     val q = Streams.shardManifestSink(
       spark.readStream.schema(docs.schema).parquet(docsDir),
       ledger, tmp("graft-shard-ckpt"))
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain")
     val got = Streams.shardManifestFeed(spark, ledger)
       .select("shard", "n_docs", "sum_tokens", "first_h", "last_h")
       .collect().toSeq
@@ -1218,7 +1319,7 @@ class StreamsSpec extends SparkSpec {
       .parquet(docsDir.toString)
     val q = Streams.dupSpanSink(docs, state, out,
       tmp("graft-dspan-ckpt"))
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain")
     // a single batch against an empty ledger is the global >= 2 rule
     // over exactly that batch: the q126 finder on the same table
     val got = Streams.dupSpanFeed(spark, out)
@@ -1340,7 +1441,7 @@ class StreamsSpec extends SparkSpec {
       .option("checkpointLocation", tmp("graft-boot-ckpt"))
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain")
     assert(spark.read.parquet(out).count() === 7)
   }
 }
