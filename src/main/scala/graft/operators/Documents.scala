@@ -744,12 +744,14 @@ object Documents {
     * exchanges (the final orderBy is the gate's presentation sort).
     * Singleton clusters (rep = own id) reduce to the naive split, so the
     * operator degrades to q42 exactly when dedup finds nothing. */
-  def leakageSafeSplit(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashNearDup(s, d).select(col("a_id"), col("b_id"))
-    val nodes = Tables.documents(s, d).select(col("doc_id"))
-    splitByCluster(connectedComponents(nodes, pairs))
-      .orderBy(col("doc_id"))
-  }
+  def leakageSafeSplit(s: SparkSession, d: String): DataFrame =
+    // Serve the split from the STANDING labels (VERDICT r19 item 2):
+    // the one-shot used to re-shingle + re-cluster the corpus per run;
+    // split assignment is a pure projection of the CC labels, and the
+    // labels are exactly the shared graft_ccr_base artifact. Steady
+    // state is one FileScan + the projection; the oracle (unchanged)
+    // still re-derives everything declaratively.
+    splitByCluster(ccrArtifacts(s, d)._2).orderBy(col("doc_id"))
 
   /** The split projection over CC labels — factored so DedupClusterSpec
     * can prove the invariants (cluster-uniform split, split = the rep's
@@ -832,14 +834,23 @@ object Documents {
     * frames (both already materialized by the CC passes); the fold
     * itself is Δ-sized ([[incrementalCC]]'s contract). */
   def leakageSafeSplitIncremental(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashNearDup(s, d).select(col("a_id"), col("b_id"))
+    // Pairs come from the SHARED standing artifact (VERDICT r19 item 2
+    // — no re-shingling per run; the ph carve is a cheap projection of
+    // the FileScan), and the batch-0 labels are their own standing
+    // artifact (a deployment's previous-generation labels): the only
+    // per-run work left is the Δ-fold itself — incrementalCC's
+    // batch-sized contract — plus the split projection, which is what
+    // this query exists to price.
+    val tag = Tables.datasetTag(s, d, "documents")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val pairs = ccrArtifacts(s, d)._1
       .withColumn("ph", pmod(Text.portableHash(
           concat(col("a_id").cast("string"), lit(","),
             col("b_id").cast("string"))), lit(2L)))
-      .localCheckpoint(true)
     val nodes = Tables.documents(s, d).select(col("doc_id"))
-    val base = connectedComponents(nodes,
-      pairs.filter(col("ph") === 0).select("a_id", "b_id"))
+    val base = graft.etl.Merge.materialize(s, s"$wh/graft_ccr_base0_$tag",
+      connectedComponents(nodes,
+        pairs.filter(col("ph") === 0).select("a_id", "b_id")))
     val folded = incrementalCC(base, nodes.limit(0),
       pairs.filter(col("ph") === 1).select("a_id", "b_id"))
     splitWithReassignment(base, folded).orderBy(col("doc_id"))
@@ -963,17 +974,33 @@ object Documents {
     connectedComponents(subNodes, subPairs).unionByName(untouched)
   }
 
-  def clusterRepairRetract(s: SparkSession, d: String): DataFrame = {
+  /** The standing cluster-ring artifact PAIR every deployment holds —
+    * the near-dup pair set (maintained incrementally by the q79/q82
+    * family) and the full-corpus CC labels (the q63/q112 loop's
+    * output) — materialized once per corpus generation
+    * ([[graft.etl.Merge.materialize]], datasetTag-keyed) and SHARED by
+    * every query that composes over clusters: q152's repair probes it,
+    * q138 serves its split as a pure projection of the labels, and
+    * q148's dedup stage repairs it under the quality gate (VERDICT r19
+    * item 2 — the CC-wrapper queries used to re-shingle the corpus and
+    * re-run full CC per run, pricing the kernel instead of the
+    * composition they exist to sell). Both members are pure functions
+    * of the corpus, so the gates' oracles are unchanged. */
+  private[graft] def ccrArtifacts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val tag = Tables.datasetTag(s, d, "documents")
     val wh = s.conf.get("spark.sql.warehouse.dir")
-    // both standing artifacts a deployment would hold: the near-dup pair
-    // set (maintained incrementally by the q79/q82 family) and the
-    // standing labels (the q63/q112 loop's output)
     val pairs = graft.etl.Merge.materialize(s, s"$wh/graft_ccr_pairs_$tag",
       minhashNearDup(s, d).select(col("a_id"), col("b_id")))
     val docs = Tables.documents(s, d).select(col("doc_id"))
     val standing = graft.etl.Merge.materialize(s,
       s"$wh/graft_ccr_base_$tag", connectedComponents(docs, pairs))
+    (pairs, standing)
+  }
+
+  def clusterRepairRetract(s: SparkSession, d: String): DataFrame = {
+    val (pairs, standing) = ccrArtifacts(s, d)
+    val docs = Tables.documents(s, d).select(col("doc_id"))
     val deleted = docs.filter(
       pmod(Text.portableHash(col("doc_id").cast("string")),
         lit(100L)).between(20, 29))
@@ -4020,13 +4047,25 @@ object Documents {
       .crossJoin(broadcast(nbPrior(model)))
       .filter(col("nb_en_bp") > col("prior_bp")).select(col("doc_id"))
     val gated = docs.join(gateIds, Seq("doc_id"), "left_semi")
-    // 2. near-dup clusters over survivors, quality-ranked election
-    val gid = gated.select(col("doc_id"))
-    val pairs = minhashNearDup(s, d).select(col("a_id"), col("b_id"))
-      .join(gid.select(col("doc_id").as("a_id")), Seq("a_id"), "left_semi")
-      .join(gid.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
+    // 2. near-dup clusters over survivors, quality-ranked election —
+    //    served from the STANDING pair/label artifacts through the q152
+    //    repair verb (VERDICT r19 item 2): gating docs OUT of the
+    //    corpus is a deletion as far as the cluster graph is concerned
+    //    (it only cuts edges), so the survivor labels are
+    //    repairClusters(standing, pairs, gatedOut) — untouched
+    //    components project through one broadcast anti-join, only
+    //    components containing a gated-out doc re-run CC on their
+    //    surviving subgraph. No re-shingling, no full-corpus CC: at
+    //    100 TB the per-run cost is the gate-affected families, never
+    //    the corpus. Equivalence (the gate proves it): pair discovery
+    //    is per-pair-local, so CC over the survivor-induced subgraph of
+    //    the standing pairs ≡ clusters discovered on the survivor
+    //    corpus — exactly what the oracle computes.
+    val (pairsAll, standing) = ccrArtifacts(s, d)
+    val gatedOut = docs.select(col("doc_id"))
+      .join(gateIds, Seq("doc_id"), "left_anti")
     val kept = electCanonical(
-        connectedComponents(gid, pairs).join(
+        repairClusters(standing, pairsAll, gatedOut).join(
           gated.select(col("doc_id"),
             size(Text.toWords(col("text"))).as("n_words")), Seq("doc_id"))
         .select(col("doc_id"), col("lbl").as("cluster_rep"),

@@ -899,13 +899,27 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q138: past the component labels, the split is a PROJECTION — no " +
-       "join, no hash Exchange (the presentation sort is the only one)") {
-    // connectedComponents checkpoints its fixpoint, so the executed plan
-    // of the registered query IS the split assignment's own shape
+       "join, no hash Exchange (the presentation sort is the only one) — " +
+       "and the labels are SERVED from the standing graft_ccr_base " +
+       "artifact (r20: no re-shingle + re-cluster per run)") {
     val p = plan(q("q138_leakage_split"))
+    assert(p.contains("graft_ccr_base_"),
+      s"split must serve the standing label artifact:\n$p")
     assert(!p.contains("Exchange hashpartitioning"),
       s"split assignment must not shuffle:\n$p")
     assert(!p.contains("Join"), s"split assignment must not join:\n$p")
+    assert(!p.contains("Generate"),
+      s"serving plan must not re-shingle the corpus:\n$p")
+  }
+
+  test("q146: the Δ-fold SERVES the standing pair and batch-0 label " +
+       "artifacts — the served plan re-derives neither (no Generate " +
+       "anywhere; the base labels are a FileScan)") {
+    val p = plan(q("q146_leakage_incremental"))
+    assert(p.contains("graft_ccr_base0_"),
+      s"prev-split side must serve the standing batch-0 labels:\n$p")
+    assert(!p.contains("Generate"),
+      s"served plan must not re-shingle the corpus:\n$p")
   }
 
   test("q139: the manifest NEVER plans a no-partition global Window (the " +
@@ -961,6 +975,12 @@ class PlanSpec extends SparkSpec {
     val p = plan(Documents.curatedDocs(spark, sfDir))
     assert(p.contains("graft_nb_"),
       s"the NB gate must read the materialized artifact:\n$p")
+    // r20 (VERDICT r19 item 2): the dedup stage serves the standing
+    // pair/label artifacts through the q152 repair verb — the untouched
+    // side's anti-join scans graft_ccr_base, and nothing in the served
+    // plan re-derives minhash pairs (no shingle posexplode subtree)
+    assert(p.contains("graft_ccr_base_"),
+      s"the dedup stage must serve the standing labels:\n$p")
     val wins = "Window".r.findAllIn(p).length
     assert(wins == 1,
       s"expected exactly one Window (the q80 election), got $wins:\n$p")
