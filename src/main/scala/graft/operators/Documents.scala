@@ -474,8 +474,10 @@ object Documents {
 
   /** Oracle: brute-force cross Jaccard between the two split sides —
     * the same ground truth as q18/q68's, restricted to incoming×corpus
-    * (the q42 portable hash carves the identical split in DuckDB). */
-  val incrementalNearDupSql: String =
+    * (the q42 portable hash carves the identical split in DuckDB).
+    * Parameterized on the corpus-side predicate so q155 can reduce the
+    * corpus by the takedown slice. */
+  private def incrementalNearDupSqlOn(corpusPred: String): String =
     s"""WITH sh AS (
        |  SELECT doc_id, $shinglesSql AS s
        |  FROM (SELECT doc_id, $wordsSql AS w FROM documents)),
@@ -486,10 +488,87 @@ object Documents {
        |SELECT a.doc_id AS in_id, b.doc_id AS corpus_id,
        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 10000
        |    // CAST(len(list_distinct(a.s || b.s)) AS BIGINT) AS jaccard_bp
-       |FROM ok a JOIN ok b ON a.b >= 90 AND b.b < 90
+       |FROM ok a JOIN ok b ON a.b >= 90 AND ($corpusPred)
        |WHERE CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 10000
        |    // CAST(len(list_distinct(a.s || b.s)) AS BIGINT) >= 8000
        |ORDER BY in_id, corpus_id""".stripMargin
+
+  val incrementalNearDupSql: String = incrementalNearDupSqlOn("b.b < 90")
+
+  // ── q155: TAKEDOWN propagation through the prefix index ────────────────
+  /** The retraction verb reaching q82's frozen-dict prefix index
+    * (VERDICT r19 item 3). Prefix rows (doc_id, len, t, rk) are
+    * per-doc-pure facts, so this is a TOMBSTONE family: the deleted
+    * doc_id set appends to a `del` member, the probe masks the index
+    * side with one broadcast anti-join, and
+    * [[compactPrefixRetract]] physically drops the rows on the normal
+    * cadence. Two properties make this takedown especially cheap:
+    * (a) the frozen DICTIONARY is deliberately NOT retrained — the
+    * total order it induces affects prefix SELECTIVITY, never which
+    * pairs verify (the q82 append-only argument run in reverse), so a
+    * deletion costs zero dictionary work — the exact dual of unseen
+    * tokens ranking at df = 0 on append; (b) masked index ≡ an index
+    * rebuilt on the reduced corpus under the same dict, because prefix
+    * rows are per-doc-pure — the gate proves it against the brute-force
+    * oracle on the reduced corpus. */
+  private[graft] def retractPrefixBatch(idxPath: String, delPath: String,
+      ids: DataFrame, batchId: String): Unit = {
+    val s = ids.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(delPath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, idxPath)
+    ids.select(col("doc_id"), lit(batchId).as("batch_id"))
+      .write.mode("append").parquet(delPath)
+  }
+
+  /** Token-clustered compaction + physical takedown for the prefix
+    * index. */
+  private[graft] def compactPrefixRetract(s: SparkSession, idxPath: String,
+      delPath: String, targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    graft.etl.Merge.compactRetract(s, idxPath, delPath, "doc_id", "t",
+      targetBytes)
+
+  /** q155: the q82 probe under TAKEDOWN — the corpus indexes in two
+    * appended batches under the frozen dict, the bucket-[20,30) slice
+    * retracts as tombstones, and the probe candidates come from the
+    * masked index with the verify stage reading only surviving corpus
+    * docs. Gated against the brute-force oracle on the REDUCED
+    * corpus. */
+  def incrementalNearDupRetract(s: SparkSession, d: String): DataFrame = {
+    val base = shingleDocs(Tables.documents(s, d))
+      .withColumn("bucket",
+        pmod(Text.portableHash(col("doc_id").cast("string")), lit(100L)))
+    val incoming = base.filter(col("bucket") >= 90)
+      .select(col("doc_id"), col("sh"))
+    val corpus = base.filter(col("bucket") < 90)
+    val tag = Tables.datasetTag(s, d, "documents")
+    val root = s"${s.conf.get("spark.sql.warehouse.dir")}/graft_pfxrr_$tag"
+    val (dictP, idxP, delP) = (s"$root/dict", s"$root/idx", s"$root/del")
+    // dict frozen on the PRE-takedown corpus — retraction never retrains
+    val dict = graft.etl.Merge.materialize(s, dictP,
+      freezeDict(corpus.select(col("doc_id"), col("sh"))))
+    def slice(lo: Int, hi: Int): DataFrame =
+      corpus.filter(col("bucket") >= lo && col("bucket") < hi)
+        .select(col("doc_id"), col("sh"))
+    graft.etl.Merge.foldMissingBatches(s, idxP, Seq(
+      "b0"  -> (() => appendPrefixRows(idxP, slice(0, 50), dict)),
+      "b1"  -> (() => appendPrefixRows(idxP, slice(50, 90), dict)),
+      "rm0" -> (() => retractPrefixBatch(idxP, delP,
+        slice(20, 30).select(col("doc_id")), "rm0"))))
+    val idxNet = s.read.parquet(idxP)
+      .join(broadcast(s.read.parquet(delP)
+        .select(col("doc_id")).distinct()), Seq("doc_id"), "left_anti")
+    val corpusRed = corpus
+      .filter(!(col("bucket") >= 20 && col("bucket") < 30))
+      .select(col("doc_id"), col("sh"))
+    prefixJaccardProbe(incoming, corpusRed, dict, idxNet)
+      .orderBy(col("in_id"), col("corpus_id"))
+  }
+
+  /** The q155 oracle: q82's brute force with the corpus side reduced by
+    * the takedown slice. */
+  val incrementalNearDupRetractSql: String = incrementalNearDupSqlOn(
+    "b.b < 90 AND b.b NOT BETWEEN 20 AND 29")
 
   // ── q69: test-set DECONTAMINATION — benchmark n-gram containment scan ───
   val DecontamGramN = 8
@@ -1483,8 +1562,11 @@ object Documents {
     searchIndex(s.read.parquet(snap("postings")), Seq("hash", "join", "scan"),
       20)
   }
-  val keywordSearchSql: String =
-    s"""WITH toks AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+  /** q99's oracle parameterized on the corpus predicate — q154 reuses
+    * the identical search over the REDUCED corpus. */
+  private def keywordSearchSqlWhere(where: String): String =
+    s"""WITH toks AS (SELECT doc_id, unnest($wordsSql) AS term
+       |              FROM documents WHERE $where),
        |tf AS (
        |  SELECT doc_id, term, count(*) AS tf FROM toks
        |  WHERE term IN ('hash', 'join', 'scan') GROUP BY 1, 2),
@@ -1494,6 +1576,83 @@ object Documents {
        |SELECT doc_id, CAST(score AS BIGINT) AS score
        |FROM hits ORDER BY score DESC, doc_id ASC
        |LIMIT 20""".stripMargin
+
+  val keywordSearchSql: String = keywordSearchSqlWhere("TRUE")
+
+  // ── q154: TAKEDOWN propagation through the AND-postings index ──────────
+  /** The retraction verb reaching q99's conjunctive index — the last
+    * search-family member without a takedown face (VERDICT r19 item 3).
+    * Posting rows (term, doc_id, tf) are per-(term, doc) facts, not
+    * mergeable sums, so deletion is the TOMBSTONE half of the q144/q149
+    * dichotomy: the deleted doc_id set appends to a `del` member
+    * (batch-keyed, replay-absorbed by distinct), every probe anti-joins
+    * it (one broadcast of a retention-bounded set), and
+    * [[compactPostingsRetract]] physically drops the masked rows on the
+    * normal compaction cadence via the shared
+    * [[graft.etl.Merge.compactRetract]]. Unlike BM25 there is NO
+    * statistics half — conjunctive tf ranking reads nothing
+    * corpus-global — so the takedown is a single fail-safe write. */
+  private[graft] def retractPostingsBatch(idxPath: String, delPath: String,
+      ids: DataFrame, batchId: String): Unit = {
+    val s = ids.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(delPath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, idxPath)
+    ids.select(col("doc_id"), lit(batchId).as("batch_id"))
+      .write.mode("append").parquet(delPath)
+  }
+
+  /** [[searchIndex]] over a retraction-maintained index: tombstoned docs
+    * are masked by one broadcast anti-join placed AFTER the pushed term
+    * filter — the anti-join sees rows ∝ the probed terms' df, never the
+    * corpus. */
+  private[graft] def searchIndexNet(idx: DataFrame, del: DataFrame,
+      terms: Seq[String], k: Int): DataFrame =
+    idx.filter(col("term").isin(terms: _*))
+      .dropDuplicates()
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("score"))
+      .filter(col("n_terms") === terms.size)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+
+  /** Term-clustered compaction + physical takedown for the AND index. */
+  private[graft] def compactPostingsRetract(s: SparkSession,
+      idxPath: String, delPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    graft.etl.Merge.compactRetract(s, idxPath, delPath, "doc_id", "term",
+      targetBytes)
+
+  /** q154: conjunctive search under TAKEDOWN — corpus folds in as two
+    * appended batches, the bucket-[20,30) slice retracts as tombstones,
+    * the probe runs the net index. Gated against q99's one-shot SQL on
+    * the REDUCED corpus (fold(appends + deletes) ≡ rebuild on what
+    * remains). */
+  def keywordSearchRetract(s: SparkSession, d: String): DataFrame = {
+    val docs = bucketedDocs(s, d)
+    val tag = Tables.datasetTag(s, d, "documents")
+    val root = s"${s.conf.get("spark.sql.warehouse.dir")}/graft_postr_$tag"
+    val (idxP, delP) = (s"$root/post", s"$root/del")
+    def slice(lo: Int, hi: Int): DataFrame =
+      docs.filter(col("bucket") >= lo && col("bucket") < hi)
+        .select(col("doc_id"), col("text"))
+    graft.etl.Merge.foldMissingBatches(s, idxP, Seq(
+      "b0"  -> (() => appendPostings(idxP, slice(0, 50))),
+      "b1"  -> (() => appendPostings(idxP, slice(50, 100))),
+      "rm0" -> (() => retractPostingsBatch(idxP, delP,
+        slice(20, 30).select(col("doc_id")), "rm0"))))
+    searchIndexNet(s.read.parquet(idxP),
+      s.read.parquet(delP).select(col("doc_id")).distinct(),
+      Seq("hash", "join", "scan"), 20)
+  }
+
+  /** The q154 oracle: q99's search, corpus reduced by the takedown
+    * slice. */
+  val keywordSearchRetractSql: String = keywordSearchSqlWhere(
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) " +
+    "AS BIGINT) % 100 NOT BETWEEN 20 AND 29")
 
   // ── q122: BM25 ranked retrieval over the shared search snapshot ─────────
   /** Disjunctive (OR) keyword retrieval ranked by BM25 (k1 = 1.2,
@@ -1984,7 +2143,7 @@ object Documents {
 
   /** (doc_id, bg, w1) bigram-occurrence rows of a (doc_id, text) frame —
     * the map-side fan-out both LM passes share. */
-  private def lmBigrams(docs: DataFrame): DataFrame = {
+  private[graft] def lmBigrams(docs: DataFrame): DataFrame = {
     val n1 = greatest(size(col("w")) - 1, lit(0))
     docs.select(col("doc_id"), Text.toWords(col("text")).as("w"))
       .select(col("doc_id"),
@@ -1996,7 +2155,7 @@ object Documents {
 
   /** Capped-model training: top-[[LmModelTopK]] (bigram, count) and
     * (context, count) tables by count, ties broken by token. */
-  private def lmTrain(bg: DataFrame): (DataFrame, DataFrame) = (
+  private[graft] def lmTrain(bg: DataFrame): (DataFrame, DataFrame) = (
     bg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
       .orderBy(col("cb").desc, col("bg").asc).limit(LmModelTopK),
     bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
@@ -2004,7 +2163,7 @@ object Documents {
 
   /** Scoring tail: broadcast the model onto the occurrence rows, smooth,
     * and take the per-doc integer mean. */
-  private def lmScore(bg: DataFrame, bgTop: DataFrame,
+  private[graft] def lmScore(bg: DataFrame, bgTop: DataFrame,
                       ctxTop: DataFrame): DataFrame = {
     val vocab = ctxTop.agg(count(lit(1)).as("v"))
     bg.join(broadcast(bgTop), Seq("bg"), "left")
@@ -2088,12 +2247,15 @@ object Documents {
      graft.etl.Merge.materialize(s, s"$wh/graft_lm_ctx_$tag",
        lmTrain(corpusBg)._2))
   }
-  val lmQualityIndexedSql: String =
+  /** q87's oracle parameterized on the model-corpus predicate — q156
+    * reuses the identical scoring with the corpus reduced by the
+    * takedown slice. */
+  private def lmQualityIndexedSqlOn(corpusPred: String): String =
     s"""WITH d AS (
        |  SELECT doc_id, text,
        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
        |  FROM documents),
-       |cw AS (SELECT doc_id, $wordsSql AS w FROM d WHERE bucket < 90),
+       |cw AS (SELECT doc_id, $wordsSql AS w FROM d WHERE $corpusPred),
        |iw AS (SELECT doc_id, $wordsSql AS w FROM d WHERE bucket >= 90),
        |cb0 AS (
        |  SELECT doc_id,
@@ -2125,6 +2287,140 @@ object Documents {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        |  CAST(sum(sbp) // count(*) AS BIGINT) AS lm_score_bp
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val lmQualityIndexedSql: String = lmQualityIndexedSqlOn("bucket < 90")
+
+  // ── q156: TAKEDOWN propagation through the LM bigram counts ────────────
+  /** The retraction verb reaching the q87/q88 frozen-LM family (VERDICT
+    * r19 item 3). Every LM statistic is a mergeable COUNT, so this is
+    * the negative-partial half of the dichotomy (the q145 NB stance):
+    * the model lives as ONE bigram-count ledger of (bg, cb, batch_id)
+    * partials — a takedown appends the deleted docs' counts NEGATED,
+    * and the served model nets per bigram. One ledger feeds BOTH halves
+    * of the model: bgTop is the top-K of the net bigram counts, and the
+    * context table falls out for free because cu(w1) = Σ cb(bg) over
+    * bigrams whose first token is w1 — no second corpus scan, no second
+    * ledger. Both top-K caps re-apply AFTER netting (the q145 cap
+    * stance: the cap is part of serving, not of storage, so a
+    * retraction can promote the next-ranked bigram exactly as a
+    * reduced-corpus retrain would). Zero-net bigrams drop from the
+    * model entirely — an OOV bigram backs off to the smoothing floor,
+    * which is what the reduced one-shot computes. [[compactLmLedgerNet]]
+    * physically folds marked batches on the normal cadence. */
+  private def lmLedgerPartials(docs: DataFrame): DataFrame =
+    lmBigrams(docs).groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+
+  private[graft] def appendLmLedger(ledgerPath: String, docs: DataFrame,
+                                    batchId: String): Unit = {
+    val s = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(ledgerPath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, ledgerPath)
+    lmLedgerPartials(docs).withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(ledgerPath)
+  }
+
+  private[graft] def retractLmBatch(ledgerPath: String, docs: DataFrame,
+                                    batchId: String): Unit = {
+    val s = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(ledgerPath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, ledgerPath)
+    lmLedgerPartials(docs)
+      .select(col("bg"), (-col("cb")).as("cb"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(ledgerPath)
+  }
+
+  /** The ledger collapsed to the (bgTop, ctxTop) pair the scorer
+    * broadcasts: first-wins on (bg, batch_id) absorbs replayed appends,
+    * counts SUM across batches (exact — disjoint doc batches), zero-net
+    * bigrams vanish, then the same deterministic top-K caps as
+    * [[lmTrain]]. */
+  private[graft] def lmLedgerModel(s: SparkSession, ledgerPath: String)
+      : (DataFrame, DataFrame) = {
+    val net = s.read.parquet(ledgerPath)
+      .groupBy(col("bg"), col("batch_id"))
+      .agg(min(col("cb")).as("p"))
+      .groupBy(col("bg")).agg(sum(col("p")).as("cb"))
+      .filter(col("cb") > 0)
+    (net.orderBy(col("cb").desc, col("bg").asc).limit(LmModelTopK),
+     net.select(substring_index(col("bg"), " ", 1).as("w1"), col("cb"))
+       .groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+       .orderBy(col("cu").desc, col("w1").asc).limit(LmModelTopK))
+  }
+
+  /** Reserved batch id for net-compacted LM rows. */
+  private[graft] val LmNetBatchId = "_net"
+
+  /** RETRACTION-AWARE LM-ledger compaction — [[compactGramLedgerNet]]'s
+    * lifecycle on the (bg, cb) shape: marked batches collapse to one net
+    * row per bigram under [[LmNetBatchId]], zero-net bigrams VANISH from
+    * the parquet, unmarked in-flight rows pass through verbatim. */
+  def compactLmLedgerNet(s: SparkSession, ledgerPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, ledgerPath)
+    val mdir = new org.apache.hadoop.fs.Path(s"$ledgerPath.batches")
+    val marked: Set[String] =
+      (if (fs.exists(mdir)) fs.listStatus(mdir).map(_.getPath.getName).toSet
+       else Set.empty[String]) + LmNetBatchId
+    def dataFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val b = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        val nm = st.getPath.getName
+        if (st.isFile && !nm.startsWith("_") && !nm.startsWith(".")) b += st
+      }
+      b.result()
+    }
+    val before = dataFiles()
+    val bytes = before.map(_.getLen).sum
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val led = s.read.parquet(ledgerPath)
+    val isMarked = col("batch_id").isin(marked.toSeq: _*)
+    val net = led.filter(isMarked)
+      .groupBy(col("bg"), col("batch_id"))
+      .agg(min(col("cb")).as("p"))
+      .groupBy(col("bg")).agg(sum(col("p")).as("cb"))
+      .filter(col("cb") =!= 0L)
+      .select(col("bg"), col("cb"), lit(LmNetBatchId).as("batch_id"))
+    graft.etl.Merge.writeAndSwap(
+      net.unionByName(led.filter(!isMarked)).repartition(nFiles, col("bg")),
+      ledgerPath, "netcompact")
+    fs.mkdirs(mdir)
+    fs.create(new org.apache.hadoop.fs.Path(mdir, LmNetBatchId), true)
+      .close()
+    (before.size, dataFiles().size)
+  }
+
+  /** q156: q87's batch scoring under TAKEDOWN — the corpus side folds
+    * into the bigram ledger as two appended batches, the bucket-[20,30)
+    * slice retracts as negative partials, and the incoming batch scores
+    * under the NET model. Gated against q87's one-shot SQL with the
+    * model corpus reduced by the takedown slice. */
+  def lmQualityRetract(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("bucket",
+        pmod(Text.portableHash(col("doc_id").cast("string")), lit(100L)))
+    val path = s"${s.conf.get("spark.sql.warehouse.dir")}/graft_lmr_" +
+      Tables.datasetTag(s, d, "documents")
+    def slice(lo: Int, hi: Int): DataFrame =
+      docs.filter(col("bucket") >= lo && col("bucket") < hi)
+        .select(col("doc_id"), col("text"))
+    graft.etl.Merge.foldMissingBatches(s, path, Seq(
+      "b0"  -> (() => appendLmLedger(path, slice(0, 50), "b0")),
+      "b1"  -> (() => appendLmLedger(path, slice(50, 90), "b1")),
+      "rm0" -> (() => retractLmBatch(path, slice(20, 30), "rm0"))))
+    val (bgTop, ctxTop) = lmLedgerModel(s, path)
+    lmScore(lmBigrams(docs.filter(col("bucket") >= 90)), bgTop, ctxTop)
+  }
+
+  /** The q156 oracle: q87's scoring with the model corpus reduced. */
+  val lmQualityRetractSql: String = lmQualityIndexedSqlOn(
+    "bucket < 90 AND bucket NOT BETWEEN 20 AND 29")
 
   // ── q88: LM drift statistic — the data-driven refresh decision ──────────
   /** Backoff fraction of an incoming batch under the FROZEN q87 model —
@@ -2688,11 +2984,22 @@ object Documents {
     * result, memoized over the vocabulary instead of recomputed per
     * occurrence. */
   private[operators] def bpeTrainTypes(words: DataFrame,
+      maxMerges: Int): (DataFrame, DataFrame) =
+    bpeTrainTypesFromFreq(
+      words.groupBy(col("w")).agg(count(lit(1)).as("freq")), maxMerges)
+
+  /** The trainer from an already-aggregated word-TYPE frequency table
+    * (w, freq) — the natural input grain (pair statistics are a pure
+    * function of it), factored out so q157 can RETRAIN from a net
+    * word-frequency ledger after a takedown: the retrain's cost is
+    * vocabulary-bounded (Heaps' law), never a corpus re-scan, because
+    * the one corpus-proportional step (the occurrence → type collapse)
+    * is exactly what the ledger maintains incrementally. */
+  private[graft] def bpeTrainTypesFromFreq(wf0: DataFrame,
       maxMerges: Int): (DataFrame, DataFrame) = {
-    val s = words.sparkSession
+    val s = wf0.sparkSession
     import s.implicits._
-    val wf = words
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val wf = wf0
       .select(col("w"),
         concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
         .as("s"), col("freq"))
@@ -2778,6 +3085,93 @@ object Documents {
       s"  SELECT $k AS step, lhs, rhs, lhs || rhs AS merged, cnt FROM b$k")
       .mkString("\n  UNION ALL\n")
     s"""WITH $bpeChainSql
+       |SELECT CAST(step AS BIGINT) AS step, lhs, rhs, merged, cnt
+       |FROM (
+       |$out)
+       |ORDER BY step""".stripMargin
+  }
+
+  // ── q157: TAKEDOWN propagation through the BPE vocabulary ──────────────
+  /** The retraction verb reaching the tokenizer family (VERDICT r19
+    * item 3), under the q149 quantizer stance: a learned vocabulary is
+    * an ITERATIVE artifact — merges depend on earlier merges — so
+    * negative partials cannot flow through the merge rounds; the honest
+    * takedown RETRAINS. What makes the retrain cheap is choosing the
+    * right standing artifact: BPE training is a pure function of the
+    * word-TYPE frequency table (pair statistics never cross word
+    * boundaries), and type frequencies ARE mergeable counts — so the
+    * ledger holds (w, freq, batch_id) partials, a takedown appends the
+    * deleted docs' counts negated, and the retrain runs
+    * [[bpeTrainTypesFromFreq]] over the NET table: vocabulary-bounded
+    * work (Heaps' law), never a corpus re-scan. Words whose net
+    * frequency hits zero leave the table entirely, so a type that
+    * existed only in deleted documents can no longer influence any
+    * merge — exactly what the reduced-corpus one-shot computes, and the
+    * gate proves it. */
+  private def wordFreqPartials(docs: DataFrame): DataFrame =
+    docWordsOf(docs).groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  private[graft] def appendWfLedger(ledgerPath: String, docs: DataFrame,
+                                    batchId: String): Unit = {
+    val s = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(ledgerPath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, ledgerPath)
+    wordFreqPartials(docs).withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(ledgerPath)
+  }
+
+  private[graft] def retractWfBatch(ledgerPath: String, docs: DataFrame,
+                                    batchId: String): Unit = {
+    val s = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(ledgerPath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    graft.etl.Merge.recoverSwap(fs, ledgerPath)
+    wordFreqPartials(docs)
+      .select(col("w"), (-col("freq")).as("freq"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(ledgerPath)
+  }
+
+  /** The net word-type frequency table the retrain consumes: first-wins
+    * on (w, batch_id) absorbs replayed appends, frequencies SUM across
+    * batches, zero-net types vanish. */
+  private[graft] def wfLedgerNet(s: SparkSession,
+                                 ledgerPath: String): DataFrame =
+    s.read.parquet(ledgerPath)
+      .groupBy(col("w"), col("batch_id"))
+      .agg(min(col("freq")).as("p"))
+      .groupBy(col("w")).agg(sum(col("p")).as("freq"))
+      .filter(col("freq") > 0)
+
+  /** q157: the BPE trainer under TAKEDOWN — the corpus folds into the
+    * word-frequency ledger as two appended batches, the bucket-[20,30)
+    * slice retracts as negative partials, and the merge table RETRAINS
+    * from the net types. Gated against q124's unrolled training replay
+    * on the REDUCED corpus. */
+  def bpeTrainRetract(s: SparkSession, d: String): DataFrame = {
+    val docs = bucketedDocs(s, d)
+    val path = s"${s.conf.get("spark.sql.warehouse.dir")}/graft_bper_" +
+      Tables.datasetTag(s, d, "documents")
+    def slice(lo: Int, hi: Int): DataFrame =
+      docs.filter(col("bucket") >= lo && col("bucket") < hi)
+        .select(col("doc_id"), col("text"))
+    graft.etl.Merge.foldMissingBatches(s, path, Seq(
+      "b0"  -> (() => appendWfLedger(path, slice(0, 50), "b0")),
+      "b1"  -> (() => appendWfLedger(path, slice(50, 100), "b1")),
+      "rm0" -> (() => retractWfBatch(path, slice(20, 30), "rm0"))))
+    bpeTrainTypesFromFreq(wfLedgerNet(s, path), BpeMerges)._1
+  }
+
+  /** The q157 oracle: q124's unrolled replay with the training corpus
+    * reduced by the takedown slice. */
+  val bpeTrainRetractSql: String = {
+    val out = (1 to BpeMerges).map(k =>
+      s"  SELECT $k AS step, lhs, rhs, lhs || rhs AS merged, cnt FROM b$k")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH ${bpeChainSqlOn(
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) " +
+        "AS BIGINT) % 100 NOT BETWEEN 20 AND 29")}
        |SELECT CAST(step AS BIGINT) AS step, lhs, rhs, merged, cnt
        |FROM (
        |$out)
@@ -3148,8 +3542,8 @@ object Documents {
   /** The span finder over any (doc_id, text) frame — factored so
     * DupSpansSpec can pin maximal-span merging, the within-doc
     * repetition case, and the K boundary on constructed corpora. */
-  private[operators] def dupSpansCore(docs0: DataFrame,
-                                      K: Int): DataFrame = {
+  private[operators] def dupSpansCore(docs0: DataFrame, K: Int,
+      dupGrams: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = docs0
       .select(col("doc_id"), graft.functions.Text.toWords(col("text"))
@@ -3161,8 +3555,14 @@ object Documents {
         col("w"))
       .select(col("doc_id"), col("pos"),
         array_join(slice(col("w"), col("pos"), lit(K)), " ").as("gram"))
-    val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select(col("gram"))
+    // `dupGrams` injects the duplicated-gram set from a STANDING gram
+    // ledger (q158): the fold over all ingest batches IS the global
+    // count, so the corpus-wide groupBy(gram) exchange — the finder's
+    // dominant cost at scale — is replaced by a read of an
+    // already-aggregated artifact. None = the one-shot derivation.
+    val dup = dupGrams.getOrElse(
+      grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select(col("gram")))
     val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     grams.join(dup, Seq("gram"), "left_semi")
       .withColumn("isl", col("pos") - row_number().over(wIsl))
@@ -3242,6 +3642,45 @@ object Documents {
   def spanDedup(s: SparkSession, d: String): DataFrame =
     spanDedupCore(Tables.documents(s, d), DupSpanK)
 
+  // ── q158: span dedup SERVED from the standing gram ledger ──────────────
+  /** The amortized serving face the q127/q132 ladder rows priced around
+    * (VERDICT r19 item 4): the honest 289/250 s sf100 numbers re-staged
+    * the span table every run, and the dominant cost in that restage is
+    * the corpus-wide groupBy(gram) count — exactly the statistic the
+    * `dupSpanSink`/[[appendGramLedger]] ledger already maintains
+    * incrementally at ingest. This query is q127's verdict face with the
+    * duplicated-gram set READ from the standing ledger: the fold over
+    * all ingest batches IS the global count (grams are mergeable sums —
+    * the q151 family's own premise), so verdicts are IDENTICAL to the
+    * one-shot and the gate is q127's oracle VERBATIM (the q141/q142
+    * stance: same answer, amortized plan).
+    *
+    * Steady-state cost: one ledger read + n_idx filter for the dup set
+    * (gram-domain-sized, already aggregated), one map-side corpus scan
+    * for positions, a semi-join against the (span-bounded, small) dup
+    * set, the tiny islands/election shuffles. The corpus-sized gram
+    * EXCHANGE — the one that spilled at sf100 — is gone. */
+  def spanDedupServed(s: SparkSession, d: String): DataFrame = {
+    val K = DupSpanK
+    val docs = Tables.documents(s, d)
+      .withColumn("bucket",
+        pmod(graft.functions.Text.portableHash(col("doc_id")
+          .cast("string")), lit(100L)))
+    val tag = Tables.datasetTag(s, d, "documents")
+    val path = s"${s.conf.get("spark.sql.warehouse.dir")}" +
+      s"/graft_spanled_${K}_$tag"
+    def slice(lo: Int, hi: Int): DataFrame =
+      docs.filter(col("bucket") >= lo && col("bucket") < hi)
+        .select(col("doc_id"), col("text"))
+    graft.etl.Merge.foldMissingBatches(s, path, Seq(
+      "b0" -> (() => appendGramLedger(path, slice(0, 50), K, "b0")),
+      "b1" -> (() => appendGramLedger(path, slice(50, 100), K, "b1"))))
+    val dup = gramLedgerCounts(s, path)
+      .filter(col("n_idx") >= 2L).select(col("gram"))
+    spanDedupCore(docs.select(col("doc_id"), col("text")), K,
+      dupGrams = Some(dup))
+  }
+
   /** Default election key: two independent 64-bit xxhash views of the
     * span text — 128 bits total, so a collided bucket (the exact-repair
     * path) is a once-per-corpus-lifetime event, not a steady-state
@@ -3257,8 +3696,9 @@ object Documents {
     * inside it). */
   private[operators] def spanDedupCore(docs0: DataFrame, K: Int,
       clusterHash: Column => Column = spanHash128,
-      stage: Boolean = true): DataFrame = {
-    val spans = dupSpansCore(docs0, K)
+      stage: Boolean = true,
+      dupGrams: Option[DataFrame] = None): DataFrame = {
+    val spans = dupSpansCore(docs0, K, dupGrams)
     val words = docs0.select(col("doc_id"),
       graft.functions.Text.toWords(col("text")).as("w"))
     // PERSIST the span table: it is span-bounded (spans << corpus) and
@@ -5167,7 +5607,12 @@ object Documents {
     "q139_shard_export"   -> (shardExport _),
     "q140_shard_incremental" -> (shardIncremental _),
     "q143_epoch_shards"   -> (epochShards _),
-    "q132_span_rewrite"   -> (spanRewrite _))
+    "q132_span_rewrite"   -> (spanRewrite _),
+    "q154_search_retract" -> (keywordSearchRetract _),
+    "q155_prefix_retract" -> (incrementalNearDupRetract _),
+    "q156_lm_retract"     -> (lmQualityRetract _),
+    "q157_bpe_retract"    -> (bpeTrainRetract _),
+    "q158_span_served"    -> (spanDedupServed _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q52_char_ngram_langid" -> charNgramLangIdSql,
@@ -5229,5 +5674,14 @@ object Documents {
     "q139_shard_export"   -> shardExportSql,
     "q140_shard_incremental" -> shardIncrementalSql,
     "q143_epoch_shards"   -> epochShardsSql,
-    "q132_span_rewrite"   -> spanRewriteSql)
+    "q132_span_rewrite"   -> spanRewriteSql,
+    // r20 takedown-ring closure: each gate is fold(appends + deletes)
+    // ≡ one-shot rebuild on the REDUCED corpus
+    "q154_search_retract" -> keywordSearchRetractSql,
+    "q155_prefix_retract" -> incrementalNearDupRetractSql,
+    "q156_lm_retract"     -> lmQualityRetractSql,
+    "q157_bpe_retract"    -> bpeTrainRetractSql,
+    // q158's oracle IS q127's one-shot SQL verbatim — same verdicts,
+    // amortized plan (the q141/q142 stance)
+    "q158_span_served"    -> spanDedupSql)
 }

@@ -185,4 +185,40 @@ class BpeSpec extends SparkSpec {
     assert(seg("aaab") === " aa ab ", "2 subword tokens after 2 merges")
     assert(seg("ab") === " ab ", "the merged pair is 1 token")
   }
+
+  test("TAKEDOWN retraction (q157): fold(appends + retract) over the " +
+       "word-frequency ledger retrains to EXACTLY the reduced-corpus " +
+       "merge table; a type living only in deleted docs vanishes from " +
+       "the net table (and from every merge); a replayed retraction " +
+       "absorbs") {
+    import org.apache.spark.sql.functions.col
+    val led = java.nio.file.Files
+      .createTempDirectory("graft-bper").toString + "/wf"
+    // doc 2 is the takedown: it carries the corpus's only 'zzzz'
+    // occurrences (a type that must vanish) AND extra 'aaab' mass (a
+    // shared type whose count must net down, flipping a merge argmax)
+    val b0 = Seq((1L, "aaab aaab ab"), (2L, "zzzz zzzz zzzz aaab aaab"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, "aaab cd cd")).toDF("doc_id", "text")
+    val removed = b0.filter(col("doc_id") === 2L)
+    Documents.appendWfLedger(led, b0, "b0")
+    Documents.appendWfLedger(led, b1, "b1")
+    Documents.retractWfBatch(led, removed, "rm0")
+    Documents.retractWfBatch(led, removed, "rm0") // replay
+    // net types == reduced-corpus types, zero-net 'zzzz' gone
+    val net = Documents.wfLedgerNet(spark, led)
+      .as[(String, Long)].collect().toMap
+    assert(net === Map("aaab" -> 3L, "ab" -> 1L, "cd" -> 2L),
+      s"net word frequencies wrong: $net")
+    // retrain from the net == one-shot train on the reduced corpus
+    val got = Documents.bpeTrainTypesFromFreq(
+        Documents.wfLedgerNet(spark, led), 10)._1
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val want = train(
+      Seq("aaab", "aaab", "ab", "aaab", "cd", "cd"), 10)
+    assert(got === want,
+      "ledger retrain != one-shot train on the reduced corpus")
+    assert(!got.exists(m => m._2.contains("z") || m._3.contains("z")),
+      "a merge still references the fully-retracted type")
+  }
 }

@@ -374,4 +374,32 @@ class DupSpansSpec extends SparkSpec {
     Documents.compactGramLedgerNet(spark, ledger)
     assert(got() === withB2, "second net compaction changed a verdict")
   }
+
+  test("served span verdicts (q158): the dup-gram set read from a " +
+       "standing gram ledger yields EXACTLY the one-shot spanDedup " +
+       "verdicts — cross-doc, within-doc, and after a replayed ledger " +
+       "append (fold over batches IS the global count)") {
+    val K = 4
+    val docs = Seq(
+      (1L, "a b c d e x1"),          // cross-doc dup span with doc 2
+      (2L, "z1 a b c d e"),
+      (3L, "m n o p m n o p q"),     // within-doc repetition
+      (4L, "u1 u2 u3 u4 u5"))        // unique — must stay silent
+      .toDF("doc_id", "text")
+    val led = java.nio.file.Files
+      .createTempDirectory("graft_span_served").toString + "/led"
+    Documents.appendGramLedger(led, docs.filter($"doc_id" <= 2), K, "b0")
+    Documents.appendGramLedger(led, docs.filter($"doc_id" > 2), K, "b1")
+    Documents.appendGramLedger(led, docs.filter($"doc_id" > 2), K, "b1") // replay
+    def served() = Documents.spanDedupCore(docs, K,
+      dupGrams = Some(Documents.gramLedgerCounts(spark, led)
+        .filter($"n_idx" >= 2L).select($"gram")))
+    val want = Documents.spanDedupCore(docs, K)
+    assert(want.count() > 0, "fixture produced no spans")
+    assert(served().exceptAll(want).count() === 0 &&
+           want.exceptAll(served()).count() === 0,
+      "ledger-served verdicts != one-shot spanDedup")
+    assert(served().filter($"doc_id" === 4L).count() === 0,
+      "a unique doc gained a span from the ledger path")
+  }
 }

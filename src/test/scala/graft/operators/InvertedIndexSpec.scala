@@ -198,4 +198,45 @@ class InvertedIndexSpec extends SparkSpec {
       s"$ghost tombstoned posting rows survived retraction compaction")
     assert(netProbe() === expect, "retraction compaction changed the probe")
   }
+
+  test("TAKEDOWN retraction (q154): the AND-postings net probe == " +
+       "one-shot search on the REDUCED corpus; no tombstoned doc is " +
+       "EVER served (before or after compaction); a replayed retraction " +
+       "absorbs; retraction compaction physically drops the rows") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val removed = docs.filter(col("doc_id") % 7 === 0)
+    val reduced = docs.filter(col("doc_id") % 7 =!= 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-postr").toString
+    val (idx, del) = (s"$dir/post", s"$dir/del")
+    Documents.appendPostings(idx, docs.filter(col("doc_id") % 2 === 0))
+    Documents.appendPostings(idx, docs.filter(col("doc_id") % 2 === 1))
+    Documents.retractPostingsBatch(idx, del,
+      removed.select(col("doc_id")), "rm0")
+    Documents.retractPostingsBatch(idx, del,
+      removed.select(col("doc_id")), "rm0") // replay
+    def tomb() = spark.read.parquet(del).select(col("doc_id")).distinct()
+    def netProbe(): Seq[(Long, Long)] =
+      Documents.searchIndexNet(spark.read.parquet(idx), tomb(), terms, 1000)
+        .as[(Long, Long)].collect().toSeq.sorted
+    val expect = rows(Documents.searchIndex(
+      Documents.postings(reduced), terms, 1000))
+    assert(expect.nonEmpty, "probe terms missing from the reduced corpus")
+    assert(netProbe() === expect,
+      "retracted probe != one-shot search on the reduced corpus")
+    // the no-serve property, asserted directly: zero overlap between
+    // served doc ids and the takedown set, even pre-compaction
+    val servedIds = netProbe().map(_._1).toSet
+    val goneIds = removed.select(col("doc_id")).as[Long].collect().toSet
+    assert(servedIds.intersect(goneIds).isEmpty,
+      "a tombstoned doc was served before compaction")
+    val (b, a) = Documents.compactPostingsRetract(spark, idx, del)
+    assert(a <= b, s"retraction compaction grew the file count ($b -> $a)")
+    val ghost = spark.read.parquet(idx)
+      .join(tomb(), Seq("doc_id")).count()
+    assert(ghost === 0L,
+      s"$ghost tombstoned posting rows survived retraction compaction")
+    assert(netProbe() === expect, "retraction compaction changed the probe")
+  }
 }

@@ -291,4 +291,53 @@ class PrefixJaccardSpec extends SparkSpec {
     assert(exchanges === 1,
       s"compaction shape plans $exchanges hash exchanges, expected 1:\n$finalPlan")
   }
+
+  test("TAKEDOWN retraction (q155): the tombstone-masked index probes " +
+       "identically to an index rebuilt on the REDUCED corpus under the " +
+       "same frozen dict; no retracted doc ever appears as a corpus_id; " +
+       "a replayed retraction absorbs; compactPrefixRetract physically " +
+       "drops the rows") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-pfxr").toString
+    val (dictPath, idxPath, delPath) = (s"$wh/dict", s"$wh/idx", s"$wh/del")
+    // corpus: three near-dup families; we take down one whole family's
+    // corpus member plus one member of another — its incoming twin must
+    // then match NOTHING / only the survivors
+    val fams = Seq(family(1, 12, 1), family(2, 22, 2), family(3, 27, 0))
+    val corpus = fams.map(_.last)
+    graft.etl.Merge.writeAndSwap(
+      Documents.freezeDict(toDf(corpus)), dictPath, "build")
+    val dict = spark.read.parquet(dictPath)
+    graft.etl.Merge.writeAndSwap(
+      Documents.prefixRows(toDf(corpus), dict), idxPath, "build")
+    val removedIds = Set(corpus.head._1) // family 1's corpus member
+    import spark.implicits._
+    Documents.retractPrefixBatch(idxPath, delPath,
+      removedIds.toSeq.toDF("doc_id"), "rm0")
+    Documents.retractPrefixBatch(idxPath, delPath,
+      removedIds.toSeq.toDF("doc_id"), "rm0") // replay
+    val reduced = corpus.filterNot(c => removedIds(c._1))
+    val incoming = fams.map(_.head)
+    def tomb() = spark.read.parquet(delPath)
+      .select(col("doc_id")).distinct()
+    def netProbe(): Set[(Long, Long, Long)] = {
+      val masked = spark.read.parquet(idxPath)
+        .join(tomb(), Seq("doc_id"), "left_anti")
+      probe(incoming, reduced, dict, masked)
+    }
+    // ground truth: rebuild on the reduced corpus under the SAME dict
+    val rebuilt = Documents.prefixRows(toDf(reduced), dict)
+    val expect = probe(incoming, reduced, dict, rebuilt)
+    assert(expect.nonEmpty, "fixture lost its surviving near-dup pairs")
+    assert(netProbe() == expect,
+      "masked-index probe != rebuild on the reduced corpus")
+    assert(!netProbe().exists(p => removedIds(p._2)),
+      "a retracted doc was served as a corpus match")
+    val (b, a) = Documents.compactPrefixRetract(spark, idxPath, delPath)
+    assert(a <= b, s"retraction compaction grew the file count ($b -> $a)")
+    val ghost = spark.read.parquet(idxPath)
+      .join(tomb(), Seq("doc_id")).count()
+    assert(ghost === 0L,
+      s"$ghost tombstoned prefix rows survived retraction compaction")
+    assert(netProbe() == expect, "retraction compaction changed the probe")
+  }
 }
