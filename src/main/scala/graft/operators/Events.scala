@@ -954,12 +954,28 @@ object Events {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("hour_id"))
     val w24 = w.rowsBetween(-23, 0)
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    // r20 running-frame rewrite (guide §1.2 step 2 — per-task work): a
+    // bounded ROWS frame makes WindowExec RE-AGGREGATE all 24 buffered
+    // rows per output row per function (no inverse-combine in Spark), so
+    // the three trailing SUMS were O(24)/row each. A running frame is
+    // O(1)/row, and trailing-24h sum ≡ running_sum − running_sum 24 rows
+    // earlier — exact for longs (identical row sets, associative +), so
+    // the rewrite cannot change a bit. count(*) over a ROWS frame on a
+    // gap-free grid is least(row_number, 24). min/max have no inverse and
+    // keep the sliding frame. All frames share the one (user_id, hour_id)
+    // sort — still zero added Exchanges.
     grid
-      .withColumn("roll_sum", sum(col("v_cents")).over(w24))
-      .withColumn("roll_n", count(lit(1)).over(w24))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cum_v", sum(col("v_cents")).over(run))
+      .withColumn("cum_o", sum(col("n_obs")).over(run))
+      .withColumn("roll_sum",
+        col("cum_v") - coalesce(lag(col("cum_v"), 24).over(w), lit(0L)))
+      .withColumn("roll_n", least(col("rn").cast("long"), lit(24L)))
       .withColumn("roll_min", min(col("v_cents")).over(w24))
       .withColumn("roll_max", max(col("v_cents")).over(w24))
-      .withColumn("roll_obs", sum(col("n_obs")).over(w24))
+      .withColumn("roll_obs",
+        col("cum_o") - coalesce(lag(col("cum_o"), 24).over(w), lit(0L)))
       .withColumn("delta", col("v_cents") - lag(col("v_cents"), 1).over(w))
       .select(col("user_id"), col("hour_id"), col("v_cents"),
         col("roll_sum"), expr("roll_sum div roll_n").as("roll_avg"),
@@ -1012,14 +1028,24 @@ object Events {
   private[operators] def shiftsOnGrid(grid: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("hour_id"))
-    val pre = w.rowsBetween(-24, -1)
-    val post = w.rowsBetween(0, 23)
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    // r20 running-frame rewrite (same argument as [[rollingOnGrid]]):
+    // both 24-row sliding sums become O(1)/row differences of ONE running
+    // sum — pre(-24,-1) = cum(-1) − cum(-25), post(0,23) = cum(+23) −
+    // cum(-1) — and the "exactly 24 rows on each side" eligibility
+    // filter becomes row_number ≥ 25 (full pre side on a gap-free grid)
+    // ∧ lead(cum, 23) exists (full post side). Identical row sets,
+    // associative long +, so values and the top-50 SET are bit-equal.
     grid
-      .withColumn("pre_sum", sum(col("v_cents")).over(pre))
-      .withColumn("pre_n", count(lit(1)).over(pre))
-      .withColumn("post_sum", sum(col("v_cents")).over(post))
-      .withColumn("post_n", count(lit(1)).over(post))
-      .filter(col("pre_n") === lit(24L) && col("post_n") === lit(24L))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cum", sum(col("v_cents")).over(run))
+      .withColumn("pre_sum",
+        coalesce(lag(col("cum"), 1).over(w), lit(0L)) -
+          coalesce(lag(col("cum"), 25).over(w), lit(0L)))
+      .withColumn("post_sum",
+        lead(col("cum"), 23).over(w) -
+          coalesce(lag(col("cum"), 1).over(w), lit(0L)))
+      .filter(col("rn") >= 25 && col("post_sum").isNotNull)
       .withColumn("shift", abs(col("post_sum") - col("pre_sum")))
       .select(col("user_id"), col("hour_id"), col("pre_sum"),
         col("post_sum"), col("shift"))

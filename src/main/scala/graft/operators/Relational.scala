@@ -541,7 +541,7 @@ object Relational {
     * registered query folds a 4-way portable-hash split of the edge log
     * (q79's convention) so both engines see identical batches. */
   private[graft] def deltaTriangles(old: DataFrame, delta: DataFrame,
-      nOld: Long = -1L): DataFrame = {
+      nOld: Long = -1L, degOld: Option[DataFrame] = None): DataFrame = {
     def undir(df: DataFrame): DataFrame =
       df.select(col("a").as("u"), col("b").as("w"))
         .unionByName(df.select(col("b").as("u"), col("a").as("w")))
@@ -576,7 +576,11 @@ object Relational {
     // that survives hub vertices. The degree lookup joins are keyed by
     // the (small) batch; a production deployment would maintain deg as
     // an incrementally-updated artifact next to the edge set.
-    val degO = adjO.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+    // `degOld` rides in from callers that maintain degrees as a standing
+    // per-(u, batch) artifact (the q107 fold — r20); None derives them
+    // here with a full adjacency aggregation.
+    val degO = degOld.getOrElse(
+      adjO.groupBy(col("u")).agg(count(lit(1)).as("dg")))
     val dPick = delta
       .join(degO.select(col("u").as("a"), col("dg").as("dga")),
         Seq("a"), "left")
@@ -615,29 +619,82 @@ object Relational {
         (col("t1") + col("t2") + col("t3")).as("delta_triangles"))
   }
 
-  def triangleDelta(s: SparkSession, d: String): DataFrame = {
+  /** The SHARED standing edge artifact of the whole graph family
+    * (r20 optimization): one li⋈li + distinct per corpus, materialized
+    * with the 16-way portable-hash slice column. q136 consumes `h16`
+    * directly; q107's 4-way fold derives its batch as `pmod(h16, 4)` —
+    * exact, because 4 divides 16 and both hashes share the same input
+    * string — and q108 reads the raw (a, b) pairs. Before the share,
+    * q107 and q136 each materialized their own byte-identical pair
+    * derivation (graft_tri_edges vs graft_tri16) and q108 re-derived it
+    * per pass inside its adjacency build. */
+  private def tri16Edges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    // the standing edge set lives as a MATERIALIZED artifact (the r11
-    // verdict's ask, and q108's adjacency lesson: 12 joins × 4 batches
-    // re-read it, and checkpoint blocks pin the single local heap while
-    // the datasetTag-keyed parquet artifact is disk-backed, compressed,
-    // and amortized across runs — production maintenance would append
-    // each batch's edges here and compact on the q82 cadence)
     val tag = Tables.datasetTag(s, d, "lineitem")
     val wh = s.conf.get("spark.sql.warehouse.dir")
-    val e = graft.etl.Merge.materialize(s, s"$wh/graft_tri_edges_$tag",
+    graft.etl.Merge.materialize(s, s"$wh/graft_tri16_$tag",
       li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
         .filter(col("pk") < col("pk2"))
         .select(col("pk").as("a"), col("pk2").as("b"))
         .distinct()
-        .withColumn("batch", pmod(graft.functions.Text.portableHash(
+        .withColumn("h16", pmod(graft.functions.Text.portableHash(
             concat(col("a").cast("string"), lit(","),
               col("b").cast("string"))),
-          lit(4L))))
+          lit(16L))))
+  }
+
+  /** The two bucketed physical layouts of the FULL edge set (u-keyed
+    * undirected adjacency; (a,b)-keyed directed edge list), each carrying
+    * `h16` so any hash-slice filter (q136's 15/16 standing set, q107's
+    * 4-way prefixes) reads them IN PLACE: the standing side of every
+    * wedge fan-out and closing probe never shuffles — only batch-derived
+    * rows do. Shared by q107 and q136 (one build serves both). */
+  private def triBucketed(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e16 = tri16Edges(s, d)
+    val adjName = s"graft_tri_adjh_${pathTag(d)}"
+    ensureBucketed(s, adjName, Seq("u"), 32,
+      e16.select(col("a").as("u"), col("b").as("w"), col("h16"))
+        .unionByName(
+          e16.select(col("b").as("u"), col("a").as("w"), col("h16"))))
+    val edgName = s"graft_tri_edgh_${pathTag(d)}"
+    ensureBucketed(s, edgName, Seq("a", "b"), 32, e16)
+    (s.table(adjName), s.table(edgName))
+  }
+
+  def triangleDelta(s: SparkSession, d: String): DataFrame = {
+    // r20: the fold keeps [[deltaTriangles]]' join structure (at any SF
+    // where the prefix fits the broadcast envelope, AQE already serves
+    // every closing/orientation join as a broadcast — plan-audited; a
+    // bucketed-SMJ variant was tried and REJECTED: with no exchange on
+    // the standing side AQE cannot re-plan to broadcast, and the big
+    // wedge stream pays a per-batch sort, 10.6 s → 26.8 s measured), but
+    // stops re-deriving the batch-INDEPENDENT statistics per batch:
+    // prefix degrees re-aggregate a standing per-(u, batch) count
+    // artifact (|V×4| rows) instead of shuffling the 2|E_prefix|-row
+    // adjacency per batch, and prefix sizes come from a 4-row
+    // batch-count artifact instead of one count job per batch. Counts
+    // and the class decomposition are unchanged — the oracle (full
+    // prefix recounts, differenced) independently pins that.
+    val tag = Tables.datasetTag(s, d, "lineitem")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val e16 = tri16Edges(s, d)
+    val batchOf = pmod(col("h16"), lit(4L)) // == pmod(portableHash, 4): 4 | 16
+    val e = e16.select(col("a"), col("b"), batchOf.as("batch"))
+    val adjAll = e.select(col("a").as("u"), col("b").as("w"), col("batch"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("w"), col("batch")))
+    val degB = graft.etl.Merge.materialize(s, s"$wh/graft_tri_degb_$tag",
+      adjAll.groupBy(col("u"), col("batch")).agg(count(lit(1)).as("dg")))
+    val bcnt = graft.etl.Merge.materialize(s, s"$wh/graft_tri_bcnt_$tag",
+        e.groupBy(col("batch")).agg(count(lit(1)).as("n")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // ≤ 4 rows
     (0L until 4L).map { i =>
+      val degO = degB.filter(col("batch") < i)
+        .groupBy(col("u")).agg(sum(col("dg")).as("dg"))
+      val nOld = (0L until i).map(j => bcnt.getOrElse(j, 0L)).sum
       deltaTriangles(e.filter(col("batch") < i).select("a", "b"),
-                     e.filter(col("batch") === i).select("a", "b"))
+                     e.filter(col("batch") === i).select("a", "b"),
+                     nOld, Some(degO))
         .select(lit(i).as("batch"), col("n_new_edges"),
           col("delta_triangles"))
     }.reduce(_.unionByName(_)).orderBy(col("batch"))
@@ -710,34 +767,22 @@ object Relational {
     * TriangleDeltaSpec pins applyTriangles ≡ deltaTriangles on
     * constructed graphs (both Bloom branches). */
   def triangleApply(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val tag = Tables.datasetTag(s, d, "lineitem")
     val wh = s.conf.get("spark.sql.warehouse.dir")
-    val e = graft.etl.Merge.materialize(s, s"$wh/graft_tri16_$tag",
-      li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-        .filter(col("pk") < col("pk2"))
-        .select(col("pk").as("a"), col("pk2").as("b"))
-        .distinct()
-        .withColumn("h16", pmod(graft.functions.Text.portableHash(
-            concat(col("a").cast("string"), lit(","),
-              col("b").cast("string"))),
-          lit(16L))))
+    val e = tri16Edges(s, d)
     val old = e.filter(col("h16") =!= 15).select("a", "b")
     val delta = e.filter(col("h16") === 15).select("a", "b")
     // TWO physical layouts of the standing set, each serving the join it
     // is keyed for in place: the undirected adjacency bucketed by u (the
     // wedge fan-out), the directed edge list bucketed by (a,b) (the
     // closing-pair probe) — a graph deployment's adjacency list + edge
-    // lookup index
-    val adjName = s"graft_tri_adj_${pathTag(d)}"
-    ensureBucketed(s, adjName, Seq("u"), 32,
-      old.select(col("a").as("u"), col("b").as("w"))
-        .unionByName(old.select(col("b").as("u"), col("a").as("w"))))
-    val adj = s.table(adjName)
-    val edgName = s"graft_tri_edg_${pathTag(d)}"
-    ensureBucketed(s, edgName, Seq("a", "b"), 32, old)
-    val edg = s.table(edgName)
+    // lookup index. r20: the SHARED full-set layouts (carrying h16, the
+    // q107 fold reads them too — one bucketed build serves both); the
+    // h16 =!= 15 filter rides the bucketing, so the standing sides still
+    // never shuffle.
+    val (adjT, edgT) = triBucketed(s, d)
+    val adj = adjT.filter(col("h16") =!= 15).select(col("u"), col("w"))
+    val edg = edgT.filter(col("h16") =!= 15).select(col("a"), col("b"))
     val deg = graft.etl.Merge.materialize(s, s"$wh/graft_tri_deg_$tag",
       adj.groupBy(col("u")).agg(count(lit(1)).as("dg")))
     val nOld = graft.etl.Merge.materialize(s,
@@ -997,15 +1042,14 @@ object Relational {
     * headroom: 85 · V · 1e6 stays under 2⁶³ to V ≈ 10¹¹ vertices. */
   def pageRank(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val e = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-      .filter(col("pk") < col("pk2"))
-      .select(col("pk").as("a"), col("pk2").as("b"))
-      .distinct()
+    // r20: the pair derivation is the SHARED graph-family artifact
+    // ([[tri16Edges]]) — before, every pass re-ran li⋈li + distinct just
+    // to seed r₀ (the adjacency itself was already materialized, but deg
+    // was re-derived from scratch each pass).
+    val e = tri16Edges(s, d).select(col("a"), col("b"))
     val adj0 = e.select(col("a").as("u"), col("b").as("v"))
       .unionByName(e.select(col("b").as("u"), col("a").as("v")))
-    val deg = adj0.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val deg0 = adj0.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     // the adjacency is 2|E| rows read ten times: MATERIALIZE it as a
     // warehouse artifact (datasetTag-keyed) instead of localCheckpoint —
     // checkpoint blocks pin the single local heap (the un-evictable
@@ -1015,11 +1059,26 @@ object Relational {
     val tag = Tables.datasetTag(s, d, "lineitem")
     val wh = s.conf.get("spark.sql.warehouse.dir")
     val adj = graft.etl.Merge.materialize(s, s"$wh/graft_pr_adj_$tag",
-      adj0.join(deg, Seq("u")))
+      adj0.join(deg0, Seq("u")))
+    // |V|-row degree artifact: r₀ and the broadcast gate read THIS, not a
+    // per-pass re-aggregation of the whole adjacency
+    val deg = graft.etl.Merge.materialize(s, s"$wh/graft_pr_deg_$tag",
+      adj.select(col("u"), col("deg")).distinct())
+    val nVerts = deg.count()
     var r = deg.select(col("u").as("v"), lit(1000000L).as("r"))
       .localCheckpoint() // |V| rows of two longs — cheap to pin
     for (_ <- 1 to 10) {
-      r = adj.join(r.select(col("v").as("u"), col("r")), Seq("u"))
+      // r20 (guide §3.1): the rank table is |V| rows of two longs — when
+      // it fits the broadcast envelope (the q104 64M-vertex ≈ 1 GB gate),
+      // BROADCAST it into the join so the 2|E|-row adjacency is never
+      // shuffled: per round the plan is one in-place artifact scan + a
+      // broadcast hash join + one |V|-row partial-agg'd exchange, instead
+      // of a full adjacency sort-merge exchange per round. Integer rank
+      // sums are order-free, so the join strategy cannot change a bit of
+      // the result; past the gate the shuffle join returns.
+      val rk = r.select(col("v").as("u"), col("r"))
+      val rkb = if (nVerts <= 64L * 1000 * 1000) broadcast(rk) else rk
+      r = adj.join(rkb, Seq("u"))
         .select(col("v"), expr("r div deg").as("c"))
         .groupBy(col("v"))
         .agg(expr("CAST(150000 + (85 * sum(c)) div 100 AS BIGINT)").as("r"))
