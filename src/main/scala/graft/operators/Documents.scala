@@ -3557,14 +3557,38 @@ object Documents {
         array_join(slice(col("w"), col("pos"), lit(K)), " ").as("gram"))
     // `dupGrams` injects the duplicated-gram set from a STANDING gram
     // ledger (q158): the fold over all ingest batches IS the global
-    // count, so the corpus-wide groupBy(gram) exchange — the finder's
+    // count, so the corpus-wide gram-count exchange — the finder's
     // dominant cost at scale — is replaced by a read of an
     // already-aggregated artifact. None = the one-shot derivation.
-    val dup = dupGrams.getOrElse(
-      grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 2).select(col("gram")))
     val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    grams.join(dup, Seq("gram"), "left_semi")
+    val dpos = dupGrams match {
+      case Some(dg) =>
+        grams.join(dg, Seq("gram"), "left_semi")
+          .select(col("doc_id"), col("pos"))
+      case None =>
+        // r20 (guide §2.3 — shuffle hashes, not payloads): the global
+        // count groups by a 64-BIT GRAM HASH, so the corpus-sized
+        // exchange carries 8-byte keys instead of ~50-byte gram strings,
+        // and the candidate semi-join probes the (small, post-≥2) hash
+        // set map-side. Exactness does NOT rest on the hash: every
+        // occurrence of a gram shares its hash, so a gram whose hash
+        // bucket counts ≥ 2 has ALL its occurrences in the candidate
+        // set, where a per-GRAM recount (tiny — candidates ≈ duplicated
+        // positions + the collision tail) equals the global count; the
+        // final ≥ 2 filter on that recount therefore reproduces the
+        // string-grouped rule under ANY hash, collisions only costing a
+        // few extra candidate rows (DupSpansSpec drives a degenerate
+        // hash through the q127 election on the same kernel).
+        val gh = grams.withColumn("h", xxhash64(col("gram")))
+        val dupH = gh.groupBy(col("h")).agg(count(lit(1)).as("nh"))
+          .filter(col("nh") >= 2).select(col("h"))
+        val cand = gh.join(dupH, Seq("h"), "left_semi")
+        cand
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy(col("gram"))))
+          .filter(col("n") >= 2).select(col("doc_id"), col("pos"))
+    }
+    dpos
       .withColumn("isl", col("pos") - row_number().over(wIsl))
       .groupBy(col("doc_id"), col("isl"))
       .agg(min(col("pos")).as("start_pos"),
