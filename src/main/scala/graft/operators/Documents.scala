@@ -684,15 +684,28 @@ object Documents {
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
     var prevSum = labelSum(labels)
+    // r20: ONE action per round instead of two — the round's labels are
+    // persisted (an InMemoryRelation leaf, so the plan stays flat across
+    // rounds exactly like the old per-round checkpoint) and the
+    // convergence-witness aggregation is the action that materializes
+    // them; the old shape paid a checkpoint job AND a sum job per round,
+    // pure driver-loop latency at every scale. Each round unpersists its
+    // predecessor; the final labels are handed back through an eager
+    // localCheckpoint so the operator leaves no CacheManager residue
+    // (the ADVICE r17 session-lifetime-persist rule).
+    var cached: Option[DataFrame] = None
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxCcRounds) {
       val msgs = labels.join(edges, col("doc_id") === col("src"))
         .select(col("dst").as("doc_id"), col("lbl"))
-      labels = labels.unionByName(msgs)
+      val next = labels.unionByName(msgs)
         .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-      val s2 = labelSum(labels)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s2 = labelSum(next) // materializes the cache AND the witness
+      cached.foreach(_.unpersist(false))
+      cached = Some(next)
+      labels = next
       converged = s2 == prevSum
       prevSum = s2
       rounds += 1
@@ -705,7 +718,9 @@ object Documents {
     require(converged,
       s"connectedComponents did not converge within $maxCcRounds rounds — " +
       "component diameter exceeds the cap; labels would be wrong")
-    labels
+    val out = labels.localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    out
   }
 
   /** INCREMENTAL connected components (r12) — the q79/q107 R-S move for
